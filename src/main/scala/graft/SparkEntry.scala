@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{Q, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the correctness surface: one entry per implemented
+  * operator from SURVEY.md §2 (+ the training-data-pipeline extensions),
+  * each with a DuckDB oracle in `oracleSql` where SQL-expressible.
+  */
 object SparkEntry {
+
+  /** Every gated query, from the per-category suites. */
+  def allQueries: Seq[Q] =
+    Relational.all ++ queries_extra
+
+  /** Non-relational suites are appended here as they land. */
+  private def queries_extra: Seq[Q] = Seq(
+    Q("q27_date_dim", etl.DateDim.oracleSql()) { (s, _) =>
+      etl.DateDim.build(s)
+    }
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    allQueries.find(_.name == "q14_star_join").get.build(spark, dir)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allQueries.map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allQueries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
