@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{DotProduct, PolyHash}
+
+/** Shared text/vector primitives for the training-data-pipeline
+  * operators, each with its DuckDB-SQL mirror so the oracle computes the
+  * IDENTICAL value (single source of truth for the constants).
+  *
+  * Tokenization spec (both engines): words = split on single space,
+  * drop empties. Shingles = distinct word n-grams joined by one space;
+  * a doc with fewer than n words contributes its whole word sequence as
+  * one shingle.
+  */
+object Text {
+  val Mod: Long = PolyHash.Mod
+  val Mult: Long = PolyHash.Mult
+  val Seed: Long = PolyHash.Seed
+
+  /** Minhash permutation constants: perm_i(h) = (a_i*h + b_i) mod Mod. */
+  def permA(i: Column): Column = lit(37L) + lit(2L) * i
+  def permB(i: Column): Column = lit(17L) + lit(101L) * i
+  def permSqlA(i: String): String = s"(37 + 2 * $i)"
+  def permSqlB(i: String): String = s"(17 + 101 * $i)"
+
+  /** Rolling polynomial hash (custom codegen'd Catalyst expression). */
+  def polyhash(c: Column): Column =
+    GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+
+  /** DuckDB mirror of polyhash: fold over code points. */
+  def polyhashSql(expr: String): String =
+    s"list_reduce(list_prepend(CAST($Seed AS BIGINT), " +
+      s"list_transform(string_split($expr, ''), c -> CAST(unicode(c) AS BIGINT))), " +
+      s"(a, b) -> (a * $Mult + b) % $Mod)"
+
+  /** Dot product over ArrayType(DoubleType) (custom codegen'd expr). */
+  def dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Non-empty words of a text column. */
+  def wordsExpr(textCol: String): String =
+    s"filter(split($textCol, ' '), w -> w != '')"
+  def wordsSql(textCol: String): String =
+    s"list_filter(string_split($textCol, ' '), w -> w != '')"
+
+  /** Distinct word n-gram shingles from a words-array column. */
+  def shinglesExpr(ws: String, n: Int = 3): String = {
+    val joined = (0 until n).map(j => s"element_at($ws, i + $j)")
+      .mkString("concat(", ", ' ', ", ")")
+    s"""array_distinct(CASE WHEN size($ws) >= $n
+       |  THEN transform(sequence(1, size($ws) - ${n - 1}), i -> $joined)
+       |  ELSE array(array_join($ws, ' ')) END)""".stripMargin
+  }
+  def shinglesSql(ws: String, n: Int = 3): String = {
+    val joined = (0 until n).map(j => s"$ws[i + $j]").mkString(" || ' ' || ")
+    s"""list_distinct(CASE WHEN len($ws) >= $n
+       |  THEN list_transform(range(1, len($ws) - ${n - 2}), i -> $joined)
+       |  ELSE [array_to_string($ws, ' ')] END)""".stripMargin
+  }
+
+  /** Stopword lists for the n-gram language-ID heuristic. */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "zu", "von"),
+    "es" -> Seq("el", "los", "y", "de", "un", "una", "es", "que"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  def stopwordCountExpr(ws: String, lang: String): String = {
+    val list = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter($ws, w -> w IN ($list)))"
+  }
+  def stopwordCountSql(ws: String, lang: String): String = {
+    val list = Stopwords.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($ws, w -> w IN ($list)))"
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Text
+
+/** Multimodal-column plumbing: images/audio/video ride through the
+  * pipeline as opaque `binary` columns plus typed metadata, processed
+  * per-partition in batches.
+  *
+  * The actual codec step is STUBBED (this environment has no
+  * image/audio libraries): `decodeStub` derives deterministic fake
+  * dimensions from the byte content. Everything around it — the binary
+  * column representation, the batched mapPartitions shape (one
+  * decoder init per partition, streamed batches, no collect), the
+  * metadata schema — is the real, tested scale path. Swapping
+  * `decodeStub` for a JNI/javacpp codec is a one-function change.
+  */
+object Multimodal {
+
+  case class MediaMeta(
+      id: Long, n_bytes: Long, width: Long, height: Long, channels: Long)
+
+  /** Deterministic fake "decode": dimensions derived from a rolling
+    * hash of the bytes. Replace with a real codec in production.
+    */
+  def decodeStub(bytes: Array[Byte]): (Long, Long, Long) = {
+    var h = 7L
+    var i = 0
+    while (i < bytes.length) { h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    (16L + h % 240L, 16L + (h / 256L) % 240L, 3L)
+  }
+
+  /** Batched per-partition decode over (id, payload) — the
+    * mapPartitions shape that scales: the iterator is consumed lazily,
+    * one "decoder" (here: nothing) initialized per partition, output
+    * streamed.
+    */
+  def extractMeta(spark: SparkSession, media: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: init decoder/codec once here, per partition
+      it.map { case (id, bytes) =>
+        val (w, h, c) = decodeStub(bytes)
+        MediaMeta(id, bytes.length.toLong, w, h, c)
+      }
+    }
+  }
+
+  /** Column-only mirror of the stub (identical arithmetic, codegen'd via
+    * PolyHash on ASCII payloads) — used by the oracle-gated query so the
+    * semantics are hash-verified cross-engine.
+    */
+  def metaColumns(df: DataFrame, idCol: String, textAsPayload: String): DataFrame = {
+    val fp = Text.polyhash(col(textAsPayload))
+    df.select(
+      col(idCol),
+      octet_length(col(textAsPayload)).cast(LongType).as("n_bytes"),
+      (lit(16L) + fp % 240L).as("width"),
+      (lit(16L) + (fp.cast(LongType) / 256L).cast(LongType) % 240L).as("height"),
+      lit(3L).as("channels"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.Text
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Two paths:
+  *  - cosineTopK: exact brute force — queries x corpus cross join with
+  *    the codegen'd DotProduct kernel. The correctness baseline; cost
+  *    O(|Q| x |corpus| x dim), fine when |Q| is small or corpus is
+  *    broadcastable.
+  *  - lshCosineTopK: random-hyperplane LSH — bucket both sides by
+  *    sign-bit keys, rerank inside buckets only. The 100 TB path: the
+  *    cross join becomes an equi-join on bucket keys; recall is tuned
+  *    with (planes, tables) and verified against brute force in the
+  *    test suite.
+  */
+object Similarity {
+
+  private def normed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Text.dot(col("v"), col("v"))))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, rnk) with rnk 1..k, deterministic
+    * (ties broken by neighbor id).
+    */
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = normed(corpus, idCol, vecCol)
+    val q = normed(queries, idCol, vecCol)
+      .withColumnRenamed("vid", "qid")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")
+    val sims = q.crossJoin(c)
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("sim", Text.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+    sims
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: planes x dim matrix with
+    * values in [-0.5, 0.5), derived from an LCG so both tests and any
+    * future oracle can reproduce them.
+    */
+  def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      val x = (1103515245L * (p * dim + d + 1) + 12345L) % 2147483648L
+      (x.toDouble / 2147483648.0) - 0.5
+    }
+
+  /** Approximate top-k via random-hyperplane LSH with multiple tables.
+    * Each table hashes vectors to a sign-bit bucket key; candidates are
+    * vectors sharing a bucket in ANY table; rerank is exact cosine.
+    */
+  def lshCosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planesPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+
+    def bucketed(df: DataFrame, vec: String, id: String): DataFrame = {
+      val withBuckets = (0 until tables).foldLeft(df) { (d, t) =>
+        val planes = hyperplanes((t + 1) * planesPerTable, dim)
+          .drop(t * planesPerTable)
+        val key = planes.zipWithIndex.map { case (p, i) =>
+          when(Text.dot(col(vec), typedLit(p.toSeq)) >= 0,
+            lit(1L << i)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        d.withColumn(s"__b$t", key)
+      }
+      withBuckets.withColumn("table",
+        explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("bucket",
+        element_at(array((0 until tables).map(t => col(s"__b$t")): _*),
+          col("table") + 1))
+      .select(col(id), col(vec), col("table"), col("bucket"))
+    }
+
+    val c = normed(corpus, idCol, vecCol)
+    val q = normed(queries, idCol, vecCol)
+    val cb = bucketed(c, "v", "vid")
+    val qb = bucketed(
+      q.withColumnRenamed("vid", "qid").withColumnRenamed("v", "qv")
+        .withColumnRenamed("nrm", "qnrm"), "qv", "qid")
+
+    val cand = qb.join(cb, Seq("table", "bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .select("qid", "vid").distinct()
+      .join(c, "vid")
+      .join(q.withColumnRenamed("vid", "qid").withColumnRenamed("v", "qv")
+        .withColumnRenamed("nrm", "qnrm"), "qid")
+      .withColumn("sim", Text.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vid"))
+    cand.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"), col("rnk"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.Text
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * narrow per-row column computations (no shuffle except fingerprint's
+  * shingle-min) — they scale linearly and stay inside whole-stage
+  * codegen except the documented higher-order-function lambdas.
+  */
+object TextAnalysis {
+
+  private def withWords(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+
+  /** Stopword-overlap language ID. Scores each language by stopword
+    * hits; deterministic argmax (tie broken by the fixed language order
+    * en, de, es, fr, zh).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = Text.Stopwords.map(_._1)
+    val scored = langs.foldLeft(withWords(df, textCol)) { (d, l) =>
+      d.withColumn(s"score_$l",
+        expr(Text.stopwordCountExpr("__ws", l)).cast(LongType))
+    }
+    // argmax CASE chain: first language (in declared order) whose score
+    // is >= all others wins — mirrors the oracle's CASE exactly.
+    val predicted = langs.foldRight(lit(langs.last)) { (l, els) =>
+      val beatsAll = langs.filter(_ != l)
+        .map(o => col(s"score_$l") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(beatsAll, lit(l)).otherwise(els)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .select((idCol +: langs.map(l => s"score_$l") :+ "predicted_lang").map(col): _*)
+  }
+
+  /** Length / vocabulary / stopword quality metrics + a coarse bucket. */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withWords(df, textCol)
+      .withColumn("n_chars", length(col(textCol)).cast(LongType))
+      .withColumn("n_words", size(col("__ws")).cast(LongType))
+      .withColumn("n_distinct_words", size(array_distinct(col("__ws"))).cast(LongType))
+      .withColumn("avg_word_len",
+        expr("aggregate(transform(__ws, w -> length(w)), 0, (a, x) -> a + x)")
+          .cast(DoubleType) / col("n_words"))
+      .withColumn("stopword_ratio",
+        expr(Text.stopwordCountExpr("__ws", "en")) * lit(1.0) / col("n_words"))
+      .withColumn("distinct_ratio", col("n_distinct_words") * lit(1.0) / col("n_words"))
+      .withColumn("quality_bucket",
+        when(col("n_words") >= 40 && col("distinct_ratio") >= 0.35, "high")
+          .when(col("n_words") >= 20, "medium")
+          .otherwise("low"))
+      .select(idCol, "n_chars", "n_words", "n_distinct_words", "avg_word_len",
+        "stopword_ratio", "distinct_ratio", "quality_bucket")
+
+  /** Whitespace token count + a BPE-ish estimate (ceil(len/4) per word). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withWords(df, textCol)
+      .select(
+        col(idCol),
+        size(col("__ws")).cast(LongType).as("ws_tokens"),
+        expr("aggregate(transform(__ws, w -> (length(w) + 3) div 4), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("bpe_tokens"))
+
+  /** Document fingerprint: rolling hash of the full text plus the
+    * minimum shingle hash (a 1-perm minhash — robust to rotation).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = withWords(df, textCol)
+      .withColumn("__sh", expr(Text.shinglesExpr("__ws")))
+    val minShingle = base
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .groupBy(idCol)
+      .agg(min(Text.polyhash(col("__s"))).as("min_shingle_hash"))
+    base
+      .select(col(idCol), Text.polyhash(col(textCol)).as("fingerprint"))
+      .join(minShingle, idCol)
+  }
+}

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline suite: dedup, similarity search, text
+  * analysis, multimodal plumbing over the `documents` and `embeddings`
+  * tables. Every query here has a strict DuckDB oracle — including the
+  * hash-based ones, because the rolling-hash primitive is
+  * engine-portable (see graft.functions.Text / expressions.PolyHash).
+  */
+object Pipeline {
+
+  private val langs = Text.Stopwords.map(_._1)
+
+  /** Common oracle CTE: documents with their word arrays. */
+  private val wCte =
+    s"SELECT doc_id, text, ${Text.wordsSql("text")} AS ws FROM documents"
+
+  private def shCte =
+    s"SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w"
+
+  val all: Seq[Q] = Seq(
+
+    // ----- exact dedup: hash group-by on content ------------------------
+    Q("qd01_dedup_exact",
+      "SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text") {
+      (s, dir) => Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- exact n-gram Jaccard near-dup pairs (inverted index) ---------
+    Q("qd02_ngram_jaccard",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.5)
+    },
+
+    // ----- minhash signatures (16 perms, long format) -------------------
+    Q("qd03_minhash_sig",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |h AS (SELECT doc_id, ${Text.polyhashSql("sh")} AS h FROM e),
+         |p AS (SELECT range AS perm_id FROM range(0, 16))
+         |SELECT doc_id, perm_id,
+         |  min((${Text.permSqlA("perm_id")} * h + ${Text.permSqlB("perm_id")}) % ${Text.Mod}) AS sig
+         |FROM h, p GROUP BY doc_id, perm_id""".stripMargin) { (s, dir) =>
+      Dedup.minhashSignatures(Tables(s, dir, "documents"), "doc_id", "text", k = 16)
+    },
+
+    // ----- simhash (60-bit, word-frequency weighted) --------------------
+    Q("qd04_simhash",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |h AS (SELECT doc_id, ${Text.polyhashSql("word")} AS h FROM wd),
+         |b AS (
+         |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+         |  FROM h, (SELECT CAST(range AS INTEGER) AS j FROM range(0, 60))
+         |  GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM b GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text", bits = 60)
+    },
+
+    // ----- minhash-LSH near-dup, exact-verified --------------------------
+    // Spark runs banded LSH (k=32, b=8, r=4) then exact-verifies
+    // candidates; the oracle brute-forces exact Jaccard. They agree as
+    // long as LSH recall at the threshold is 1 — which the band curve
+    // guarantees here (planted dups sit at j >= 0.9: miss prob < 1e-11).
+    Q("qd05_minhash_lsh",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 32, bands = 8, threshold = 0.5)
+    },
+
+    // ----- embedding near-dup pairs (exact cosine) ----------------------
+    Q("qs02_embedding_neardup",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b FROM p WHERE sim >= 0.4""".stripMargin) { (s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", 0.4)
+    },
+
+    // ----- brute-force cosine top-k (ANN baseline) ----------------------
+    Q("qs01_cosine_topk",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT qid, vec_id AS nid, list_dot_product(qv, v) / (qnrm * nrm) AS sim
+        |  FROM q, n WHERE vec_id <> qid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 10""".stripMargin) {
+      (s, dir) =>
+        val emb = Tables(s, dir, "embeddings")
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 10)
+    },
+
+    // ----- language ID (stopword heuristic) -----------------------------
+    Q("qt01_langid", {
+      val scoreCols = langs
+        .map(l => s"  ${Text.stopwordCountSql("ws", l)} AS score_$l").mkString(",\n")
+      val caseChain = langs.map { l =>
+        val cond = langs.filter(_ != l).map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH w AS ($wCte),
+         |s AS (SELECT doc_id,\n$scoreCols\nFROM w)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  CASE $caseChain ELSE '${langs.last}' END AS predicted_lang
+         |FROM s""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- quality scoring ----------------------------------------------
+    Q("qt02_quality",
+      s"""WITH w AS ($wCte),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+         |  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / CAST(len(ws) AS BIGINT) AS avg_word_len,
+         |  ${Text.stopwordCountSql("ws", "en")} * 1.0 / CAST(len(ws) AS BIGINT) AS stopword_ratio,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) * 1.0 / CAST(len(ws) AS BIGINT) AS distinct_ratio
+         |FROM w)
+         |SELECT doc_id, n_chars, n_words, n_distinct_words, avg_word_len,
+         |  stopword_ratio, distinct_ratio,
+         |  CASE WHEN n_words >= 40 AND distinct_ratio >= 0.35 THEN 'high'
+         |       WHEN n_words >= 20 THEN 'medium'
+         |       ELSE 'low' END AS quality_bucket
+         |FROM m""".stripMargin) { (s, dir) =>
+      TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- token counting -----------------------------------------------
+    Q("qt03_tokens",
+      s"""WITH w AS ($wCte)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(list_sum(list_transform(ws, w -> (length(w) + 3) // 4)) AS BIGINT) AS bpe_tokens
+         |FROM w""".stripMargin) { (s, dir) =>
+      TextAnalysis.tokenCounts(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- document fingerprinting ---------------------------------------
+    Q("qt04_fingerprint",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |m AS (SELECT doc_id, min(${Text.polyhashSql("sh")}) AS min_shingle_hash
+         |      FROM e GROUP BY doc_id)
+         |SELECT w.doc_id, ${Text.polyhashSql("text")} AS fingerprint, m.min_shingle_hash
+         |FROM w JOIN m USING (doc_id)""".stripMargin) { (s, dir) =>
+      TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- multimodal metadata plumbing (stub decode) --------------------
+    Q("qm01_multimodal_meta",
+      s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)
+         |SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  16 + (fp % 240) AS width,
+         |  16 + ((fp // 256) % 240) AS height,
+         |  CAST(3 AS BIGINT) AS channels
+         |FROM f""".stripMargin) { (s, dir) =>
+      Multimodal.metaColumns(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+  )
+}

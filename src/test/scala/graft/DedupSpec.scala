@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("exact dedup keeps one id per distinct text and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == out.select("text").distinct().count())
+    assert(out.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash-LSH finds exactly the pairs exact jaccard finds (threshold .5)") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 32, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "test corpus should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("simhash of near-dup pairs has small hamming distance") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val joined = pairs
+      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    val avgDup = joined.agg(avg("hamming")).head().getDouble(0)
+    // random 60-bit hashes differ in ~30 bits; near-dups should be far below
+    assert(avgDup < 15.0, s"near-dup avg hamming was $avgDup")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
+    assert(pairs.filter(col("vec_a") >= col("vec_b")).count() == 0)
+  }
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+/** The batched mapPartitions decode path must agree with the
+  * column-only mirror used by the oracle-gated query (same stub
+  * arithmetic over the same bytes).
+  */
+class MultimodalSpec extends SparkSpec {
+
+  test("mapPartitions decode plumbing matches column mirror") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val asBinary = docs
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val viaPartitions = Multimodal.extractMeta(spark, asBinary).toDF()
+      .withColumnRenamed("id", "doc_id")
+    val viaColumns = Multimodal.metaColumns(docs, "doc_id", "text")
+    assert(viaPartitions.except(viaColumns).count() == 0)
+    assert(viaColumns.except(viaPartitions).count() == 0)
+    assert(viaColumns.count() == docs.count())
+  }
+
+  test("decode stub is deterministic per content") {
+    val (w1, h1, c1) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    val (w2, h2, c2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
+    assert((w1, h1, c1) == (w2, h2, c2))
+    assert(w1 >= 16 && w1 < 256 && h1 >= 16 && h1 < 256 && c1 == 3)
+  }
+}

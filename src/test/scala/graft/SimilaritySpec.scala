@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("brute-force top-k returns k deterministic neighbors per query") {
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val out = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_.getLong(1) == 5))
+    // determinism: run twice, same result
+    val again = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
+  test("LSH top-k recall against brute force is reasonable") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // these embeddings are near-orthogonal (top-10 sims ~0.3-0.5), so
+    // recall needs short hashes and many tables: p(bucket|sim=.3) ~ .13
+    // per table -> ~.90 over 16 tables
+    val approx = Similarity.lshCosineTopK(emb, q, "vec_id", "embedding", k,
+      planesPerTable = 4, tables = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall@$k was $recall")
+  }
+}
