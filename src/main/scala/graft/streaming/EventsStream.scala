@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming operators over the events table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY.md §2.10), so these are
+  * extension operators for the streaming side of a training-data
+  * pipeline: windowed aggregation with watermarking, and gap-based
+  * sessionization with explicit state (flatMapGroupsWithState).
+  * Batch equivalents are oracle-gated (q30/q31); the streaming paths
+  * are tested with MemoryStream.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Timestamp, last: Timestamp,
+                          n: Long, total: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Tumbling-window counts with a watermark: the streaming twin of
+    * q30_events_hourly. Late data beyond the watermark is dropped;
+    * state for closed windows is evicted (bounded memory at any scale).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state. A session closes
+    * when a later event for the same user arrives more than `gapSec`
+    * after the previous one; the open session stays in state.
+    * Partitioned by user_id — state scales horizontally with keys.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapSec: Long = 1800): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.last.getTime > gapSec * 1000L =>
+                closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+}

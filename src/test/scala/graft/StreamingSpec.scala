@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, Session}
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed hourly counts with watermark over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("window_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 01:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventsStream.sessionize(spark, mem.toDS(), gapSec = 600)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 5 min apart (same session)
+      mem.addData(Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: 40 min later -> closes session 1
+      mem.addData(Event(3, ts(45), 7, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[Session].collect()
+      assert(rows.length == 1)
+      val s = rows.head
+      assert(s.user_id == 7 && s.n_events == 2 && s.total_value == 3.0 &&
+        s.session_start == ts(0) && s.session_end == ts(5))
+    } finally q.stop()
+  }
+
+  test("streaming hourly counts agree with the batch q30 on testdata") {
+    // batch semantics = streaming semantics with all data in one batch
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Tables(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val mem = MemoryStream[Event]
+    mem.addData(events.select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toIndexedSeq)
+    val q = EventsStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_full")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_full")
+        .agg(sum("n_events")).head().getLong(0)
+      assert(streamed == events.count())
+    } finally q.stop()
+  }
+}
