@@ -47,12 +47,21 @@ object Text {
   def wordsSql(textCol: String): String =
     s"list_filter(string_split($textCol, ' '), w -> w != '')"
 
-  /** Distinct word n-gram shingles from a words-array column. */
+  /** Distinct word n-gram shingles from a words-array column.
+    *
+    * Deliberately built as a zip_with-of-slices chain rather than
+    * `transform(sequence(...), i -> element_at(ws, i...))`: after
+    * CollapseProject inlines the words expression, element_at inside a
+    * lambda re-evaluates the whole split/filter once PER ELEMENT
+    * (O(words^2) per row — measured 10x slowdown at sf0.1), while
+    * slices and zip_with evaluate their inputs once per row.
+    */
   def shinglesExpr(ws: String, n: Int = 3): String = {
-    val joined = (0 until n).map(j => s"element_at($ws, i + $j)")
-      .mkString("concat(", ", ' ', ", ")")
+    val zipped = (2 to n).foldLeft(ws) { (acc, j) =>
+      s"zip_with($acc, slice($ws, $j, size($ws)), (a, b) -> concat(a, ' ', b))"
+    }
     s"""array_distinct(CASE WHEN size($ws) >= $n
-       |  THEN transform(sequence(1, size($ws) - ${n - 1}), i -> $joined)
+       |  THEN filter($zipped, x -> x IS NOT NULL)
        |  ELSE array(array_join($ws, ' ')) END)""".stripMargin
   }
   def shinglesSql(ws: String, n: Int = 3): String = {

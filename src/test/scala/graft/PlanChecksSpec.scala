@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+/** Physical-plan assertions: the properties that make these queries
+  * scale to a 1000-executor / 100 TB cluster, checked on every build so
+  * a regression in plan shape fails CI — not just a slow benchmark.
+  */
+class PlanChecksSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.allQueries.find(_.name == name).get.build(spark, sfDir)
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan (q03)") {
+    val s = planString(q("q03_filter_range"))
+    assert(s.contains("PushedFilters:") &&
+      s.contains("GreaterThanOrEqual(l_quantity,30.0)"), s.take(2000))
+  }
+
+  test("column pruning: projection-only query reads only needed columns (q01)") {
+    val s = planString(q("q01_projection"))
+    assert(s.contains("ReadSchema"), s.take(500))
+    assert(!s.contains("l_extendedprice"),
+      "scan should not read unprojected columns")
+  }
+
+  test("dim joins broadcast instead of shuffling (q14 star join)") {
+    val s = planString(q("q14_star_join"))
+    assert(s.contains("BroadcastHashJoin"),
+      "customer/nation sides should be broadcast: " + s.take(2000))
+  }
+
+  test("theta-or-null rewrite avoids BroadcastNestedLoopJoin (q16)") {
+    val nodes = collectAll(executed(q("q16_theta_or_null")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "union-of-equi-joins rewrite must not produce a BNLJ")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort (q23)") {
+    val s = planString(q("q23_topk"))
+    assert(s.contains("TakeOrderedAndProject"), s.take(2000))
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle (q05)") {
+    val s = planString(q("q05_groupby_agg"))
+    assert(s.contains("partial_sum") || s.contains("HashAggregate"), s.take(2000))
+    // partial agg means at most one shuffle for the groupBy
+    val shuffles = collectAll(executed(q("q05_groupby_agg")))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles")
+  }
+
+  test("whole-stage codegen covers the custom expressions (qt04 polyhash)") {
+    // "*(n)" prefixes in the plan string mark whole-stage-codegen stages;
+    // the polyhash projection must sit inside one
+    val s = planString(q("qt04_fingerprint"))
+    assert(s.linesIterator.exists(l => l.contains("*(") && l.contains("polyhash")),
+      s.take(2000))
+  }
+}
