@@ -89,8 +89,8 @@ object Dedup {
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-    // exact verify candidates
-    val sh = withShingles(df, idCol, textCol, n)
+    // exact verify candidates (shingles cached: reused by sigs + verify)
+    val sh = withShingles(df, idCol, textCol, n).cache()
     val pairs = cand
       .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("__sh", "sa"), "doc_a")
       .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("__sh", "sb"), "doc_b")
