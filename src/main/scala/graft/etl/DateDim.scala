@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Programmatic date-dimension generator.
   *
@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.LongType
   * frame is fine for 2 years; for a 100-year spine use
   * spark.range(days).select(date_add(...)) which parallelizes).
   *
-  * Day-of-week convention is ISO (1=Monday..7=Sunday) to be portable
-  * across engines; the fiscal calendar (offset +6 months, July start) is
-  * hand-rolled like the reference's.
+  * Conventions, chosen engine-portable (every column is reproduced
+  * exactly by the DuckDB oracle):
+  *  - day-of-week is ISO (1=Monday..7=Sunday)
+  *  - week number is ISO (both Spark weekofyear and DuckDB week)
+  *  - weeks begin Monday (both engines' date_trunc('week'))
+  *  - fiscal calendar starts July 1 (+6 months, reference convention)
+  *  - holiday indicator covers the fixed-date US holidays
+  *    (Jan 1 / Jul 4 / Dec 25) — observed-day logic is policy, left out
   */
 object DateDim {
 
@@ -27,23 +32,41 @@ object DateDim {
       s"SELECT explode(sequence(to_date('$start'), to_date('$end'), interval 1 day)) AS d")
     val d = col("d")
     val isoDow = (weekday(d) + 1).cast(LongType)
+    val fiscal = add_months(d, 6)
+    val holiday = (month(d) === 1 && dayofmonth(d) === 1) ||
+      (month(d) === 7 && dayofmonth(d) === 4) ||
+      (month(d) === 12 && dayofmonth(d) === 25)
     days.select(
       date_format(d, "yyyyMMdd").cast(LongType).as("date_pkey"),
       d.as("date"),
-      year(d).cast(LongType).as("year"),
-      quarter(d).cast(LongType).as("quarter"),
-      month(d).cast(LongType).as("month_num_in_year"),
-      date_format(d, "MMMM").as("month_name"),
-      dayofmonth(d).cast(LongType).as("day_num_in_month"),
-      dayofyear(d).cast(LongType).as("day_num_in_year"),
+      concat(date_format(d, "MMMM"), lit(" "),
+        dayofmonth(d).cast("string"), lit(", "),
+        year(d).cast("string")).as("full_date_desc"),
       isoDow.as("iso_day_of_week"),
       date_format(d, "EEEE").as("day_name"),
+      date_format(d, "EEE").as("day_abbrev"),
       when(isoDow >= 6, "Weekend").otherwise("Weekday").as("weekday_ind"),
+      dayofmonth(d).cast(LongType).as("day_num_in_month"),
+      dayofyear(d).cast(LongType).as("day_num_in_year"),
+      weekofyear(d).cast(LongType).as("week_num_in_year"),
+      date_trunc("week", d).cast("date").as("week_begin_date"),
+      month(d).cast(LongType).as("month_num_in_year"),
+      date_format(d, "MMMM").as("month_name"),
+      date_format(d, "MMM").as("month_abbrev"),
+      quarter(d).cast(LongType).as("quarter"),
+      concat(lit("Q"), quarter(d).cast("string")).as("quarter_name"),
+      year(d).cast(LongType).as("year"),
       date_format(d, "yyyy-MM").as("year_month"),
-      // fiscal year starts July 1 (reference convention: +6 months)
-      year(add_months(d, 6)).cast(LongType).as("fiscal_year"),
-      quarter(add_months(d, 6)).cast(LongType).as("fiscal_quarter"),
-      month(add_months(d, 6)).cast(LongType).as("fiscal_month_num"))
+      (year(d).cast(LongType) * 100 + month(d)).as("yearmonth_num"),
+      when(d === last_day(d), "Month-End").otherwise("Not Month-End")
+        .as("month_end_ind"),
+      dayofmonth(last_day(d)).cast(LongType).as("days_in_month"),
+      when(holiday, "Holiday").otherwise("Not Holiday").as("holiday_ind"),
+      year(fiscal).cast(LongType).as("fiscal_year"),
+      quarter(fiscal).cast(LongType).as("fiscal_quarter"),
+      month(fiscal).cast(LongType).as("fiscal_month_num"),
+      (year(fiscal).cast(LongType) * 100 + month(fiscal)).as("fiscal_yearmonth_num"),
+      d.cast(TimestampNTZType).as("sql_timestamp"))
   }
 
   /** DuckDB oracle SQL producing the identical frame. */
@@ -53,18 +76,35 @@ object DateDim {
        |  FROM generate_series(DATE '$start', DATE '$end', INTERVAL 1 DAY))
        |SELECT CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_pkey,
        |  d AS date,
-       |  year(d) AS year,
-       |  quarter(d) AS quarter,
-       |  month(d) AS month_num_in_year,
-       |  monthname(d) AS month_name,
-       |  day(d) AS day_num_in_month,
-       |  dayofyear(d) AS day_num_in_year,
+       |  monthname(d) || ' ' || CAST(day(d) AS VARCHAR) || ', '
+       |    || CAST(year(d) AS VARCHAR) AS full_date_desc,
        |  isodow(d) AS iso_day_of_week,
        |  dayname(d) AS day_name,
+       |  strftime(d, '%a') AS day_abbrev,
        |  CASE WHEN isodow(d) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS weekday_ind,
+       |  day(d) AS day_num_in_month,
+       |  dayofyear(d) AS day_num_in_year,
+       |  week(d) AS week_num_in_year,
+       |  CAST(date_trunc('week', d) AS DATE) AS week_begin_date,
+       |  month(d) AS month_num_in_year,
+       |  monthname(d) AS month_name,
+       |  strftime(d, '%b') AS month_abbrev,
+       |  quarter(d) AS quarter,
+       |  'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_name,
+       |  year(d) AS year,
        |  strftime(d, '%Y-%m') AS year_month,
+       |  year(d) * 100 + month(d) AS yearmonth_num,
+       |  CASE WHEN d = last_day(d) THEN 'Month-End' ELSE 'Not Month-End' END
+       |    AS month_end_ind,
+       |  day(last_day(d)) AS days_in_month,
+       |  CASE WHEN (month(d) = 1 AND day(d) = 1) OR (month(d) = 7 AND day(d) = 4)
+       |         OR (month(d) = 12 AND day(d) = 25)
+       |       THEN 'Holiday' ELSE 'Not Holiday' END AS holiday_ind,
        |  year(d + INTERVAL 6 MONTH) AS fiscal_year,
        |  quarter(d + INTERVAL 6 MONTH) AS fiscal_quarter,
-       |  month(d + INTERVAL 6 MONTH) AS fiscal_month_num
+       |  month(d + INTERVAL 6 MONTH) AS fiscal_month_num,
+       |  year(d + INTERVAL 6 MONTH) * 100 + month(d + INTERVAL 6 MONTH)
+       |    AS fiscal_yearmonth_num,
+       |  CAST(d AS TIMESTAMP) AS sql_timestamp
        |FROM days""".stripMargin
 }

@@ -62,5 +62,30 @@ object Extra {
            |JOIN region ON n_regionkey = r_regionkey
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     },
+
+    // ----- JSON field extraction (events.props payload) ------------------
+    Q("q36_json_extract",
+      s"""SELECT event_id, event_type,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS prop_k
+         |FROM events""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"))
+    },
+
+    // ----- approximate sketches (rows-only: no exact-equality oracle) ----
+    // HLL++ distinct sketch; error bound asserted in SketchesSpec.
+    Q.noOracle("q37_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    },
+    // KLL/GK-style quantile sketch.
+    Q.noOracle("q38_approx_percentile") { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
+          .as("median_price"))
+    },
   )
 }

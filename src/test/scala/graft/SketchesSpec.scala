@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Approximate-sketch operators: error bounds against exact answers
+  * (these can't be oracle-gated by exact hash compare, so the bound is
+  * the contract).
+  */
+class SketchesSpec extends SparkSpec {
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val both = li.groupBy("l_returnflag").agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey")).as("approx"))
+    both.collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: exact=$exact approx=$approx")
+    }
+  }
+
+  test("approx median sits between the 40th and 60th exact percentiles") {
+    val o = Tables(spark, sfDir, "orders")
+    val bounds = o.agg(
+      expr("percentile(o_totalprice, 0.4)").as("p40"),
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx"),
+      expr("percentile(o_totalprice, 0.6)").as("p60")).head()
+    assert(bounds.getDouble(0) <= bounds.getDouble(1) &&
+      bounds.getDouble(1) <= bounds.getDouble(2))
+  }
+}
