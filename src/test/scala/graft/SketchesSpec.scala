@@ -8,15 +8,20 @@ import org.apache.spark.sql.functions._
   */
 class SketchesSpec extends SparkSpec {
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct within 3 sigma of its configured rsd") {
     val li = Tables(spark, sfDir, "lineitem")
+    // default rsd is 0.05, so individual groups can miss 5%; assert the
+    // 3-sigma bound (15%) for the default and 5% for rsd=0.01
     val both = li.groupBy("l_returnflag").agg(
       countDistinct(col("l_orderkey")).as("exact"),
-      approx_count_distinct(col("l_orderkey")).as("approx"))
+      approx_count_distinct(col("l_orderkey")).as("approx_default"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_tight"))
     both.collect().foreach { r =>
-      val (exact, approx) = (r.getLong(1), r.getLong(2))
-      assert(math.abs(approx - exact).toDouble / exact < 0.05,
-        s"${r.getString(0)}: exact=$exact approx=$approx")
+      val exact = r.getLong(1)
+      assert(math.abs(r.getLong(2) - exact).toDouble / exact < 0.15,
+        s"${r.getString(0)}: exact=$exact default=${r.getLong(2)}")
+      assert(math.abs(r.getLong(3) - exact).toDouble / exact < 0.05,
+        s"${r.getString(0)}: exact=$exact tight=${r.getLong(3)}")
     }
   }
 
