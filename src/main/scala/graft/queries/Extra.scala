@@ -73,6 +73,35 @@ object Extra {
         get_json_object(col("props"), "$.k").cast(LongType).as("prop_k"))
     },
 
+    // ----- window frames + offsets + ntile -------------------------------
+    Q("q39_window_frames",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  l_extendedprice * (1 - l_discount) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+        |  lag(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |  lead(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty,
+        |  CAST(ntile(4) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS quartile
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        rev.as("revenue"),
+        sum(rev.cast(graft.functions.Exact.Dec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_revenue"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        lead(col("l_quantity"), 1).over(w).as("next_qty"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+    },
+
     // ----- approximate sketches (rows-only: no exact-equality oracle) ----
     // HLL++ distinct sketch; error bound asserted in SketchesSpec.
     Q.noOracle("q37_approx_distinct") { (s, dir) =>
