@@ -47,8 +47,11 @@ object Dedup {
       .join(sizes.withColumnRenamed(idCol, "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed(idCol, "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard", col("i") * lit(1.0) / (col("na") + col("nb") - col("i")))
-    jac.filter(col("jaccard") >= threshold)
+    val result = jac.filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // materialize, then release the shingle cache
+    sh.unpersist()
+    result
   }
 
   /** Minhash signatures in long format: (id, perm_id, sig). */
@@ -97,7 +100,11 @@ object Dedup {
       .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         col("i") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("i")))
-    pairs.filter(col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    val result = pairs.filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // materialize, then release the shingle cache
+    sh.unpersist()
+    result
   }
 
   /** Simhash (word-frequency weighted, `bits` low bits, default 60 to
