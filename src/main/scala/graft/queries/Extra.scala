@@ -102,6 +102,28 @@ object Extra {
         ntile(4).over(w).cast(LongType).as("quartile"))
     },
 
+    // ----- typed Aggregator: exact top-k frequent words ------------------
+    Q("qa01_topk_words", {
+      val wCte = s"SELECT doc_id, ${graft.functions.Text.wordsSql("text")} AS ws FROM documents"
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT unnest(ws) AS word FROM w),
+         |c AS (SELECT word, COUNT(*) AS n FROM wd GROUP BY word)
+         |SELECT word AS value, n, rnk FROM (
+         |  SELECT word, n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk FROM c)
+         |WHERE rnk <= 10""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      val words = Tables(s, dir, "documents")
+        .select(explode(expr(graft.functions.Text.wordsExpr("text"))).as("w"))
+        .as[String]
+      words
+        .select(new graft.functions.TopKWords(10).toColumn.name("top"))
+        .toDF("top")
+        .select(posexplode(col("top")).as(Seq("pos", "wc")))
+        .select(col("wc.value").as("value"), col("wc.n").as("n"),
+          (col("pos") + 1).cast(LongType).as("rnk"))
+    },
+
     // ----- approximate sketches (rows-only: no exact-equality oracle) ----
     // HLL++ distinct sketch; error bound asserted in SketchesSpec.
     Q.noOracle("q37_approx_distinct") { (s, dir) =>

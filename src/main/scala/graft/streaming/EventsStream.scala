@@ -39,6 +39,16 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming deduplication by event id: duplicates arriving within
+    * the watermark horizon are dropped; state for ids older than the
+    * watermark is evicted, so memory stays bounded at any scale. The
+    * streaming twin of Dedup.exact for at-least-once event feeds.
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization with explicit state. A session closes
     * when a later event for the same user arrives more than `gapSec`
     * after the previous one; the open session stays in state.

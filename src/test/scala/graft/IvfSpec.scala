@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Similarity}
+
+class IvfSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("IVF training is deterministic") {
+    val m1 = Ivf.train(spark, emb, "vec_id", "embedding", k = 8, iters = 2)
+    val m2 = Ivf.train(spark, emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("IVF search recall vs brute force is reasonable") {
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 8, iters = 3)
+    val approx = Ivf.search(emb, q, model, "vec_id", "embedding", k, nprobe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall@$k was $recall")
+  }
+}

@@ -58,6 +58,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.dedupeStream(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 2.0))
+      q.processAllAvailable()
+      // same ids again (at-least-once redelivery) + one new id
+      mem.addData(Event(1, ts(0), 1, "click", 1.0), Event(3, ts(2), 1, "view", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming hourly counts agree with the batch q30 on testdata") {
     // batch semantics = streaming semantics with all data in one batch
     import spark.implicits._
