@@ -68,6 +68,51 @@ object TextAnalysis {
         expr("aggregate(transform(__ws, w -> (length(w) + 3) div 4), CAST(0 AS BIGINT), (a, x) -> a + x)")
           .as("bpe_tokens"))
 
+  /** Winnowing fingerprints (Schleimer et al.): hash every char
+    * k-gram, slide a window of `w` positions, keep each window's
+    * minimum — the classic local fingerprinting scheme whose selected
+    * hashes are stable under edits outside the window. Output is the
+    * distinct fingerprint set per document.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(
+      col(idCol),
+      posexplode(expr(
+        s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+          s"i -> substring($textCol, i, $k))")).as(Seq("pos", "g")))
+    val win = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__h", Text.polyhash(col("g")))
+      .withColumn("fp", min(col("__h")).over(win))
+      .select(col(idCol), col("fp")).distinct()
+  }
+
+  /** TF-IDF-style term weighting without the logarithm (kept rational
+    * so the score is exactly reproducible cross-engine): score =
+    * tf * n_docs / df. Returns the top `k` terms per document with
+    * deterministic tie-breaking.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = withWords(df, textCol)
+      .select(col(idCol), explode(col("__ws")).as("word"))
+    val tf = words.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val dfreq = words.select(col(idCol), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = df.count()
+    val scored = tf.join(dfreq, "word")
+      .withColumn("score",
+        (col("tf") * nDocs).cast(DoubleType) / col("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("word"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Document fingerprint: rolling hash of the full text plus the
     * minimum shingle hash (a 1-perm minhash — robust to rotation).
     */

@@ -181,6 +181,41 @@ object Pipeline {
       TextAnalysis.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ----- winnowing fingerprints (k-gram window minima) -----------------
+    Q("qt05_winnow",
+      s"""WITH p AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS pos
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, pos,
+         |    ${Text.polyhashSql("substring(text, CAST(pos AS INTEGER), 5)")} AS h
+         |  FROM p)
+         |SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |FROM g""".stripMargin) { (s, dir) =>
+      TextAnalysis.winnow(Tables(s, dir, "documents"), "doc_id", "text", k = 5, w = 4)
+    },
+
+    // ----- TF-IDF-style top terms (log-free, exactly reproducible) -------
+    Q("qt06_top_terms",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM wd GROUP BY doc_id, word),
+         |dfreq AS (SELECT word, COUNT(*) AS df
+         |          FROM (SELECT DISTINCT doc_id, word FROM wd) GROUP BY word),
+         |scored AS (
+         |  SELECT doc_id, tf.word, tf, df,
+         |    CAST(tf * (SELECT COUNT(*) FROM documents) AS DOUBLE) / df AS score
+         |  FROM tf JOIN dfreq ON tf.word = dfreq.word)
+         |SELECT doc_id, word, tf, df, score, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, word) AS rnk FROM scored)
+         |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+      TextAnalysis.topTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
     // ----- multimodal metadata plumbing (stub decode) --------------------
     Q("qm01_multimodal_meta",
       s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)
