@@ -102,6 +102,22 @@ object Extra {
         ntile(4).over(w).cast(LongType).as("quartile"))
     },
 
+    // ----- INTERSECT / EXCEPT (distinct set semantics) -------------------
+    Q("q40_intersect",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+    Q("q41_except",
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey FROM supplier""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .except(Tables(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+    },
+
     // ----- typed Aggregator: exact top-k frequent words ------------------
     Q("qa01_topk_words", {
       val wCte = s"SELECT doc_id, ${graft.functions.Text.wordsSql("text")} AS ws FROM documents"

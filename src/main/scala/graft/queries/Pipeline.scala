@@ -75,10 +75,11 @@ object Pipeline {
     },
 
     // ----- minhash-LSH near-dup, exact-verified --------------------------
-    // Spark runs banded LSH (k=32, b=8, r=4) then exact-verifies
+    // Spark runs banded LSH (k=48, b=12, r=4) then exact-verifies
     // candidates; the oracle brute-forces exact Jaccard. They agree as
-    // long as LSH recall at the threshold is 1 — which the band curve
-    // guarantees here (planted dups sit at j >= 0.9: miss prob < 1e-11).
+    // long as LSH recall at the threshold is 1 — the band curve makes a
+    // miss < 0.2% even for the lowest planted near-dup (j = 0.8 at
+    // sf0.1; the sf0.01 gate corpus has nothing below 0.9).
     Q("qd05_minhash_lsh",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
@@ -91,7 +92,7 @@ object Pipeline {
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin) { (s, dir) =>
       Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 32, bands = 8, threshold = 0.5)
+        k = 48, bands = 12, threshold = 0.5)
     },
 
     // ----- embedding near-dup pairs (exact cosine) ----------------------
