@@ -49,6 +49,49 @@ object Multimodal {
     }
   }
 
+  case class ResizedMedia(id: Long, width: Long, height: Long,
+                          payload: Array[Byte])
+
+  /** Batched resize: the scale path keeps payloads opaque binary and
+    * processes them per-partition (decoder/encoder initialized once per
+    * partition, not per row). The pixel work is stubbed — the output
+    * payload is a deterministic truncation standing in for re-encoded
+    * bytes — but the dataflow (binary in, binary out, typed dims) is
+    * the real shape a JNI codec would slot into.
+    */
+  def resize(spark: SparkSession, media: Dataset[(Long, Array[Byte])],
+             maxBytes: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val out = bytes.take(maxBytes)
+        val (w, h, _) = decodeStub(out)
+        ResizedMedia(id, w, h, out)
+      }
+    }
+  }
+
+  case class Frame(id: Long, frame_idx: Long, offset: Long, n_bytes: Long)
+
+  /** Frame sampling for video-like payloads: emit every `stride`-th
+    * fixed-size window as a "frame" record. One input row fans out to
+    * many frames — the generator shape (mapPartitions + iterator
+    * flatMap) that streams without materializing a video in memory.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[(Long, Array[Byte])],
+                   frameBytes: Int, stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        (0 until bytes.length by frameBytes * stride).iterator.zipWithIndex
+          .map { case (off, i) =>
+            Frame(id, i.toLong, off.toLong,
+              math.min(frameBytes, bytes.length - off).toLong)
+          }
+      }
+    }
+  }
+
   /** Column-only mirror of the stub (identical arithmetic, codegen'd via
     * PolyHash on ASCII payloads) — used by the oracle-gated query so the
     * semantics are hash-verified cross-engine.

@@ -24,6 +24,27 @@ class MultimodalSpec extends SparkSpec {
     assert(viaColumns.count() == docs.count())
   }
 
+  test("resize bounds payloads and recomputes dimensions") {
+    import spark.implicits._
+    val media = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val resized = Multimodal.resize(spark, media, maxBytes = 64)
+    val rows = resized.collect()
+    assert(rows.nonEmpty && rows.forall(_.payload.length <= 64))
+    assert(rows.forall(r => r.width >= 16 && r.height >= 16))
+  }
+
+  test("frame sampling fans one payload into strided frame records") {
+    import spark.implicits._
+    val oneVideo = Seq((1L, Array.fill[Byte](1000)(7))).toDS()
+    val frames = Multimodal.sampleFrames(spark, oneVideo,
+      frameBytes = 100, stride = 2).collect()
+    assert(frames.length == 5) // offsets 0,200,...,800
+    assert(frames.map(_.frame_idx).toSeq == (0L until 5L))
+    assert(frames.forall(_.n_bytes == 100))
+  }
+
   test("decode stub is deterministic per content") {
     val (w1, h1, c1) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     val (w2, h2, c2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
