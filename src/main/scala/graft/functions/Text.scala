@@ -41,6 +41,12 @@ object Text {
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** SpaceSaving heavy-hitter summary (TypedImperativeAggregate). */
+  def spaceSavingTopK(c: Column, capacity: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      graft.expressions.SpaceSavingTopK(GraftColumnBridge.expression(c), capacity, k)
+        .toAggregateExpression())
+
   /** Non-empty words of a text column. */
   def wordsExpr(textCol: String): String =
     s"filter(split($textCol, ' '), w -> w != '')"

@@ -140,6 +140,17 @@ object Extra {
           (col("pos") + 1).cast(LongType).as("rnk"))
     },
 
+    // ----- SpaceSaving heavy hitters (TypedImperativeAggregate) ----------
+    // rows-only: estimates depend on partition order; the n/m coverage
+    // guarantee is asserted in SketchesSpec instead.
+    Q.noOracle("qa02_heavy_hitters") { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(expr(graft.functions.Text.wordsExpr("text"))).as("w"))
+        .agg(graft.functions.Text.spaceSavingTopK(col("w"), 64, 10).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.value").as("value"), col("e.est").as("est"))
+    },
+
     // ----- approximate sketches (rows-only: no exact-equality oracle) ----
     // HLL++ distinct sketch; error bound asserted in SketchesSpec.
     Q.noOracle("q37_approx_distinct") { (s, dir) =>

@@ -25,6 +25,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("SpaceSaving summary contains every item above the n/m guarantee") {
+    import graft.functions.Text
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(expr(Text.wordsExpr("text"))).as("w"))
+    val n = words.count()
+    // the corpus vocabulary is near-uniform (~31 words, max ~n/25), so
+    // the capacity must exceed that for the n/m guarantee to select any
+    val capacity = 64
+    val summary = words
+      .agg(graft.functions.Text.spaceSavingTopK(col("w"), capacity, capacity).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.value")).collect().map(_.getString(0)).toSet
+    val mustHave = words.groupBy("w").count()
+      .filter(col("count") > n / capacity)
+      .collect().map(_.getString(0)).toSet
+    assert(mustHave.nonEmpty, "test needs at least one heavy hitter")
+    assert(mustHave.subsetOf(summary),
+      s"missing heavy hitters: ${mustHave diff summary}")
+  }
+
   test("approx median sits between the 40th and 60th exact percentiles") {
     val o = Tables(spark, sfDir, "orders")
     val bounds = o.agg(
