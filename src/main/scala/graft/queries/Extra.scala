@@ -140,6 +140,48 @@ object Extra {
           (col("pos") + 1).cast(LongType).as("rnk"))
     },
 
+    // ----- as-of join (most recent state at event time) ------------------
+    // Spark lacks a native ASOF operator; graft composes it as
+    // union + running last(ignoreNulls) (operators.AsOfJoin). DuckDB
+    // HAS native ASOF JOIN, which makes a strict oracle possible.
+    Q("q42_asof_join",
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type IN ('view', 'click')),
+        |r AS (SELECT user_id, ts, max(value) AS value FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts,
+        |  r.value AS asof_value
+        |FROM l ASOF JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val left = ev.filter(col("event_type").isin("view", "click"))
+          .select("event_id", "user_id", "ts")
+        val right = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("value").as("value"))
+        graft.operators.AsOfJoin.asOf(left, right, "user_id", "ts", Seq("value"))
+    },
+
+    // ----- range join via bucketization ----------------------------------
+    // Interval/point joins scale by mapping both sides to equi-join
+    // buckets (here: day) instead of a non-equi point-in-range probe.
+    Q("q43_bucket_range_join",
+      """WITH days AS (
+        |  SELECT CAST(generate_series AS DATE) AS d
+        |  FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY))
+        |SELECT e.event_id,
+        |  CAST(strftime(d, '%Y%m%d') AS BIGINT) AS date_pkey,
+        |  isodow(d) AS iso_day_of_week,
+        |  CASE WHEN isodow(d) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS weekday_ind,
+        |  e.value
+        |FROM events e JOIN days ON CAST(e.ts AS DATE) = d""".stripMargin) {
+      (s, dir) =>
+        val spine = graft.etl.DateDim.build(s, "2024-01-01", "2024-12-31")
+          .select("date", "date_pkey", "iso_day_of_week", "weekday_ind")
+        Tables(s, dir, "events")
+          .join(broadcast(spine), col("ts").cast("date") === col("date"))
+          .select("event_id", "date_pkey", "iso_day_of_week", "weekday_ind", "value")
+    },
+
     // ----- SpaceSaving heavy hitters (TypedImperativeAggregate) ----------
     // rows-only: estimates depend on partition order; the n/m coverage
     // guarantee is asserted in SketchesSpec instead.
