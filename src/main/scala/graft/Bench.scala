@@ -25,10 +25,11 @@ object Bench {
     // one warm-up pass so JIT/codegen/classloading don't dominate query 1
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // two timed passes, keep the per-query minimum: JVM JIT + codegen
-    // compilation dominate first-execution times at small scale, and the
-    // steady-state number is what predicts cluster throughput.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // three timed passes, keep the per-query minimum: JVM JIT + codegen
+    // compilation dominate first-execution times at small scale, this
+    // host shows 10-20x transient per-query CPU-steal outliers, and the
+    // steady-state minimum is what predicts cluster throughput.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     def timeOne(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
       try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()

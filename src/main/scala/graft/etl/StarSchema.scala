@@ -15,9 +15,13 @@ import graft.Tables
   * derived measures are computed at load (SaleUnitPrice-style,
   * DIMENSION_README.md:147-148).
   *
-  * Scale posture: dims are small -> broadcast on every fact lookup; the
-  * only real shuffle is lineitem ⋈ orders, which co-partitions on
-  * orderkey. Facts never get row_number keys (dims only).
+  * Scale posture: only genuinely bounded dims (nation/region — fixed
+  * cardinality at any SF) carry broadcast hints. dimCustomer/dimSupplier
+  * grow with data volume, so their fact lookups carry no hint: AQE
+  * broadcasts them at runtime while they measure small and falls back to
+  * shuffle joins when they don't. The big shuffle is lineitem ⋈ orders,
+  * co-partitioned on orderkey. Facts never get row_number keys (dims
+  * only).
   */
 object StarSchema {
 
@@ -72,9 +76,9 @@ object StarSchema {
     val li = Tables(spark, dir, "lineitem")
     val o = Tables(spark, dir, "orders")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dimCust.select("dim_customer_key", "customer_bk")),
+      .join(dimCust.select("dim_customer_key", "customer_bk"),
         col("o_custkey") === col("customer_bk"), "left")
-      .join(broadcast(dimSupp.select("dim_supplier_key", "supplier_bk")),
+      .join(dimSupp.select("dim_supplier_key", "supplier_bk"),
         col("l_suppkey") === col("supplier_bk"), "left")
       .select(
         col("l_orderkey"), col("l_linenumber"),

@@ -97,17 +97,20 @@ object TextAnalysis {
     */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = withWords(df, textCol)
+    // Single pass over the exploded words: tf = groupBy(doc, word); since
+    // tf already holds exactly one row per distinct (doc, word), document
+    // frequency is COUNT(*) OVER (PARTITION BY word) on tf — no second
+    // explode scan, no distinct, no self-join. n_docs rides along as a
+    // 1-row broadcast (in-plan scalar), never a driver-side count().
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    val tf = withWords(df, textCol)
       .select(col(idCol), explode(col("__ws")).as("word"))
-    val tf = words.groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
-    val dfreq = words.select(col(idCol), col("word")).distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
-    val nDocs = df.count()
-    val scored = tf.join(dfreq, "word")
-      .withColumn("score",
-        (col("tf") * nDocs).cast(DoubleType) / col("df"))
+      .groupBy(idCol, "word").agg(count(lit(1)).as("tf"))
+    val byWord = Window.partitionBy("word")
     val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("word"))
-    scored
+    tf.withColumn("df", count(lit(1)).over(byWord))
+      .crossJoin(nDocs)
+      .withColumn("score", (col("tf") * col("__n_docs")).cast(DoubleType) / col("df"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col(idCol), col("word"), col("tf"), col("df"), col("score"), col("rnk"))

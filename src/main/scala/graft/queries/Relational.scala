@@ -224,8 +224,11 @@ object Relational {
     },
 
     // ----- J4: star join (fact ⋈ 3 dims) + grouped rollup ---------------
-    // At 100 TB: lineitem⋈orders is the one real shuffle (both huge,
-    // co-partition on orderkey); customer/nation broadcast.
+    // At 100 TB: lineitem⋈orders and orders⋈customer are real shuffles
+    // (lineitem/orders/customer all grow with data volume, so no static
+    // broadcast hint — AQE upgrades to broadcast at runtime when the
+    // build side measures small). Only nation (bounded, 25 rows at any
+    // SF) keeps an explicit hint.
     Q("q14_star_join",
       s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS order_year,
          |  ${dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
@@ -238,7 +241,7 @@ object Relational {
       (s, dir) =>
         t(s, dir, "lineitem")
           .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name"), year(col("o_orderdate")).cast(LongType).as("order_year"))
           .agg(
@@ -329,7 +332,7 @@ object Relational {
          |  RANK() OVER (PARTITION BY n_name ORDER BY rev DESC, s_name) AS sales_rank
          |FROM sup_rev""".stripMargin) { (s, dir) =>
       val supRev = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "s_name")
         .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
@@ -351,7 +354,7 @@ object Relational {
          |    OVER (PARTITION BY n_name) AS DOUBLE) AS pct_of_nation
          |FROM sup_rev""".stripMargin) { (s, dir) =>
       val supRev = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "s_name")
         .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
@@ -376,7 +379,7 @@ object Relational {
          |    / COUNT(*) OVER (PARTITION BY n_name) AS rev_vs_nation_avg
          |FROM sup_rev""".stripMargin) { (s, dir) =>
       val supRev = t(s, dir, "lineitem")
-        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name", "s_name")
         .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
@@ -514,7 +517,7 @@ object Relational {
             (row_number().over(Window.orderBy("n_name")) + 1).cast(LongType))
           .select("dim_key", "n_nationkey")
         t(s, dir, "orders")
-          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
           .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"), "left")
           .select(
             col("o_orderkey"),

@@ -44,16 +44,34 @@ class PlanChecksSpec extends SparkSpec {
       "scan should not read unprojected columns")
   }
 
-  test("dim joins broadcast instead of shuffling (q14 star join)") {
-    val s = planString(q("q14_star_join"))
-    assert(s.contains("BroadcastHashJoin"),
-      "customer/nation sides should be broadcast: " + s.take(2000))
+  test("q14: only bounded dims carry static broadcast hints") {
+    // nation (fixed 25 rows at any SF) is the only hinted side; customer
+    // scales with data volume so its join strategy is left to AQE.
+    val df = q("q14_star_join")
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.size == 1, s"expected exactly 1 broadcast hint, got ${hinted.size}")
+    assert(hinted.head.toString.contains("nation"),
+      "the single static hint must be on the bounded nation dim")
+    // and the physical plan still broadcasts it
+    val s = planString(df)
+    assert(s.contains("BroadcastHashJoin"), s.take(2000))
   }
 
   test("theta-or-null rewrite avoids BroadcastNestedLoopJoin (q16)") {
     val nodes = collectAll(executed(q("q16_theta_or_null")))
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "union-of-equi-joins rewrite must not produce a BNLJ")
+  }
+
+  test("embedding near-dup runs as a blocked equi-join, not BNLJ (qs02)") {
+    val nodes = collectAll(executed(q("qs02_embedding_neardup")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "blocked all-pairs must not produce a BNLJ")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "blocked all-pairs must not produce a cartesian product")
   }
 
   test("top-k compiles to TakeOrderedAndProject, not a global sort (q23)") {
