@@ -4,7 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
-/** Programmatic date-dimension generator.
+/** Programmatic date-dimension generator — full 34-attribute parity
+  * with the reference's DIM_DATE (rahil/create_views.py:62-72 lists the
+  * authoritative column set; graft.refstar maps these snake_case names
+  * onto the reference's spelling).
   *
   * Re-expresses the reference's 730-row DIM_DATE
   * (private_ddl/example_dim_date.sql + rahil/load_dim_date.py:34-62, 34
@@ -43,6 +46,7 @@ object DateDim {
         dayofmonth(d).cast("string"), lit(", "),
         year(d).cast("string")).as("full_date_desc"),
       isoDow.as("iso_day_of_week"),
+      isoDow.as("day_num_in_week"),
       date_format(d, "EEEE").as("day_name"),
       date_format(d, "EEE").as("day_abbrev"),
       when(isoDow >= 6, "Weekend").otherwise("Weekday").as("weekday_ind"),
@@ -50,11 +54,18 @@ object DateDim {
       dayofyear(d).cast(LongType).as("day_num_in_year"),
       weekofyear(d).cast(LongType).as("week_num_in_year"),
       date_trunc("week", d).cast("date").as("week_begin_date"),
+      date_format(date_trunc("week", d), "yyyyMMdd").cast(LongType)
+        .as("week_begin_date_nkey"),
+      date_add(date_trunc("week", d).cast("date"), 6).as("week_end_date"),
+      date_format(date_add(date_trunc("week", d).cast("date"), 6), "yyyyMMdd")
+        .cast(LongType).as("week_end_date_nkey"),
       month(d).cast(LongType).as("month_num_in_year"),
       date_format(d, "MMMM").as("month_name"),
       date_format(d, "MMM").as("month_abbrev"),
       quarter(d).cast(LongType).as("quarter"),
       concat(lit("Q"), quarter(d).cast("string")).as("quarter_name"),
+      concat(year(d).cast("string"), lit("-Q"), quarter(d).cast("string"))
+        .as("yearquarter"),
       year(d).cast(LongType).as("year"),
       date_format(d, "yyyy-MM").as("year_month"),
       (year(d).cast(LongType) * 100 + month(d)).as("yearmonth_num"),
@@ -66,7 +77,18 @@ object DateDim {
       quarter(fiscal).cast(LongType).as("fiscal_quarter"),
       month(fiscal).cast(LongType).as("fiscal_month_num"),
       (year(fiscal).cast(LongType) * 100 + month(fiscal)).as("fiscal_yearmonth_num"),
-      d.cast(TimestampNTZType).as("sql_timestamp"))
+      weekofyear(fiscal).cast(LongType).as("fiscal_week_num"),
+      date_format(fiscal, "yyyy-MM").as("fiscal_year_month"),
+      concat(year(fiscal).cast("string"), lit("-Q"), quarter(fiscal).cast("string"))
+        .as("fiscal_yearquarter"),
+      when(quarter(fiscal) <= 2, 1L).otherwise(2L).cast(LongType)
+        .as("fiscal_halfyear"),
+      d.cast(TimestampNTZType).as("sql_timestamp"),
+      // Type-0 SCD bookkeeping (private_ddl/example_dim_date.sql:28-30):
+      // the calendar row is effective from its own date and never expires.
+      lit("Y").as("current_row_ind"),
+      d.as("effective_date"),
+      to_date(lit("9999-12-31")).as("expiration_date"))
   }
 
   /** DuckDB oracle SQL producing the identical frame. */
@@ -79,6 +101,7 @@ object DateDim {
        |  monthname(d) || ' ' || CAST(day(d) AS VARCHAR) || ', '
        |    || CAST(year(d) AS VARCHAR) AS full_date_desc,
        |  isodow(d) AS iso_day_of_week,
+       |  isodow(d) AS day_num_in_week,
        |  dayname(d) AS day_name,
        |  strftime(d, '%a') AS day_abbrev,
        |  CASE WHEN isodow(d) >= 6 THEN 'Weekend' ELSE 'Weekday' END AS weekday_ind,
@@ -86,11 +109,18 @@ object DateDim {
        |  dayofyear(d) AS day_num_in_year,
        |  week(d) AS week_num_in_year,
        |  CAST(date_trunc('week', d) AS DATE) AS week_begin_date,
+       |  CAST(strftime(date_trunc('week', d), '%Y%m%d') AS BIGINT)
+       |    AS week_begin_date_nkey,
+       |  CAST(date_trunc('week', d) + INTERVAL 6 DAY AS DATE) AS week_end_date,
+       |  CAST(strftime(date_trunc('week', d) + INTERVAL 6 DAY, '%Y%m%d') AS BIGINT)
+       |    AS week_end_date_nkey,
        |  month(d) AS month_num_in_year,
        |  monthname(d) AS month_name,
        |  strftime(d, '%b') AS month_abbrev,
        |  quarter(d) AS quarter,
        |  'Q' || CAST(quarter(d) AS VARCHAR) AS quarter_name,
+       |  CAST(year(d) AS VARCHAR) || '-Q' || CAST(quarter(d) AS VARCHAR)
+       |    AS yearquarter,
        |  year(d) AS year,
        |  strftime(d, '%Y-%m') AS year_month,
        |  year(d) * 100 + month(d) AS yearmonth_num,
@@ -105,6 +135,15 @@ object DateDim {
        |  month(d + INTERVAL 6 MONTH) AS fiscal_month_num,
        |  year(d + INTERVAL 6 MONTH) * 100 + month(d + INTERVAL 6 MONTH)
        |    AS fiscal_yearmonth_num,
-       |  CAST(d AS TIMESTAMP) AS sql_timestamp
+       |  week(d + INTERVAL 6 MONTH) AS fiscal_week_num,
+       |  strftime(d + INTERVAL 6 MONTH, '%Y-%m') AS fiscal_year_month,
+       |  CAST(year(d + INTERVAL 6 MONTH) AS VARCHAR) || '-Q'
+       |    || CAST(quarter(d + INTERVAL 6 MONTH) AS VARCHAR) AS fiscal_yearquarter,
+       |  CAST(CASE WHEN quarter(d + INTERVAL 6 MONTH) <= 2 THEN 1 ELSE 2 END
+       |    AS BIGINT) AS fiscal_halfyear,
+       |  CAST(d AS TIMESTAMP) AS sql_timestamp,
+       |  'Y' AS current_row_ind,
+       |  d AS effective_date,
+       |  DATE '9999-12-31' AS expiration_date
        |FROM days""".stripMargin
 }

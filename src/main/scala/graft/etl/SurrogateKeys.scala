@@ -34,9 +34,24 @@ object SurrogateKeys {
       base: DataFrame,
       keyCol: String,
       orderCol: String,
+      unknown: Map[String, Any]): DataFrame =
+    withUnknownMemberOrdered(spark, base, keyCol, Seq(orderCol), unknown)
+
+  /** Multi-column ordering variant: dimensions whose business key is
+    * composite (e.g. the reference's Dim_Location 5-column address key,
+    * rahil/load_dimension_tables.py:73-115) need every key column in the
+    * ORDER BY for the surrogate assignment to be deterministic.
+    */
+  def withUnknownMemberOrdered(
+      spark: SparkSession,
+      base: DataFrame,
+      keyCol: String,
+      orderCols: Seq[String],
       unknown: Map[String, Any]): DataFrame = {
     val keyed = base.withColumn(
-      keyCol, (row_number().over(Window.orderBy(orderCol)) + 1).cast(LongType))
+      keyCol,
+      (row_number().over(Window.orderBy(orderCols.map(col): _*)) + 1)
+        .cast(LongType))
     val unknownRow = base.limit(0) // inherit schema
     val filled = base.columns.foldLeft(
       unknownRow.sparkSession.range(1).toDF()) { (df, c) =>
