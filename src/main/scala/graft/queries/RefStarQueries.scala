@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.refstar.{RefStar, RefStarSql, Staging}
+
+/** The reference-entity star, gated: one query per dimension and fact,
+  * each hash-compared against a DuckDB oracle that rebuilds the same
+  * star from the same fixture CSVs (RefStarSql). This is the reference's
+  * actual dimensional workload (rahil/load_dimension_tables.py,
+  * load_fact_tables.py) run end to end — staging CSV reads, unknown
+  * members, composite location lookup, date-keyed facts.
+  *
+  * The queries ignore the sf dir: the star's inputs are the deterministic
+  * fixture CSVs (Fixtures), generated on first touch by Staging.load.
+  */
+object RefStarQueries {
+
+  private def over(select: String): String = RefStarSql.over(select)
+
+  val all: Seq[Q] = Seq(
+
+    Q("qr01_dim_location", over("SELECT * FROM dim_location")) { (s, _) =>
+      RefStar.dimLocation(s)
+    },
+
+    Q("qr02_dim_channel", over("SELECT * FROM dim_channel")) { (s, _) =>
+      RefStar.dimChannel(s)
+    },
+
+    Q("qr03_dim_customer", over("SELECT * FROM dim_customer")) { (s, _) =>
+      RefStar.dimCustomer(s, RefStar.dimLocation(s))
+    },
+
+    Q("qr04_dim_reseller", over("SELECT * FROM dim_reseller")) { (s, _) =>
+      RefStar.dimReseller(s, RefStar.dimLocation(s))
+    },
+
+    Q("qr05_dim_store", over("SELECT * FROM dim_store")) { (s, _) =>
+      RefStar.dimStore(s, RefStar.dimLocation(s))
+    },
+
+    Q("qr06_dim_product", over("SELECT * FROM dim_product")) { (s, _) =>
+      RefStar.dimProduct(s)
+    },
+
+    Q("qr07_dim_date", RefStarSql.dimDateSelect) { (s, _) =>
+      RefStar.dimDate(s)
+    },
+
+    Q("qr08_fact_sales", over("SELECT * FROM fact_salesactual")) { (s, _) =>
+      RefStar.factSalesActual(s)
+    },
+
+    Q("qr09_fact_product_target",
+      over("SELECT * FROM fact_productsalestarget")) { (s, _) =>
+      RefStar.factProductSalesTarget(s, RefStar.dimProduct(s))
+    },
+
+    Q("qr10_fact_src_target",
+      over("SELECT * FROM fact_srcsalestarget")) { (s, _) =>
+      val dimLoc = RefStar.dimLocation(s)
+      RefStar.factSrcSalesTarget(s, RefStar.dimStore(s, dimLoc),
+        RefStar.dimReseller(s, dimLoc), RefStar.dimChannel(s))
+    },
+  )
+
+  /** Referenced so the staging entity list stays honest at compile time. */
+  private val entityCount = Staging.schemas.size
+  require(entityCount == 12)
+}
