@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.refstar.{RefStar, RefStarSql, Staging}
+import graft.refstar.{RefStar, RefStarSql, RefStarViewsSql, Staging, Views}
 
 /** The reference-entity star, gated: one query per dimension and fact,
   * each hash-compared against a DuckDB oracle that rebuilds the same
@@ -60,6 +60,39 @@ object RefStarQueries {
       val dimLoc = RefStar.dimLocation(s)
       RefStar.factSrcSalesTarget(s, RefStar.dimStore(s, dimLoc),
         RefStar.dimReseller(s, dimLoc), RefStar.dimChannel(s))
+    },
+
+    // ----- the 7 analytical views (rahil/create_views.py:145-497) -------
+    // Oracles run the reference's ORIGINAL view SQL (exactness casts
+    // aside) over the same star — incl. qv03's naive 4-clause
+    // OR-IS-NULL fact join, proving the Spark-side equi-branch rewrite.
+
+    Q("qv01_sales_performance", over(RefStarViewsSql.salesPerformanceSummary)) {
+      (s, _) => Views.salesPerformanceSummary(s)
+    },
+
+    Q("qv02_customer_analysis", over(RefStarViewsSql.customerSalesAnalysis)) {
+      (s, _) => Views.customerSalesAnalysis(s)
+    },
+
+    Q("qv03_target_vs_actual", over(RefStarViewsSql.targetVsActual)) {
+      (s, _) => Views.targetVsActual(s)
+    },
+
+    Q("qv04_store58_performance", over(RefStarViewsSql.store58Performance)) {
+      (s, _) => Views.store58Performance(s)
+    },
+
+    Q("qv05_store_bonus", over(RefStarViewsSql.storeBonusRecommendation)) {
+      (s, _) => Views.storeBonusRecommendation(s)
+    },
+
+    Q("qv06_store58_dayofweek", over(RefStarViewsSql.store58DayOfWeek)) {
+      (s, _) => Views.store58DayOfWeek(s)
+    },
+
+    Q("qv07_multistore_analysis", over(RefStarViewsSql.multiStoreVsSingleStore)) {
+      (s, _) => Views.multiStoreVsSingleStore(s)
     },
   )
 

@@ -280,6 +280,11 @@ object RefStarSql {
       factProductSalesTarget, factSrcSalesTarget)).mkString("WITH ", ",\n", "\n")
   }
 
-  /** Full oracle query over the star prefix. */
-  def over(select: String): String = star + select
+  /** Full oracle query over the star prefix. A select that opens with
+    * its own WITH-list gets merged into the star's (SQL allows only one
+    * WITH clause per query level).
+    */
+  def over(select: String): String =
+    if (select.startsWith("WITH ")) star.stripSuffix("\n") + ",\n" + select.drop(5)
+    else star + select
 }

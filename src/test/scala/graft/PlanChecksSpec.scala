@@ -88,6 +88,16 @@ class PlanChecksSpec extends SparkSpec {
     assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles")
   }
 
+  test("qv03's 4-clause OR-IS-NULL spine joins the fact as equi-branches, " +
+    "not BNLJ/cartesian") {
+    val nodes = collectAll(executed(q("qv03_target_vs_actual")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "null-pattern branch rewrite must not produce a BNLJ")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "null-pattern branch rewrite must not produce a cartesian product")
+  }
+
   test("whole-stage codegen covers the custom expressions (qt04 polyhash)") {
     // "*(n)" prefixes in the plan string mark whole-stage-codegen stages;
     // the polyhash projection must sit inside one
