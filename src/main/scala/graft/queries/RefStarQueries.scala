@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.refstar.{RefStar, RefStarSql, RefStarViewsSql, Staging, Views}
+import graft.refstar.{RefStarSql, RefStarViewsSql, Staging, Views, Warehouse}
 
 /** The reference-entity star, gated: one query per dimension and fact,
   * each hash-compared against a DuckDB oracle that rebuilds the same
@@ -8,6 +8,11 @@ import graft.refstar.{RefStar, RefStarSql, RefStarViewsSql, Staging, Views}
   * actual dimensional workload (rahil/load_dimension_tables.py,
   * load_fact_tables.py) run end to end — staging CSV reads, unknown
   * members, composite location lookup, date-keyed facts.
+  *
+  * The qr queries read the MATERIALIZED star (Warehouse — built once
+  * from the RefStar recipes and persisted as parquet, the reference's
+  * INSERT INTO…SELECT architecture), so the gate validates the stored
+  * tables every view actually queries, not just the lazy recipes.
   *
   * The queries ignore the sf dir: the star's inputs are the deterministic
   * fixture CSVs (Fixtures), generated on first touch by Staging.load.
@@ -19,47 +24,58 @@ object RefStarQueries {
   val all: Seq[Q] = Seq(
 
     Q("qr01_dim_location", over("SELECT * FROM dim_location")) { (s, _) =>
-      RefStar.dimLocation(s)
+      Warehouse.table(s, "dim_location")
     },
 
     Q("qr02_dim_channel", over("SELECT * FROM dim_channel")) { (s, _) =>
-      RefStar.dimChannel(s)
+      Warehouse.table(s, "dim_channel")
     },
 
     Q("qr03_dim_customer", over("SELECT * FROM dim_customer")) { (s, _) =>
-      RefStar.dimCustomer(s, RefStar.dimLocation(s))
+      Warehouse.table(s, "dim_customer")
     },
 
     Q("qr04_dim_reseller", over("SELECT * FROM dim_reseller")) { (s, _) =>
-      RefStar.dimReseller(s, RefStar.dimLocation(s))
+      Warehouse.table(s, "dim_reseller")
     },
 
     Q("qr05_dim_store", over("SELECT * FROM dim_store")) { (s, _) =>
-      RefStar.dimStore(s, RefStar.dimLocation(s))
+      Warehouse.table(s, "dim_store")
     },
 
     Q("qr06_dim_product", over("SELECT * FROM dim_product")) { (s, _) =>
-      RefStar.dimProduct(s)
+      Warehouse.table(s, "dim_product")
     },
 
     Q("qr07_dim_date", RefStarSql.dimDateSelect) { (s, _) =>
-      RefStar.dimDate(s)
+      Warehouse.table(s, "dim_date")
     },
 
     Q("qr08_fact_sales", over("SELECT * FROM fact_salesactual")) { (s, _) =>
-      RefStar.factSalesActual(s)
+      Warehouse.table(s, "fact_salesactual")
     },
 
     Q("qr09_fact_product_target",
       over("SELECT * FROM fact_productsalestarget")) { (s, _) =>
-      RefStar.factProductSalesTarget(s, RefStar.dimProduct(s))
+      Warehouse.table(s, "fact_productsalestarget")
     },
 
     Q("qr10_fact_src_target",
       over("SELECT * FROM fact_srcsalestarget")) { (s, _) =>
-      val dimLoc = RefStar.dimLocation(s)
-      RefStar.factSrcSalesTarget(s, RefStar.dimStore(s, dimLoc),
-        RefStar.dimReseller(s, dimLoc), RefStar.dimChannel(s))
+      Warehouse.table(s, "fact_srcsalestarget")
+    },
+
+    // catalog path: the full runner (2 databases, external tables, 17
+    // registered views), read back through a pass-through view with the
+    // reference's explicit column list (rahil/create_views.py:19-31)
+    Q("qr11_vw_dim_product",
+      over("SELECT DimProductID, ProductID, ProductTypeID, " +
+        "ProductCategoryID, ProductName, ProductType, ProductCategory, " +
+        "ProductRetailPrice, ProductWholesalePrice, ProductCost, " +
+        "ProductRetailProfit, ProductWholesaleUnitProfit, " +
+        "ProductProfitMarginUnitPercent FROM dim_product")) { (s, _) =>
+      graft.runner.RefStarRunner.ensure(s)
+      s.table(s"${graft.runner.RefStarRunner.DimensionDb}.vw_dim_product")
     },
 
     // ----- the 7 analytical views (rahil/create_views.py:145-497) -------

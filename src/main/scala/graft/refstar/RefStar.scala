@@ -226,15 +226,23 @@ object RefStar {
 
   // ----- facts ---------------------------------------------------------------
 
-  /** M/d/yy → yyyyMMdd BIGINT, parsed structurally (split on '/') so the
-    * same arithmetic runs in the DuckDB oracle with no format-dialect
-    * dependence. Two-digit years are 2000-pivoted like the source data.
+  /** Source date → yyyyMMdd BIGINT, parsed structurally so the same
+    * arithmetic runs in the DuckDB oracle with no format-dialect
+    * dependence. Handles BOTH observed source styles (SURVEY §1.2):
+    * `M/d/yy` (two-digit years 2000-pivoted like the source data) and
+    * `yyyy-MM-dd[ HH:mm:ss]` (fixed-position substrings; time-of-day
+    * ignored). CaseWhen short-circuits, so only the matching branch's
+    * casts evaluate — an ISO row never feeds the slash arithmetic.
     */
-  private def dateKey(c: Column): Column = {
+  private[refstar] def dateKey(c: Column): Column = {
     val p = split(c, "/")
-    (element_at(p, 3).cast(LongType) + 2000L) * 10000L +
+    val slash = (element_at(p, 3).cast(LongType) + 2000L) * 10000L +
       element_at(p, 1).cast(LongType) * 100L +
       element_at(p, 2).cast(LongType)
+    val iso = substring(c, 1, 4).cast(LongType) * 10000L +
+      substring(c, 6, 2).cast(LongType) * 100L +
+      substring(c, 9, 2).cast(LongType)
+    when(c.contains("/"), slash).otherwise(iso)
   }
 
   /** Fact_SalesActual: salesdetail ⋈ salesheader + five dim lookups with

@@ -220,11 +220,18 @@ object RefStarSql {
 
   private val dimDate = s"dim_date AS ($dimDateSelect)"
 
-  /** M/d/yy → yyyyMMdd via the same structural split as RefStar.dateKey. */
+  /** Source date → yyyyMMdd via the same structural branch arithmetic as
+    * RefStar.dateKey (M/d/yy slash-split, else yyyy-MM-dd substrings).
+    */
   private def dateKey(c: String): String =
-    s"""((CAST(str_split($c, '/')[3] AS BIGINT) + 2000) * 10000 +
-       |  CAST(str_split($c, '/')[1] AS BIGINT) * 100 +
-       |  CAST(str_split($c, '/')[2] AS BIGINT))""".stripMargin
+    s"""(CASE WHEN contains($c, '/')
+       |  THEN (CAST(str_split($c, '/')[3] AS BIGINT) + 2000) * 10000 +
+       |    CAST(str_split($c, '/')[1] AS BIGINT) * 100 +
+       |    CAST(str_split($c, '/')[2] AS BIGINT)
+       |  ELSE CAST(substr($c, 1, 4) AS BIGINT) * 10000 +
+       |    CAST(substr($c, 6, 2) AS BIGINT) * 100 +
+       |    CAST(substr($c, 9, 2) AS BIGINT)
+       |END)""".stripMargin
 
   private val factSalesActual =
     s"""fact_salesactual AS (

@@ -22,8 +22,17 @@ import graft.functions.Exact.{dsum, Dec}
   * view is a single pass over the fact with bounded dims joined on
   * equi-keys (AQE broadcasts them); window functions partition by
   * bounded keys (store/year/product-type), never unpartitioned.
+  *
+  * Inputs come from the MATERIALIZED star (Warehouse): like the
+  * reference, whose views query stored dimension/fact tables
+  * (rahil/create_views.py FROM Fact_SalesActual etc.), each view here is
+  * a columnar parquet read of the persisted tables — never a per-query
+  * rebuild of the ETL plan.
   */
 object Views {
+
+  private def t(spark: SparkSession, name: String): DataFrame =
+    Warehouse.table(spark, name)
 
   private def nz(c: Column): Column = when(c =!= 0.0, c) // NULLIF(c, 0)
 
@@ -31,14 +40,14 @@ object Views {
     * month sales rollup with margin ratios.
     */
   def salesPerformanceSummary(spark: SparkSession): DataFrame = {
-    val p = RefStar.dimProduct(spark).select(
+    val p = t(spark, "dim_product").select(
       col("DimProductID").as("__p_id"), col("ProductName"), col("ProductCategory"),
       col("ProductType"), col("ProductRetailPrice"), col("ProductCost"),
       col("ProductProfitMarginUnitPercent"))
-    val d = RefStar.dimDate(spark).select(
+    val d = t(spark, "dim_date").select(
       col("DATE_PKEY").as("__d_key"), col("YEAR"), col("QUARTER"),
       col("MONTH_NAME"), col("YEARMONTH"))
-    RefStar.factSalesActual(spark)
+    t(spark, "fact_salesactual")
       .join(p, col("DimProductID") === col("__p_id"))
       .join(d, col("DimSaleDateID") === col("__d_key"))
       .groupBy("ProductName", "ProductCategory", "ProductType",
@@ -61,17 +70,16 @@ object Views {
     * channel sales rollup with per-customer ratios.
     */
   def customerSalesAnalysis(spark: SparkSession): DataFrame = {
-    val dimLoc = RefStar.dimLocation(spark)
-    val c = RefStar.dimCustomer(spark, dimLoc).select(
+    val c = t(spark, "dim_customer").select(
       col("DimCustomerID").as("__c_id"), col("DimLocationID").as("__c_loc"),
       col("CustomerGender"))
-    val l = dimLoc.select(col("DimLocationID").as("__l_id"),
+    val l = t(spark, "dim_location").select(col("DimLocationID").as("__l_id"),
       col("State_Province"), col("Country"))
-    val ch = RefStar.dimChannel(spark).select(
+    val ch = t(spark, "dim_channel").select(
       col("DimChannelID").as("__ch_id"), col("ChannelName"), col("ChannelCategory"))
-    val d = RefStar.dimDate(spark).select(
+    val d = t(spark, "dim_date").select(
       col("DATE_PKEY").as("__d_key"), col("YEAR"), col("QUARTER"))
-    RefStar.factSalesActual(spark)
+    t(spark, "fact_salesactual")
       .join(c, col("DimCustomerID") === col("__c_id"))
       .join(l, col("__c_loc") === col("__l_id"))
       .join(ch, col("DimChannelID") === col("__ch_id"))
@@ -112,43 +120,47 @@ object Views {
     * non-null. The DuckDB oracle runs the reference's original
     * OR-IS-NULL SQL, so the gate proves this rewrite exact.
     *
-    * At scale: three shuffle-free fact passes in plan, but branches
-    * with an empty spine collapse via AQE empty-relation propagation,
-    * so the data decides how many passes actually run (one, for the
-    * reference data). No BNLJ, no cartesian product.
+    * At scale: the spine (bounded by the target facts — entity-sized,
+    * not fact-sized) is built ONCE, its null-pattern tagged as columns,
+    * and CACHED; the three branch filters scan the cached rows instead
+    * of re-planning the 8-way join per branch. Branches with an empty
+    * slice collapse via AQE empty-relation propagation, so the data
+    * decides how many fact passes actually run (one, for the reference
+    * data). No BNLJ, no cartesian product.
     */
   def targetVsActual(spark: SparkSession): DataFrame = {
-    val dimLoc = RefStar.dimLocation(spark)
-    val product = RefStar.dimProduct(spark)
-    val store = RefStar.dimStore(spark, dimLoc)
-    val reseller = RefStar.dimReseller(spark, dimLoc)
-    val channel = RefStar.dimChannel(spark)
-    val dimDate = RefStar.dimDate(spark)
+    val dimLoc = t(spark, "dim_location")
+    val dimDate = t(spark, "dim_date")
 
     val td = dimDate
       .filter(col("YEAR") >= 2013 && col("DAY_NUM_IN_MONTH") === 1)
       .select(col("DATE_PKEY").as("__td_key"), col("YEAR").as("TargetYear"),
         col("QUARTER").as("TargetQuarter"), col("MONTH_NAME").as("TargetMonth"))
-    val fps = RefStar.factProductSalesTarget(spark, product).select(
+    val fps = t(spark, "fact_productsalestarget").select(
       col("DimProductID").as("__fps_pid"), col("DimTargetDateID").as("__fps_date"),
       col("ProductTargetSalesQuantity").as("__fps_qty"))
-    val fst = RefStar.factSrcSalesTarget(spark, store, reseller, channel).select(
+    val fst = t(spark, "fact_srcsalestarget").select(
       col("DimStoreID").as("__fst_sid"), col("DimResellerID").as("__fst_rid"),
       col("DimChannelID").as("__fst_chid"), col("DimTargetDateID").as("__fst_date"),
       col("SalesTargetAmount").as("__fst_amt"))
 
-    val p = product.select(col("DimProductID").as("__p_id"),
+    val p = t(spark, "dim_product").select(col("DimProductID").as("__p_id"),
       col("ProductName"), col("ProductCategory"))
-    val s = store.select(col("DimStoreID").as("__s_id"),
+    val s = t(spark, "dim_store").select(col("DimStoreID").as("__s_id"),
       col("DimLocationID").as("__s_loc"), col("StoreName"))
     val sl = dimLoc.select(col("DimLocationID").as("__sl_id"),
       col("State_Province").as("StoreState"), col("Country").as("StoreCountry"))
-    val r = reseller.select(col("DimResellerID").as("__r_id"),
+    val r = t(spark, "dim_reseller").select(col("DimResellerID").as("__r_id"),
       col("DimLocationID").as("__r_loc"), col("ResellerName"))
     val rl = dimLoc.select(col("DimLocationID").as("__rl_id"),
       col("State_Province").as("ResellerState"))
-    val c = channel.select(col("DimChannelID").as("__c_id"), col("ChannelName"))
+    val c = t(spark, "dim_channel").select(
+      col("DimChannelID").as("__c_id"), col("ChannelName"))
 
+    // Built once, null-pattern tagged, cached: the three branches below
+    // filter these rows rather than cloning the 8-way join subtree.
+    // Caching is safe at scale — the spine is |target rows| × months,
+    // bounded by the entity-sized target facts, never by sales volume.
     val spine = td
       .join(fps, col("__td_key") === col("__fps_date"), "left")
       .join(fst, col("__td_key") === col("__fst_date"), "left")
@@ -160,8 +172,11 @@ object Views {
       .join(c, col("__fst_chid") === col("__c_id"), "left")
       // both-target-absent rows: HAVING-doomed, see scaladoc
       .filter(col("__fps_pid").isNotNull || col("__fst_sid").isNotNull)
+      .withColumn("__has_fps", col("__fps_pid").isNotNull)
+      .withColumn("__has_fst", col("__fst_sid").isNotNull)
+      .cache()
 
-    val fs = RefStar.factSalesActual(spark).select(
+    val fs = t(spark, "fact_salesactual").select(
       col("DimProductID").as("__fs_pid"), col("DimStoreID").as("__fs_sid"),
       col("DimResellerID").as("__fs_rid"), col("DimChannelID").as("__fs_chid"),
       col("DimSaleDateID").as("__fs_date"), col("SaleQuantity").as("__fs_qty"),
@@ -171,14 +186,14 @@ object Views {
       spine.filter(filter).join(fs, cond, "left")
 
     val both = branch(
-      col("__fps_pid").isNotNull && col("__fst_sid").isNotNull,
+      col("__has_fps") && col("__has_fst"),
       col("__fps_pid") === col("__fs_pid") && col("__fst_sid") === col("__fs_sid") &&
         col("__fst_rid") === col("__fs_rid") && col("__fst_chid") === col("__fs_chid"))
     val fpsOnly = branch(
-      col("__fps_pid").isNotNull && col("__fst_sid").isNull,
+      col("__has_fps") && !col("__has_fst"),
       col("__fps_pid") === col("__fs_pid"))
     val fstOnly = branch(
-      col("__fps_pid").isNull && col("__fst_sid").isNotNull,
+      !col("__has_fps") && col("__has_fst"),
       col("__fst_sid") === col("__fs_sid") && col("__fst_rid") === col("__fs_rid") &&
         col("__fst_chid") === col("__fs_chid"))
 
@@ -215,15 +230,14 @@ object Views {
     * attributes attached.
     */
   private def store58Base(spark: SparkSession, dateCols: Seq[String]): DataFrame = {
-    val dimLoc = RefStar.dimLocation(spark)
-    val s = RefStar.dimStore(spark, dimLoc).select(
+    val s = t(spark, "dim_store").select(
       col("DimStoreID").as("__s_id"), col("DimLocationID").as("__s_loc"),
       col("StoreNumber"), col("StoreName"))
-    val sl = dimLoc.select(col("DimLocationID").as("__sl_id"),
+    val sl = t(spark, "dim_location").select(col("DimLocationID").as("__sl_id"),
       col("State_Province").as("StoreState"))
-    val d = RefStar.dimDate(spark)
+    val d = t(spark, "dim_date")
       .select(col("DATE_PKEY").as("__d_key") +: dateCols.map(col): _*)
-    RefStar.factSalesActual(spark)
+    t(spark, "fact_salesactual")
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(sl, col("__s_loc") === col("__sl_id"))
       .join(d, col("DimSaleDateID") === col("__d_key"))
@@ -264,19 +278,18 @@ object Views {
     * Men's/Women's Casual sales.
     */
   def storeBonusRecommendation(spark: SparkSession): DataFrame = {
-    val dimLoc = RefStar.dimLocation(spark)
-    val s = RefStar.dimStore(spark, dimLoc).select(
+    val s = t(spark, "dim_store").select(
       col("DimStoreID").as("__s_id"), col("DimLocationID").as("__s_loc"),
       col("StoreNumber"), col("StoreName"))
-    val sl = dimLoc.select(col("DimLocationID").as("__sl_id"),
+    val sl = t(spark, "dim_location").select(col("DimLocationID").as("__sl_id"),
       col("State_Province").as("StoreState"))
-    val p = RefStar.dimProduct(spark).select(
+    val p = t(spark, "dim_product").select(
       col("DimProductID").as("__p_id"), col("ProductType"))
-    val d = RefStar.dimDate(spark).select(
+    val d = t(spark, "dim_date").select(
       col("DATE_PKEY").as("__d_key"), col("YEAR"))
     val w = Window.partitionBy(col("YEAR"), col("ProductType"))
 
-    val grouped = RefStar.factSalesActual(spark)
+    val grouped = t(spark, "fact_salesactual")
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(sl, col("__s_loc") === col("__sl_id"))
       .join(p, col("DimProductID") === col("__p_id"))
@@ -360,10 +373,9 @@ object Views {
     * single-store configuration average by year.
     */
   def multiStoreVsSingleStore(spark: SparkSession): DataFrame = {
-    val dimLoc = RefStar.dimLocation(spark)
-    val store = RefStar.dimStore(spark, dimLoc)
+    val store = t(spark, "dim_store")
       .filter(col("StoreNumber").isNotNull && col("StoreNumber") =!= "Unknown")
-    val loc = dimLoc.select(col("DimLocationID").as("__l_id"),
+    val loc = t(spark, "dim_location").select(col("DimLocationID").as("__l_id"),
       col("State_Province"))
 
     val storeCountByState = store
@@ -378,10 +390,10 @@ object Views {
 
     val s = store.select(col("DimStoreID").as("__s_id"),
       col("DimLocationID").as("__s_loc"))
-    val d = RefStar.dimDate(spark).select(
+    val d = t(spark, "dim_date").select(
       col("DATE_PKEY").as("__d_key"), col("YEAR"))
 
-    val statePerf = RefStar.factSalesActual(spark)
+    val statePerf = t(spark, "fact_salesactual")
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(loc, col("__s_loc") === col("__l_id"))
       .join(d, col("DimSaleDateID") === col("__d_key"))

@@ -1,0 +1,136 @@
+package graft.refstar
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The materialized star — the reference's core architecture, which the
+  * lazy `RefStar` recipes alone do not reproduce: the reference *persists*
+  * every dimension and fact as a table before any view reads it
+  * (rahil/load_dimension_tables.py:72-259, load_fact_tables.py:102-133,
+  * `INSERT INTO … SELECT`), so its analytical views query stored data,
+  * not re-derived plans.
+  *
+  * `ensure` builds the star ONCE per warehouse directory — 12 staging
+  * entities (the staging-database layer, rahil/load_data.py:22-74), then
+  * the 7 dimensions in dependency order (Location before the three
+  * entities that look it up, rahil/run_dimensional_etl.py:31-59), then
+  * the 3 facts FROM THE PERSISTED DIMS (like load_fact_tables.py joining
+  * dimension tables, not re-deriving them) — and writes each as parquet.
+  * `table` hands out a plain parquet scan, so every downstream view is a
+  * columnar read with pushdown/pruning instead of a CSV star rebuild.
+  *
+  * Scale posture: this is the write-once/read-many pattern a 100 TB
+  * deployment needs — the fact build's single structural shuffle
+  * (salesheader ⋈ salesdetail) happens once, dims stay broadcast-sized,
+  * and every analytical query starts from columnar storage. Dims are
+  * coalesced to one file (they are bounded entity tables, already
+  * single-partition from the surrogate-key window); facts keep their
+  * natural join partitioning.
+  *
+  * Staleness: the VERSION marker couples `Fixtures.Version` with
+  * `Warehouse.Version` — BUMP `Version` WHENEVER A RefStar RECIPE
+  * CHANGES, or set GRAFT_WAREHOUSE_REBUILD=1 to force a rebuild.
+  */
+object Warehouse {
+
+  /** Bump on any RefStar/Staging recipe change so stale parquet rebuilds. */
+  val Version = 1
+
+  def root: String =
+    sys.env.getOrElse("GRAFT_WAREHOUSE_DIR", "/root/repo/fixtures/warehouse")
+
+  val DimTables: Seq[String] = Seq("dim_date", "dim_location", "dim_channel",
+    "dim_customer", "dim_reseller", "dim_store", "dim_product")
+
+  val FactTables: Seq[String] =
+    Seq("fact_salesactual", "fact_productsalestarget", "fact_srcsalestarget")
+
+  def StagingTables: Seq[String] =
+    Staging.schemas.keys.toSeq.sorted.map("stg_" + _)
+
+  def path(table: String): String = s"$root/$table"
+
+  case class Step(name: String, rows: Long, seconds: Double)
+
+  @volatile private var memo: Option[Seq[Step]] = None
+
+  /** A persisted star table as a plain parquet scan (builds the
+    * warehouse first if needed).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(path(name))
+  }
+
+  /** Build the warehouse if absent/stale; return the per-step accounting
+    * (the reference's per-step row-count checkpoints,
+    * rahil/load_data.py:47-60). Thread-safe; one build per JVM.
+    */
+  def ensure(spark: SparkSession): Seq[Step] = synchronized {
+    memo.getOrElse {
+      val marker = Paths.get(root, "VERSION")
+      val tag = s"${Fixtures.Version}.$Version"
+      val forced = sys.env.get("GRAFT_WAREHOUSE_REBUILD").contains("1")
+      val fresh = !forced && Files.exists(marker) &&
+        new String(Files.readAllBytes(marker)).trim == tag
+      val steps =
+        if (fresh) (StagingTables ++ DimTables ++ FactTables).map { t =>
+          Step(t, spark.read.parquet(path(t)).count(), 0.0)
+        }
+        else {
+          val s = build(spark)
+          Files.createDirectories(Paths.get(root))
+          Files.write(marker, tag.getBytes)
+          s
+        }
+      memo = Some(steps)
+      steps
+    }
+  }
+
+  /** Force a from-scratch build (bench uses this to time the ETL). */
+  def rebuild(spark: SparkSession): Seq[Step] = synchronized {
+    memo = None
+    Files.deleteIfExists(Paths.get(root, "VERSION"))
+    ensure(spark)
+  }
+
+  private def build(spark: SparkSession): Seq[Step] = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
+
+    def write(name: String, df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").parquet(path(name))
+      val back = spark.read.parquet(path(name))
+      steps += Step(name, back.count(), (System.nanoTime() - t0) / 1e9)
+      back
+    }
+
+    // staging layer: the loaded staging database (COPY INTO equivalent)
+    Staging.schemas.keys.toSeq.sorted.foreach { e =>
+      write(s"stg_$e", Staging.load(spark, e))
+    }
+
+    // dimensions, dependency-ordered; location feeds the 3 entity dims
+    write("dim_date", RefStar.dimDate(spark))
+    val loc = write("dim_location", RefStar.dimLocation(spark).coalesce(1))
+    val channel = write("dim_channel", RefStar.dimChannel(spark).coalesce(1))
+    val customer = write("dim_customer",
+      RefStar.dimCustomer(spark, loc).coalesce(1))
+    val reseller = write("dim_reseller",
+      RefStar.dimReseller(spark, loc).coalesce(1))
+    val store = write("dim_store", RefStar.dimStore(spark, loc).coalesce(1))
+    val product = write("dim_product", RefStar.dimProduct(spark).coalesce(1))
+
+    // facts join the PERSISTED dims (reference load_fact_tables.py:102)
+    write("fact_salesactual",
+      RefStar.factSalesActual(spark, product, store, customer, reseller, channel))
+    write("fact_productsalestarget",
+      RefStar.factProductSalesTarget(spark, product))
+    write("fact_srcsalestarget",
+      RefStar.factSrcSalesTarget(spark, store, reseller, channel))
+
+    steps.toSeq
+  }
+}

@@ -1,0 +1,190 @@
+package graft.runner
+
+import org.apache.spark.sql.SparkSession
+
+import graft.refstar.{Views, Warehouse}
+
+/** Sequenced driver for the reference-entity star, mirroring the
+  * reference's three entry points:
+  *
+  *  - `runStaging`     — rahil/run_etl.py:24-46: staging database +
+  *    the 12 loaded staging tables
+  *  - `runDimensional` — rahil/run_dimensional_etl.py:31-59: dimension
+  *    database, Dim_Date first, dimensions in dependency order
+  *    (Location before Customer/Reseller/Store), then facts — abort on
+  *    the first failed step
+  *  - `runViews`       — rahil/run_views_etl.py:23-30 +
+  *    create_views.py:105-134: 10 pass-through views with the
+  *    reference's explicit column lists + the 7 analytical views
+  *
+  * Two-namespace catalog like the reference's separate STAGING /
+  * DIMENSION databases (rahil/create_database.py:41-46,
+  * dim_config.py:26-27): staging entities register under `staging`,
+  * star tables and views under `dimension`, each as external tables
+  * over the Warehouse parquet — the catalog is metadata; the data was
+  * materialized once by the Warehouse build (INSERT INTO…SELECT
+  * equivalent). Per-step row-count accounting reproduces the
+  * reference's checkpoint prints (rahil/load_data.py:47-60).
+  */
+object RefStarRunner {
+
+  val StagingDb = "staging"
+  val DimensionDb = "dimension"
+
+  /** rahil/create_views.py:19-95 — the 10 pass-through views, with the
+    * reference's explicit column lists (deliberately not SELECT *).
+    */
+  val PassThroughViews: Seq[(String, String, Seq[String])] = Seq(
+    ("vw_dim_product", "dim_product", Seq(
+      "DimProductID", "ProductID", "ProductTypeID", "ProductCategoryID",
+      "ProductName", "ProductType", "ProductCategory", "ProductRetailPrice",
+      "ProductWholesalePrice", "ProductCost", "ProductRetailProfit",
+      "ProductWholesaleUnitProfit", "ProductProfitMarginUnitPercent")),
+    ("vw_dim_customer", "dim_customer", Seq(
+      "DimCustomerID", "CustomerID", "DimLocationID", "CustomerFullName",
+      "CustomerFirstName", "CustomerLastName", "CustomerGender")),
+    ("vw_dim_location", "dim_location", Seq(
+      "DimLocationID", "Address", "City", "PostalCode", "State_Province",
+      "Country")),
+    ("vw_dim_channel", "dim_channel", Seq(
+      "DimChannelID", "ChannelID", "ChannelCategoryID", "ChannelName",
+      "ChannelCategory")),
+    ("vw_dim_store", "dim_store", Seq(
+      "DimStoreID", "StoreID", "DimLocationID", "SourceStoreID", "StoreName",
+      "StoreNumber", "StoreManager")),
+    ("vw_dim_reseller", "dim_reseller", Seq(
+      "DimResellerID", "ResellerID", "DimLocationID", "ResellerName",
+      "ContactName", "PhoneNumber", "Email")),
+    ("vw_dim_date", "dim_date", Seq(
+      "DATE_PKEY", "DATE", "FULL_DATE_DESC", "DAY_NUM_IN_WEEK",
+      "DAY_NUM_IN_MONTH", "DAY_NUM_IN_YEAR", "DAY_NAME", "DAY_ABBREV",
+      "WEEKDAY_IND", "US_HOLIDAY_IND", "MONTH_END_IND",
+      "WEEK_BEGIN_DATE_NKEY", "WEEK_BEGIN_DATE", "WEEK_END_DATE_NKEY",
+      "WEEK_END_DATE", "WEEK_NUM_IN_YEAR", "MONTH_NAME", "MONTH_ABBREV",
+      "MONTH_NUM_IN_YEAR", "YEARMONTH", "QUARTER", "YEARQUARTER", "YEAR",
+      "FISCAL_WEEK_NUM", "FISCAL_MONTH_NUM", "FISCAL_YEARMONTH",
+      "FISCAL_QUARTER", "FISCAL_YEARQUARTER", "FISCAL_HALFYEAR",
+      "FISCAL_YEAR", "SQL_TIMESTAMP", "CURRENT_ROW_IND", "EFFECTIVE_DATE",
+      "EXPIRATION_DATE")),
+    ("vw_fact_salesactual", "fact_salesactual", Seq(
+      "DimProductID", "DimStoreID", "DimResellerID", "DimCustomerID",
+      "DimChannelID", "DimSaleDateID", "DimLocationID", "SalesHeaderID",
+      "SalesDetailID", "SaleAmount", "SaleQuantity", "SaleUnitPrice",
+      "SaleExtendedCost", "SaleTotalProfit")),
+    ("vw_fact_productsalestarget", "fact_productsalestarget", Seq(
+      "DimProductID", "DimTargetDateID", "ProductTargetSalesQuantity")),
+    ("vw_fact_srcsalestarget", "fact_srcsalestarget", Seq(
+      "DimStoreID", "DimResellerID", "DimChannelID", "DimTargetDateID",
+      "SalesTargetAmount")))
+
+  /** rahil/create_views.py:145-497 — the 7 analytical views, registered
+    * from the Views DataFrames (temp views: their bodies are DataFrame
+    * plans, not SQL text).
+    */
+  val AnalyticalViews: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] =
+    Seq(
+      ("vw_salesperformancesummary", Views.salesPerformanceSummary _),
+      ("vw_customersalesanalysis", Views.customerSalesAnalysis _),
+      ("vw_targetvsactualperformance", Views.targetVsActual _),
+      ("vw_store58performance", Views.store58Performance _),
+      ("vw_storebonusrecommendation", Views.storeBonusRecommendation _),
+      ("vw_store58dayofweekanalysis", Views.store58DayOfWeek _),
+      ("vw_multistorevssinglestoreanalysis", Views.multiStoreVsSingleStore _))
+
+  case class StepResult(step: String, ok: Boolean, rows: Long,
+                        error: Option[String])
+
+  /** Full pipeline: staging → dimensional → views, abort-on-failure. */
+  def run(spark: SparkSession): Seq[StepResult] = {
+    val rs = scala.collection.mutable.ArrayBuffer.empty[StepResult]
+
+    def step(name: String)(f: => Long): Unit =
+      if (!rs.exists(!_.ok)) // abort-on-failure sequencing
+        try {
+          val n = f
+          rs += StepResult(name, n > 0, n, if (n > 0) None else Some("empty result"))
+        } catch {
+          case e: Exception =>
+            rs += StepResult(name, ok = false, 0L, Some(e.getMessage))
+        }
+
+    // phase 0: the two databases (create_database.py:41-46)
+    step("create_databases") {
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $StagingDb")
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $DimensionDb")
+      2L
+    }
+
+    // phase 1+2: materialize (or reuse) the warehouse — the Warehouse
+    // build itself runs staging → dims (Location first) → facts in the
+    // reference's dependency order; surface its per-table accounting
+    // as runner steps so the checkpoint trail matches run_etl's.
+    if (!rs.exists(!_.ok)) {
+      val built = try Warehouse.ensure(spark) catch {
+        case e: Exception =>
+          rs += StepResult("warehouse_build", ok = false, 0L, Some(e.getMessage))
+          Seq.empty
+      }
+      built.foreach { s =>
+        rs += StepResult(s"load_${s.name}", s.rows > 0, s.rows,
+          if (s.rows > 0) None else Some("empty result"))
+      }
+    }
+
+    // register staging tables under the staging database
+    (Warehouse.StagingTables).foreach { tbl =>
+      val entity = tbl.stripPrefix("stg_")
+      step(s"register_$StagingDb.$entity") {
+        spark.sql(s"DROP TABLE IF EXISTS $StagingDb.$entity")
+        spark.sql(s"CREATE TABLE $StagingDb.$entity USING parquet " +
+          s"LOCATION '${Warehouse.path(tbl)}'")
+        spark.table(s"$StagingDb.$entity").count()
+      }
+    }
+
+    // register star tables under the dimension database
+    (Warehouse.DimTables ++ Warehouse.FactTables).foreach { tbl =>
+      step(s"register_$DimensionDb.$tbl") {
+        spark.sql(s"DROP TABLE IF EXISTS $DimensionDb.$tbl")
+        spark.sql(s"CREATE TABLE $DimensionDb.$tbl USING parquet " +
+          s"LOCATION '${Warehouse.path(tbl)}'")
+        spark.table(s"$DimensionDb.$tbl").count()
+      }
+    }
+
+    // phase 3: the 17 views (run_views_etl.py)
+    PassThroughViews.foreach { case (view, tbl, cols) =>
+      step(s"view_$view") {
+        val colList = cols.map(c => s"`$c`").mkString(", ")
+        spark.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS " +
+          s"SELECT $colList FROM $DimensionDb.$tbl")
+        spark.table(s"$DimensionDb.$view").count()
+      }
+    }
+    AnalyticalViews.foreach { case (view, build) =>
+      step(s"view_$view") {
+        build(spark).createOrReplaceTempView(view)
+        spark.table(view).count()
+      }
+    }
+
+    rs.toSeq
+  }
+
+  // one registration per session: the catalog is session state
+  private val registered =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[SparkSession]())
+
+  /** Idempotent per-session registration, for queries that read through
+    * the catalog (qr11). Throws if any step failed.
+    */
+  def ensure(spark: SparkSession): Unit =
+    if (!registered.contains(spark)) {
+      val rs = run(spark)
+      rs.find(!_.ok).foreach { bad =>
+        throw new IllegalStateException(
+          s"RefStarRunner step ${bad.step} failed: ${bad.error.getOrElse("")}")
+      }
+      registered.add(spark)
+    }
+}

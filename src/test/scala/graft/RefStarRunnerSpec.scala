@@ -1,0 +1,77 @@
+package graft
+
+import graft.refstar.{Staging, Warehouse}
+import graft.runner.RefStarRunner
+
+/** The refstar pipeline driven end to end through the runner — the
+  * reference's three entry points (run_etl / run_dimensional_etl /
+  * run_views_etl) with per-step accounting, golden counts, dependency
+  * order, and the two-namespace catalog (staging / dimension).
+  */
+class RefStarRunnerSpec extends SparkSpec {
+
+  private lazy val results = RefStarRunner.run(spark)
+
+  test("full pipeline: every step ok, golden row counts, dependency order") {
+    assert(results.forall(_.ok),
+      results.filterNot(_.ok).map(r => s"${r.step}: ${r.error}").mkString("; "))
+    val rows = results.map(r => r.step -> r.rows).toMap
+    val golden = Map(
+      "load_dim_location" -> 14L, "load_dim_channel" -> 6L,
+      "load_dim_customer" -> 4L, "load_dim_reseller" -> 5L,
+      "load_dim_store" -> 7L, "load_dim_product" -> 21L,
+      "load_dim_date" -> 730L, "load_fact_salesactual" -> 187320L,
+      "load_fact_productsalestarget" -> 48L, "load_fact_srcsalestarget" -> 22L,
+      "load_stg_salesdetail" -> 187320L, "load_stg_store" -> 6L)
+    golden.foreach { case (k, v) =>
+      assert(rows.get(k).contains(v), s"$k: got ${rows.get(k)}, want $v")
+    }
+    // reference dependency order (run_dimensional_etl.py:31-59):
+    // staging before dims, Dim_Date + Dim_Location before the entity
+    // dims that reference them, dims before facts, facts before views
+    val order = results.map(_.step)
+    def idx(s: String) = { val i = order.indexOf(s); assert(i >= 0, s); i }
+    assert(idx("load_stg_customer") < idx("load_dim_location"))
+    assert(idx("load_dim_location") < idx("load_dim_customer"))
+    assert(idx("load_dim_location") < idx("load_dim_store"))
+    assert(idx("load_dim_date") < idx("load_fact_salesactual"))
+    assert(idx("load_dim_product") < idx("load_fact_salesactual"))
+    assert(idx("load_fact_salesactual") < idx("view_vw_fact_salesactual"))
+  }
+
+  test("two-namespace catalog: staging/dimension databases with their tables") {
+    assert(results.forall(_.ok))
+    val dbs = spark.catalog.listDatabases().collect().map(_.name).toSet
+    assert(Set(RefStarRunner.StagingDb, RefStarRunner.DimensionDb)
+      .subsetOf(dbs), dbs)
+    val stg = spark.catalog.listTables(RefStarRunner.StagingDb)
+      .collect().map(_.name).toSet
+    assert(Staging.schemas.keySet.subsetOf(stg), stg)
+    val dim = spark.catalog.listTables(RefStarRunner.DimensionDb)
+      .collect().map(_.name).toSet
+    (Warehouse.DimTables ++ Warehouse.FactTables).foreach { t =>
+      assert(dim.contains(t), s"missing dimension.$t")
+    }
+  }
+
+  test("all 17 named views are registered and queryable") {
+    assert(results.forall(_.ok))
+    val dim = spark.catalog.listTables(RefStarRunner.DimensionDb).collect()
+    val passThrough = RefStarRunner.PassThroughViews.map(_._1).toSet
+    assert(passThrough.subsetOf(dim.map(_.name).toSet))
+    assert(dim.count(_.tableType == "VIEW") >= 10, "10 pass-through views")
+    RefStarRunner.AnalyticalViews.foreach { case (name, _) =>
+      assert(spark.catalog.tableExists(name), s"missing temp view $name")
+    }
+    assert(RefStarRunner.PassThroughViews.size == 10)
+    assert(RefStarRunner.AnalyticalViews.size == 7)
+    // a pass-through view query returns the golden dim count with the
+    // reference's explicit column list
+    val store = spark.table(s"${RefStarRunner.DimensionDb}.vw_dim_store")
+    assert(store.count() == 7)
+    assert(store.columns.toSeq == Seq("DimStoreID", "StoreID", "DimLocationID",
+      "SourceStoreID", "StoreName", "StoreNumber", "StoreManager"))
+    // an analytical view queries the materialized star
+    assert(spark.table("vw_store58performance").count() == 48)
+  }
+}
