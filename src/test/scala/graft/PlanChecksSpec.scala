@@ -23,8 +23,19 @@ class PlanChecksSpec extends SparkSpec {
     }
   }
 
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
-    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  // QueryStageExec nodes are leaves child-wise; their materialized
+  // subtree hangs off `.plan` — without descending into it, AQE-final
+  // plans look like a single ResultQueryStage and every node-presence
+  // assertion is vacuous.
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case _ => p.children
+    }
+    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  }
 
   private def planString(df: DataFrame): String = {
     df.collect()
@@ -59,10 +70,23 @@ class PlanChecksSpec extends SparkSpec {
     assert(s.contains("BroadcastHashJoin"), s.take(2000))
   }
 
-  test("theta-or-null rewrite avoids BroadcastNestedLoopJoin (q16)") {
+  test("theta-or-null rewrite: keyed branch hash-joins; only the bounded " +
+    "wildcard cross branch may nested-loop, and only condition-free (q16)") {
     val nodes = collectAll(executed(q("q16_theta_or_null")))
-    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "union-of-equi-joins rewrite must not produce a BNLJ")
+    // the naive plan is ONE BNLJ evaluating `key = key OR key IS NULL`
+    // over both full inputs — that must never exist. The rewrite's
+    // wildcard branch is an explicit cross product of the (bounded,
+    // broadcast) NULL-key slice, which Spark executes as a
+    // condition-FREE BNLJ: that is the semantics, not the hazard.
+    val conditionedBnlj = nodes.collect {
+      case b: BroadcastNestedLoopJoinExec if b.condition.nonEmpty => b
+    }
+    assert(conditionedBnlj.isEmpty,
+      "the OR-IS-NULL condition must never reach a nested-loop join")
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.HashJoin] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "the keyed branch must execute as a hash or sort-merge join")
   }
 
   test("embedding near-dup runs as a blocked equi-join, not BNLJ (qs02)") {
@@ -96,6 +120,30 @@ class PlanChecksSpec extends SparkSpec {
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
       "null-pattern branch rewrite must not produce a cartesian product")
+  }
+
+  test("analytical views read the materialized star, with column pruning " +
+    "through to the parquet scan (qv01)") {
+    val s = planString(q("qv01_sales_performance"))
+    assert(s.contains("Scan parquet"),
+      "views must read the persisted warehouse tables, not rebuild the star")
+    // no CSV rebuild anywhere in the plan
+    assert(!s.contains("Scan csv"), "no staging CSV reads inside a view query")
+    // qv01 never touches SalesDetailID — pruning must keep it out of the
+    // fact scan (and the plan entirely)
+    assert(!s.contains("SalesDetailID"),
+      "fact scan should not read unprojected fact columns")
+  }
+
+  test("qv03 builds its spine once: the three branches scan the cached " +
+    "spine instead of cloning the 8-way join") {
+    val nodes = collectAll(executed(q("qv03_target_vs_actual")))
+    val cacheScans = nodes.count(n =>
+      n.getClass.getSimpleName.contains("InMemoryTableScan") ||
+        n.getClass.getSimpleName.contains("TableCacheQueryStage"))
+    assert(cacheScans >= 3,
+      s"expected >=3 cached-spine scans (one per null-pattern branch), " +
+        s"got $cacheScans in:\n${nodes.map(_.getClass.getSimpleName).distinct}")
   }
 
   test("whole-stage codegen covers the custom expressions (qt04 polyhash)") {
