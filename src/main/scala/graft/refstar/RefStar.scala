@@ -265,9 +265,25 @@ object RefStar {
       .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
         "SALESAMOUNT")
     val header = Staging.load(spark, "salesheader").select(
-      col("SALESHEADERID").as("__h_hid"), col("DATE").as("__h_date"),
-      col("CHANNELID").as("__h_ch"), col("STOREID").as("__h_store"),
-      col("CUSTOMERID").as("__h_cust"), col("RESELLERID").as("__h_res"))
+      col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
+      col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
+    resolveFact(
+      detail.join(header, col("SALESHEADERID") === col("__h_hid")).drop("__h_hid"),
+      product, store, customer, reseller, channel)
+  }
+
+  /** FK resolution + derived measures for raw sale rows — the
+    * denormalized detail+header shape (SALESDETAILID, SALESHEADERID,
+    * PRODUCTID, SALESQUANTITY, SALESAMOUNT, DATE, CHANNELID, STOREID,
+    * CUSTOMERID, RESELLERID). Shared by the batch fact build above and
+    * continuous ingest (graft.streaming.FactIngest): `raw` may be a
+    * STREAMING DataFrame — the five dim lookups are stateless
+    * stream-static left joins, so no watermark is required and the hot
+    * path has no shuffle.
+    */
+  def resolveFact(raw: DataFrame, product: DataFrame, store: DataFrame,
+                  customer: DataFrame, reseller: DataFrame,
+                  channel: DataFrame): DataFrame = {
     val p = product.select(col("DimProductID"), col("ProductID").as("__p_pid"),
       col("ProductCost").as("__p_cost"))
     val s = store.select(col("DimStoreID"), col("StoreID").as("__s_sid"),
@@ -278,20 +294,19 @@ object RefStar {
       col("DimLocationID").as("__r_loc"))
     val ch = channel.select(col("DimChannelID"), col("ChannelID").as("__ch_cid"))
     val extCost = col("SALESQUANTITY") * coalesce(col("__p_cost"), lit(0.0))
-    detail
-      .join(header, col("SALESHEADERID") === col("__h_hid"))
+    raw
       .join(p, col("PRODUCTID") === col("__p_pid"), "left")
-      .join(s, col("__h_store") === col("__s_sid"), "left")
-      .join(c, col("__h_cust") === col("__c_cid"), "left")
-      .join(r, col("__h_res") === col("__r_rid"), "left")
-      .join(ch, col("__h_ch") === col("__ch_cid"), "left")
+      .join(s, col("STOREID") === col("__s_sid"), "left")
+      .join(c, col("CUSTOMERID") === col("__c_cid"), "left")
+      .join(r, col("RESELLERID") === col("__r_rid"), "left")
+      .join(ch, col("CHANNELID") === col("__ch_cid"), "left")
       .select(
         coalesce(col("DimProductID"), lit(1L)).as("DimProductID"),
         coalesce(col("DimStoreID"), lit(1L)).as("DimStoreID"),
         coalesce(col("DimResellerID"), lit(1L)).as("DimResellerID"),
         coalesce(col("DimCustomerID"), lit(1L)).as("DimCustomerID"),
         coalesce(col("DimChannelID"), lit(1L)).as("DimChannelID"),
-        dateKey(col("__h_date")).as("DimSaleDateID"),
+        dateKey(col("DATE")).as("DimSaleDateID"),
         coalesce(col("__s_loc"), col("__r_loc"), col("__c_loc"), lit(1L))
           .as("DimLocationID"),
         col("SALESHEADERID").as("SalesHeaderID"),

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.refstar.{RefStar, Warehouse}
+
+/** Continuous fact ingestion — the streaming twin of the Warehouse fact
+  * build (an extension; the reference is batch-only, SURVEY §2.10).
+  *
+  * A stream of raw sale rows (the denormalized detail+header shape a
+  * CDC feed delivers) resolves its dimension FKs against the PERSISTED
+  * dimensions via stateless stream-static left joins and appends
+  * reference-contract Fact_SalesActual rows to a parquet path, with
+  * exactly-once sink semantics from the checkpoint.
+  *
+  * Scale posture: this is the 100 TB ingest pattern — dimensions are
+  * bounded and slow-changing (broadcast to every micro-batch task);
+  * facts arrive continuously and append partition-local. No watermark
+  * is needed because the lookups are stateless; no shuffle exists in
+  * the hot path. Late-arriving sales simply append — the fact table is
+  * an event log keyed by natural keys, never upserted.
+  */
+object FactIngest {
+
+  /** One raw sale event, staging-typed (Staging.schemas salesheader +
+    * salesdetail columns). STOREID/CUSTOMERID/RESELLERID carry the
+    * source's exactly-one-party-per-sale convention, the rest NULL.
+    */
+  case class RawSale(SALESDETAILID: Long, SALESHEADERID: Long, PRODUCTID: Long,
+                     SALESQUANTITY: Long, SALESAMOUNT: Double, DATE: String,
+                     CHANNELID: Long, STOREID: Option[Long],
+                     CUSTOMERID: Option[String], RESELLERID: Option[String])
+
+  /** FK-resolved fact rows for a (possibly streaming) raw feed, joined
+    * against the materialized dimensions.
+    */
+  def resolved(spark: SparkSession, raw: DataFrame): DataFrame =
+    RefStar.resolveFact(raw,
+      Warehouse.table(spark, "dim_product"),
+      Warehouse.table(spark, "dim_store"),
+      Warehouse.table(spark, "dim_customer"),
+      Warehouse.table(spark, "dim_reseller"),
+      Warehouse.table(spark, "dim_channel"))
+
+  /** Append-mode continuous ingest into a parquet fact path. The
+    * checkpoint gives exactly-once file commits across restarts.
+    */
+  def start(spark: SparkSession, raw: DataFrame, path: String,
+            checkpoint: String): StreamingQuery =
+    resolved(spark, raw).writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}
