@@ -143,6 +143,58 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Connected components over an undirected pair graph (the output
+    * shape of minhashLshPairs / ngramJaccardPairs / embedding pairs):
+    * every node is labeled with the MINIMUM id of its component — the
+    * canonical representative a dedup pass keeps (drop everything whose
+    * cluster label isn't its own id, transitively: A~B and B~C dedup to
+    * A even when A~C was never a candidate pair).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels; one equi-shuffle
+    * join + partial-agg group-by per round, converging in <= graph
+    * diameter rounds (near-dup clusters are small and dense, so a
+    * handful). No driver-side graph structure — the driver sees only a
+    * scalar convergence count per round; labels are localCheckpoint'ed
+    * between rounds so the plan doesn't grow with iterations. Nodes in
+    * no qualifying pair are not emitted (they are their own cluster).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(neighborMin, col("node") === col("src"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl2") < col("lbl")).isEmpty
+      labels = next.select(col("node"), col("lbl2").as("lbl"))
+    }
+    labels.select(col("node").as(aCol), col("lbl").as("cluster"))
+  }
+
+  /** Near-duplicate clusters: minhash-LSH pairs (exact-verified) closed
+    * under transitivity. Output: (doc_id, cluster) for every doc in at
+    * least one qualifying pair, cluster = min doc id of the component.
+    */
+  def nearDupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, n: Int = 3,
+      threshold: Double = 0.5): DataFrame =
+    connectedComponents(
+      minhashLshPairs(df, idCol, textCol, k, bands, n, threshold)
+        .select(col("doc_a"), col("doc_b")),
+      "doc_a", "doc_b")
+      .withColumnRenamed("doc_a", idCol)
+
   /** Near-duplicate pairs by embedding cosine >= threshold — EXACT, via
     * a block-partitioned triangle self-join.
     *

@@ -95,6 +95,34 @@ object Pipeline {
         k = 48, bands = 12, threshold = 0.5)
     },
 
+    // ----- near-dup clusters: LSH pairs closed under transitivity --------
+    // Spark runs iterative min-label propagation (one shuffle per round,
+    // <= diameter rounds); the oracle computes the same component-min
+    // labeling via a recursive CTE over the brute-force exact pairs.
+    Q("qd06_dedup_clusters",
+      s"""WITH RECURSIVE w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node)
+         |SELECT node AS doc_id, min(lbl) AS cluster
+         |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
+      Dedup.nearDupClusters(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 48, bands = 12, threshold = 0.5)
+    },
+
     // ----- embedding near-dup pairs (exact cosine) ----------------------
     Q("qs02_embedding_neardup",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

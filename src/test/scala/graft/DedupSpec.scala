@@ -23,6 +23,34 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("connected components label transitively: a path graph collapses " +
+    "to its minimum node") {
+    import spark.implicits._
+    // path 1-2-3-4 (needs 3 propagation rounds), pair 10-11, crossing 20-22/21-22
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 22L), (21L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("near-dup clusters close the LSH pairs under transitivity") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 32, bands = 8,
+      threshold = 0.5).select("doc_a", "doc_b")
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", k = 32,
+      bands = 8, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every paired doc is labeled, labels are component members, and both
+    // ends of every pair agree on their cluster
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(clusters(a)) == clusters(a), "labels are canonical ids")
+    }
+    assert(clusters.nonEmpty)
+  }
+
   test("simhash of near-dup pairs has small hamming distance") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
