@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * sampling and token-budget shard assignment.
+  *
+  * Sampling is HASH-based, not random(): the keep-decision is a pure
+  * function of the row id, so re-runs, retries, different partitionings
+  * and different engines select the SAME rows — the property that keeps
+  * downstream caches/joins over the sample valid, and what makes these
+  * exactly oracle-gateable. All arithmetic is the engine-portable
+  * rolling hash (graft.functions.Text / expressions.PolyHash).
+  *
+  * Scale posture: sampling is a narrow filter (no shuffle, pushdown
+  * eligible); packing windows are PARTITIONED by the stratum key —
+  * never a global order — so state per task is one running sum.
+  */
+object Curation {
+
+  /** The sampling bucket in [0, 10000): basis-point granularity. */
+  private def bucket(idCol: Column): Column =
+    pmod(Text.polyhash(idCol.cast("string")), lit(10000L))
+
+  /** Keep rows whose id hashes under `keepBp` basis points (keepBp=250
+    * → deterministic 2.5% sample).
+    */
+  def hashSample(df: DataFrame, idCol: String, keepBp: Int): DataFrame =
+    df.filter(bucket(col(idCol)) < keepBp)
+
+  /** Per-stratum deterministic sampling (e.g. language quotas for a
+    * training mix): strata listed in `quotasBp` keep that fraction,
+    * everything else keeps `defaultBp`.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      quotasBp: Map[String, Int], defaultBp: Int): DataFrame = {
+    val quota = quotasBp.foldLeft(lit(defaultBp)) { case (acc, (k, bp)) =>
+      when(col(strataCol) === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < quota)
+  }
+
+  /** Token-budget shard assignment ("sequence packing" in deterministic
+    * id order): within each `partCol` stratum, rows ordered by id are
+    * packed into consecutive shards holding ~`budget` tokens — a row
+    * starts shard k when the tokens BEFORE it total k×budget or more
+    * (shard = cum_tokens_before DIV budget, integer division on BIGINT
+    * so both engines agree exactly). Oversized single docs occupy their
+    * own shard(s) without stalling the stream.
+    */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+                   partCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(partCol), col(tokenCol))
+      .withColumn("__cb", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("shard", expr(s"__cb div ${budget}L"))
+      .drop("__cb")
+  }
+}

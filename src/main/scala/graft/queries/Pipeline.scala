@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline suite: dedup, similarity search, text
   * analysis, multimodal plumbing over the `documents` and `embeddings`
@@ -243,6 +243,37 @@ object Pipeline {
          |    ORDER BY score DESC, word) AS rnk FROM scored)
          |WHERE rnk <= 3""".stripMargin) { (s, dir) =>
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
+    // ----- deterministic stratified sampling (training-mix quotas) -------
+    // Hash-based keep decision (pure function of doc_id) — identical row
+    // selection on both engines, unlike random() sampling.
+    Q("qc01_stratified_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |  CASE WHEN lang = 'en' THEN 5000
+         |       WHEN lang = 'de' THEN 2500 ELSE 1000 END""".stripMargin) {
+      (s, dir) =>
+        Curation.stratifiedHashSample(
+          Tables(s, dir, "documents").select("doc_id", "lang", "source"),
+          "doc_id", "lang", Map("en" -> 5000, "de" -> 2500), defaultBp = 1000)
+    },
+
+    // ----- token-budget shard packing (per-source, id order) -------------
+    Q("qc02_pack_budget",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens FROM w),
+         |j AS (SELECT d.doc_id, d.source, t.tokens
+         |      FROM documents d JOIN t USING (doc_id)),
+         |c AS (SELECT doc_id, source, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM j)
+         |SELECT doc_id, source, tokens, CAST(cb // 512 AS BIGINT) AS shard
+         |FROM c""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      Curation.packByBudget(docs, "doc_id", "tokens", "source", budget = 512L)
     },
 
     // ----- multimodal metadata plumbing (stub decode) --------------------

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfDir, "documents")
+
+  test("hash sampling is deterministic and monotone in the keep fraction") {
+    val s1 = Curation.hashSample(docs, "doc_id", 2500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Curation.hashSample(docs, "doc_id", 2500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same keepBp must select the same rows")
+    val bigger = Curation.hashSample(docs, "doc_id", 5000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(bigger), "larger quota must keep a superset")
+    val n = docs.count().toDouble
+    assert(s1.size > n * 0.10 && s1.size < n * 0.40,
+      s"~25% expected, got ${s1.size}/$n")
+  }
+
+  test("stratified sampling applies per-stratum quotas") {
+    val kept = Curation.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 10000), defaultBp = 0)
+    // en keeps everything, every other stratum keeps nothing
+    assert(kept.filter(col("lang") =!= "en").count() == 0)
+    assert(kept.count() == docs.filter(col("lang") === "en").count())
+  }
+
+  test("packByBudget assigns shards by running token budget per stratum") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "x", 100L), (2L, "x", 300L), (3L, "x", 200L), (4L, "x", 500L),
+      (5L, "x", 10L), (10L, "y", 600L), (11L, "y", 1L))
+      .toDF("doc_id", "src", "tokens")
+    val got = Curation.packByBudget(rows, "doc_id", "tokens", "src", 512L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // x cum-before: 0,100,400,600,1100 -> shards 0,0,0,1,2
+    // y cum-before: 0,600 -> shards 0,1 (oversized doc owns its shard)
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L,
+      10L -> 0L, 11L -> 1L))
+  }
+}
