@@ -3,6 +3,7 @@ package graft.refstar
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** The materialized star — the reference's core architecture, which the
   * lazy `RefStar` recipes alone do not reproduce: the reference *persists*
@@ -124,8 +125,20 @@ object Warehouse {
     val product = write("dim_product", RefStar.dimProduct(spark).coalesce(1))
 
     // facts join the PERSISTED dims (reference load_fact_tables.py:102)
+    // and read the PERSISTED staging layer — the reference's facts load
+    // from staging tables, and the 187 K-row CSVs were already parsed
+    // once when the staging layer was written above
+    val detail = spark.read.parquet(path("stg_salesdetail"))
+      .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
+        "SALESAMOUNT")
+    val header = spark.read.parquet(path("stg_salesheader"))
+      .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
+        col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
     write("fact_salesactual",
-      RefStar.factSalesActual(spark, product, store, customer, reseller, channel))
+      RefStar.resolveFact(
+        detail.join(header, col("SALESHEADERID") === col("__h_hid"))
+          .drop("__h_hid"),
+        product, store, customer, reseller, channel))
     write("fact_productsalestarget",
       RefStar.factProductSalesTarget(spark, product))
     write("fact_srcsalestarget",
