@@ -52,14 +52,36 @@ object Curation {
     * (shard = cum_tokens_before DIV budget, integer division on BIGINT
     * so both engines agree exactly). Oversized single docs occupy their
     * own shard(s) without stalling the stream.
+    *
+    * The naive formulation (one running-sum window per stratum) puts an
+    * entire stratum in ONE task — a hot-task bottleneck when one
+    * stratum is terabytes. This computes the identical cumulative sum
+    * as a two-phase parallel prefix sum instead: (1) rows get a
+    * deterministic chunk (id DIV chunkSize); (2) per-chunk token
+    * subtotals — a tiny table, one row per (stratum, chunk) — get
+    * per-stratum running offsets; (3) a window PER (stratum, chunk)
+    * adds the local prefix to the chunk offset, so the heavy windows
+    * parallelize across chunks. Output is bit-identical to the naive
+    * per-stratum window at any chunkSize.
     */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
-                   partCol: String, budget: Long): DataFrame = {
-    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+                   partCol: String, budget: Long,
+                   chunkSize: Long = 1L << 20): DataFrame = {
+    val base = df.select(col(idCol), col(partCol), col(tokenCol))
+      .withColumn("__chunk", expr(s"$idCol div ${chunkSize}L"))
+    // per-chunk subtotals: |strata| x |id-range / chunkSize| rows — tiny
+    val wChunks = Window.partitionBy(col(partCol)).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(col(idCol), col(partCol), col(tokenCol))
-      .withColumn("__cb", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    val offsets = base.groupBy(col(partCol), col("__chunk"))
+      .agg(sum(col(tokenCol)).as("__ct"))
+      .withColumn("__off", coalesce(sum(col("__ct")).over(wChunks), lit(0L)))
+      .drop("__ct")
+    val wLocal = Window.partitionBy(col(partCol), col("__chunk"))
+      .orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    base.join(offsets, Seq(partCol, "__chunk"))
+      .withColumn("__cb",
+        col("__off") + coalesce(sum(col(tokenCol)).over(wLocal), lit(0L)))
       .withColumn("shard", expr(s"__cb div ${budget}L"))
-      .drop("__cb")
+      .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
   }
 }

@@ -43,4 +43,24 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L,
       10L -> 0L, 11L -> 1L))
   }
+
+  test("chunked prefix sum equals the single-window formulation at any " +
+    "chunk size") {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = docs
+      .withColumn("tokens",
+        size(expr(graft.functions.Text.wordsExpr("text"))).cast("long"))
+    // naive per-stratum running sum, the semantic reference
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = tokens.select(col("doc_id"),
+      (coalesce(sum(col("tokens")).over(w), lit(0L)) / 512L).cast("long")
+        .as("shard_naive"))
+    // chunk size 16 forces many chunks per stratum (docs ids are dense)
+    val chunked = Curation.packByBudget(tokens, "doc_id", "tokens", "source",
+      budget = 512L, chunkSize = 16L)
+    val joined = chunked.join(naive, "doc_id")
+    assert(joined.filter(col("shard") =!= col("shard_naive")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
 }
