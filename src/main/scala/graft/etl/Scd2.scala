@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 merge.
+  *
+  * The reference's dimension contract carries the SCD2 scaffolding —
+  * EFFECTIVE_DATE / EXPIRATION_DATE / CURRENT_ROW_IND on Dim_Date
+  * (rahil/create_views.py:70-72) — but never implements versioned
+  * updates; this supplies the operator a warehouse user would expect.
+  *
+  * Given the current dimension state and a batch of source updates
+  * keyed by the business key:
+  *  - history rows (current_row_ind = 'N') pass through untouched
+  *  - open rows with no update, or whose tracked attributes are all
+  *    unchanged (null-safe compare), pass through untouched
+  *  - open rows whose tracked attributes changed are CLOSED
+  *    (expiration_date = asOf, current_row_ind = 'N') and a NEW open
+  *    version row is emitted from the update's values
+  *  - business keys new to the dimension get an initial open row
+  *
+  * One full-outer equi-join on the business key plus a union — no
+  * windows, no driver loops; at 100 TB both sides shuffle once on the
+  * key (or the update batch broadcasts when small).
+  */
+object Scd2 {
+
+  val OpenEnd = "9999-12-31"
+
+  /** @param current  dimension state: `keyCol`, `tracked` attributes,
+    *                 effective_date, expiration_date, current_row_ind
+    * @param updates  source batch: `keyCol` + `tracked` attributes
+    * @param asOf     the batch's effective date (yyyy-MM-dd)
+    */
+  def merge(current: DataFrame, updates: DataFrame, keyCol: String,
+            tracked: Seq[String], asOf: String): DataFrame = {
+    val meta = Seq("effective_date", "expiration_date", "current_row_ind")
+    val outCols = (keyCol +: tracked) ++ meta
+
+    val hist = current.filter(col("current_row_ind") =!= "Y")
+      .select(outCols.map(col): _*)
+    val open = current.filter(col("current_row_ind") === "Y")
+
+    val u = updates.select((keyCol +: tracked).map(c => col(c).as(s"__u_$c")): _*)
+    val j = open.join(u, col(keyCol) === col(s"__u_$keyCol"), "full")
+
+    val changed: Column = tracked
+      .map(t => !(col(t) <=> col(s"__u_$t"))).reduce(_ || _)
+    val hasCur = col(keyCol).isNotNull
+    val hasUpd = col(s"__u_$keyCol").isNotNull
+
+    // open rows that survive unchanged (no update, or update identical)
+    val unchanged = j.filter(hasCur && (!hasUpd || !changed))
+      .select(outCols.map(col): _*)
+    // open rows closed by a differing update
+    val closed = j.filter(hasCur && hasUpd && changed)
+      .select((keyCol +: tracked).map(col) ++ Seq(
+        col("effective_date"),
+        to_date(lit(asOf)).as("expiration_date"),
+        lit("N").as("current_row_ind")): _*)
+    // fresh open versions: differing updates + brand-new keys
+    val fresh = j.filter(hasUpd && (!hasCur || changed))
+      .select((keyCol +: tracked).map(c => col(s"__u_$c").as(c)) ++ Seq(
+        to_date(lit(asOf)).as("effective_date"),
+        to_date(lit(OpenEnd)).as("expiration_date"),
+        lit("Y").as("current_row_ind")): _*)
+
+    hist.unionByName(unchanged).unionByName(closed).unionByName(fresh)
+  }
+}

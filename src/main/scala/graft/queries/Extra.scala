@@ -182,6 +182,66 @@ object Extra {
           .select("event_id", "date_pkey", "iso_day_of_week", "weekday_ind", "value")
     },
 
+    // ----- SCD Type 2 merge ----------------------------------------------
+    // The reference's dims carry SCD2 scaffolding (EFFECTIVE_DATE /
+    // EXPIRATION_DATE / CURRENT_ROW_IND) but never implement versioned
+    // updates; etl.Scd2 supplies them. The batch here exercises all
+    // three open-row paths (changed -> close+new version, identical
+    // update -> untouched, brand-new key -> initial version).
+    Q("q44_scd2_merge",
+      """WITH cur AS (
+        |  SELECT c_custkey AS cust_bk, c_name AS name,
+        |    c_mktsegment AS segment, DATE '2020-01-01' AS effective_date,
+        |    DATE '9999-12-31' AS expiration_date, 'Y' AS current_row_ind
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS cust_bk, c_name AS name, 'RELOCATED' AS segment
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_mktsegment
+        |  FROM customer WHERE c_custkey % 5 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 10000000, 'New Customer ' || CAST(c_custkey AS VARCHAR), 'NEW'
+        |  FROM customer WHERE c_custkey % 97 = 0),
+        |j AS (
+        |  SELECT cur.cust_bk, cur.name, cur.segment, cur.effective_date,
+        |    cur.expiration_date, cur.current_row_ind,
+        |    upd.cust_bk AS u_bk, upd.name AS u_name, upd.segment AS u_segment,
+        |    ((cur.name IS DISTINCT FROM upd.name) OR
+        |     (cur.segment IS DISTINCT FROM upd.segment)) AS changed
+        |  FROM cur FULL JOIN upd ON cur.cust_bk = upd.cust_bk)
+        |SELECT cust_bk, name, segment, effective_date, expiration_date,
+        |  current_row_ind
+        |FROM j WHERE cust_bk IS NOT NULL AND (u_bk IS NULL OR NOT changed)
+        |UNION ALL
+        |SELECT cust_bk, name, segment, effective_date, DATE '2024-06-01', 'N'
+        |FROM j WHERE cust_bk IS NOT NULL AND u_bk IS NOT NULL AND changed
+        |UNION ALL
+        |SELECT u_bk, u_name, u_segment, DATE '2024-06-01', DATE '9999-12-31', 'Y'
+        |FROM j WHERE u_bk IS NOT NULL AND (cust_bk IS NULL OR changed)""".stripMargin) {
+      (s, dir) =>
+        val c = Tables(s, dir, "customer")
+        val current = c.select(
+          col("c_custkey").as("cust_bk"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"),
+          to_date(lit("2020-01-01")).as("effective_date"),
+          to_date(lit("9999-12-31")).as("expiration_date"),
+          lit("Y").as("current_row_ind"))
+        val updates = c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey").as("cust_bk"), col("c_name").as("name"),
+            lit("RELOCATED").as("segment"))
+          .unionAll(c.filter(col("c_custkey") % 5 === 1)
+            .select(col("c_custkey").as("cust_bk"), col("c_name").as("name"),
+              col("c_mktsegment").as("segment")))
+          .unionAll(c.filter(col("c_custkey") % 97 === 0)
+            .select((col("c_custkey") + 10000000L).as("cust_bk"),
+              concat(lit("New Customer "), col("c_custkey").cast("string"))
+                .as("name"),
+              lit("NEW").as("segment")))
+        graft.etl.Scd2.merge(current, updates, "cust_bk",
+          Seq("name", "segment"), "2024-06-01")
+    },
+
     // ----- SpaceSaving heavy hitters (TypedImperativeAggregate) ----------
     // rows-only: estimates depend on partition order; the n/m coverage
     // guarantee is asserted in SketchesSpec instead.

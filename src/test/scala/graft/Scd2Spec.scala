@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Scd2
+
+class Scd2Spec extends SparkSpec {
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("merge closes changed rows, versions them, inserts new keys, and " +
+    "leaves history and identical rows untouched") {
+    import spark.implicits._
+    val current = Seq(
+      // history row for key 1 + its open row (attribute later changes)
+      (1L, "Ann", "A", d("2019-01-01"), d("2020-01-01"), "N"),
+      (1L, "Ann", "B", d("2020-01-01"), d("9999-12-31"), "Y"),
+      // open row with an identical update (no-op)
+      (2L, "Bo", "A", d("2020-01-01"), d("9999-12-31"), "Y"),
+      // open row with no update at all
+      (3L, "Cy", "C", d("2020-01-01"), d("9999-12-31"), "Y"),
+      // open row with NULL tracked attr, update supplies a value
+      (4L, null, "D", d("2020-01-01"), d("9999-12-31"), "Y"))
+      .toDF("k", "name", "segment", "effective_date", "expiration_date",
+        "current_row_ind")
+    val updates = Seq(
+      (1L, "Ann", "Z"),   // changed
+      (2L, "Bo", "A"),    // identical
+      (4L, "Dee", "D"),   // null -> value counts as changed
+      (9L, "New", "N"))   // brand-new key
+      .toDF("k", "name", "segment")
+
+    val out = Scd2.merge(current, updates, "k", Seq("name", "segment"),
+      "2024-06-01")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDate(3).toString, r.getDate(4).toString,
+      r.getString(5))).toSet
+
+    assert(rows == Set(
+      (1L, "Ann", "A", "2019-01-01", "2020-01-01", "N"), // history untouched
+      (1L, "Ann", "B", "2020-01-01", "2024-06-01", "N"), // closed
+      (1L, "Ann", "Z", "2024-06-01", "9999-12-31", "Y"), // new version
+      (2L, "Bo", "A", "2020-01-01", "9999-12-31", "Y"),  // identical: no-op
+      (3L, "Cy", "C", "2020-01-01", "9999-12-31", "Y"),  // no update: no-op
+      (4L, null, "D", "2020-01-01", "2024-06-01", "N"),  // null-diff closes
+      (4L, "Dee", "D", "2024-06-01", "9999-12-31", "Y"),
+      (9L, "New", "N", "2024-06-01", "9999-12-31", "Y"))) // insert
+    // exactly one open row per live key
+    val opens = out.filter(col("current_row_ind") === "Y")
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(opens == 0)
+  }
+}
