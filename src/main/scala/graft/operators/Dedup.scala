@@ -158,6 +158,12 @@ object Dedup {
     * scalar convergence count per round; labels are localCheckpoint'ed
     * between rounds so the plan doesn't grow with iterations. Nodes in
     * no qualifying pair are not emitted (they are their own cluster).
+    *
+    * Durability note for very long cluster runs: localCheckpoint stores
+    * blocks on executors (lost if an executor dies mid-loop). On a
+    * cluster, set a checkpoint dir and swap in reliable
+    * `df.checkpoint()` for restartable rounds; the algorithm is
+    * unchanged.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))

@@ -153,6 +153,20 @@ object Pipeline {
           "vec_id", "embedding", k = 10)
     },
 
+    // ----- ANN (approximate — rows-only gates like the sketches; recall
+    // vs the exact baseline is asserted in SimilaritySpec / IvfSpec) ------
+    Q.noOracle("qs03_lsh_ann_topk") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10)
+    },
+    Q.noOracle("qs04_ivf_ann_topk") { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.Ivf.train(s, emb, "vec_id", "embedding", k = 16)
+      graft.operators.Ivf.search(emb, emb.filter(col("vec_id") % 100 === 0),
+        model, "vec_id", "embedding", k = 10)
+    },
+
     // ----- language ID (stopword heuristic) -----------------------------
     Q("qt01_langid", {
       val scoreCols = langs
