@@ -97,52 +97,75 @@ object Warehouse {
     ensure(spark)
   }
 
+  /** The build runs in dependency WAVES, each wave's independent writes
+    * submitted as concurrent Spark jobs (the scheduler interleaves
+    * them across the same executors — exactly what a production ETL
+    * driver does): staging ∥ → (date ∥ channel ∥ product ∥ location) →
+    * (customer ∥ reseller ∥ store) → (sales fact ∥ both target facts).
+    * Barriers between waves preserve the reference's dependency order
+    * (Location before the dims that look it up, dims before facts).
+    */
   private def build(spark: SparkSession): Seq[Step] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
 
     def write(name: String, df: DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       df.write.mode("overwrite").parquet(path(name))
       val back = spark.read.parquet(path(name))
-      steps += Step(name, back.count(), (System.nanoTime() - t0) / 1e9)
+      val n = back.count()
+      steps.synchronized {
+        steps += Step(name, n, (System.nanoTime() - t0) / 1e9)
+      }
       back
     }
 
-    // staging layer: the loaded staging database (COPY INTO equivalent)
-    Staging.schemas.keys.toSeq.sorted.foreach { e =>
-      write(s"stg_$e", Staging.load(spark, e))
-    }
+    def wave[A](fs: Seq[() => A]): Seq[A] =
+      Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
 
-    // dimensions, dependency-ordered; location feeds the 3 entity dims
-    write("dim_date", RefStar.dimDate(spark))
-    val loc = write("dim_location", RefStar.dimLocation(spark).coalesce(1))
-    val channel = write("dim_channel", RefStar.dimChannel(spark).coalesce(1))
-    val customer = write("dim_customer",
-      RefStar.dimCustomer(spark, loc).coalesce(1))
-    val reseller = write("dim_reseller",
-      RefStar.dimReseller(spark, loc).coalesce(1))
-    val store = write("dim_store", RefStar.dimStore(spark, loc).coalesce(1))
-    val product = write("dim_product", RefStar.dimProduct(spark).coalesce(1))
+    try {
+      // staging layer: the loaded staging database (COPY INTO equivalent)
+      wave(Staging.schemas.keys.toSeq.sorted.map(e =>
+        () => write(s"stg_$e", Staging.load(spark, e))))
 
-    // facts join the PERSISTED dims (reference load_fact_tables.py:102)
-    // and read the PERSISTED staging layer — the reference's facts load
-    // from staging tables, and the 187 K-row CSVs were already parsed
-    // once when the staging layer was written above
-    val detail = spark.read.parquet(path("stg_salesdetail"))
-      .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
-        "SALESAMOUNT")
-    val header = spark.read.parquet(path("stg_salesheader"))
-      .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
-        col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
-    write("fact_salesactual",
-      RefStar.resolveFact(
-        detail.join(header, col("SALESHEADERID") === col("__h_hid"))
-          .drop("__h_hid"),
-        product, store, customer, reseller, channel))
-    write("fact_productsalestarget",
-      RefStar.factProductSalesTarget(spark, product))
-    write("fact_srcsalestarget",
-      RefStar.factSrcSalesTarget(spark, store, reseller, channel))
+      // independent dims + the location root of the dependency chain
+      val Seq(_, channel, product, loc) = wave(Seq(
+        () => write("dim_date", RefStar.dimDate(spark)),
+        () => write("dim_channel", RefStar.dimChannel(spark).coalesce(1)),
+        () => write("dim_product", RefStar.dimProduct(spark).coalesce(1)),
+        () => write("dim_location", RefStar.dimLocation(spark).coalesce(1))))
+
+      // the three location-dependent entity dims
+      val Seq(customer, reseller, store) = wave(Seq(
+        () => write("dim_customer", RefStar.dimCustomer(spark, loc).coalesce(1)),
+        () => write("dim_reseller", RefStar.dimReseller(spark, loc).coalesce(1)),
+        () => write("dim_store", RefStar.dimStore(spark, loc).coalesce(1))))
+
+      // facts join the PERSISTED dims (reference load_fact_tables.py:102)
+      // and read the PERSISTED staging layer — the reference's facts load
+      // from staging tables, and the 187 K-row CSVs were already parsed
+      // once when the staging layer was written above
+      val detail = spark.read.parquet(path("stg_salesdetail"))
+        .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
+          "SALESAMOUNT")
+      val header = spark.read.parquet(path("stg_salesheader"))
+        .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
+          col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
+      wave(Seq(
+        () => write("fact_salesactual",
+          RefStar.resolveFact(
+            detail.join(header, col("SALESHEADERID") === col("__h_hid"))
+              .drop("__h_hid"),
+            product, store, customer, reseller, channel)),
+        () => write("fact_productsalestarget",
+          RefStar.factProductSalesTarget(spark, product)),
+        () => write("fact_srcsalestarget",
+          RefStar.factSrcSalesTarget(spark, store, reseller, channel))))
+    } finally pool.shutdown()
 
     steps.toSeq
   }
