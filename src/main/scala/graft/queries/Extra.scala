@@ -63,6 +63,46 @@ object Extra {
            |GROUP BY ROLLUP (r_name, n_name)""".stripMargin)
     },
 
+    // ----- CUBE: all grouping-set combinations ---------------------------
+    Q("q45_cube",
+      s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+         |  ${dsumSql("s_acctbal")} AS total_bal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE (r_name, n_name)""".stripMargin) { (s, dir) =>
+      // SQL surface for the same reason as q35 (see comment there)
+      Seq("supplier", "nation", "region")
+        .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        s"""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+           |  ${dsumSql("s_acctbal")} AS total_bal
+           |FROM supplier
+           |JOIN nation ON s_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY CUBE (r_name, n_name)""".stripMargin)
+    },
+
+    // ----- PIVOT: wide conditional aggregation ---------------------------
+    // Spark's .pivot with an explicit value list compiles to the same
+    // conditional aggregates the oracle states — no dynamic-column pass
+    // over the data (the two-phase distinct-then-pivot form is the
+    // scale trap; explicit values keep it a single shuffle).
+    Q("q46_pivot",
+      s"""SELECT o_orderpriority,
+         |  ${Seq("F", "O", "P").map(st =>
+               s"""${dsumSql(s"CASE WHEN o_orderstatus = '$st' THEN o_totalprice END")} AS status_$st""")
+             .mkString(",\n  ")}
+         |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      import graft.functions.Exact.dsum
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum(col("o_totalprice")))
+        .select(col("o_orderpriority"), col("F").as("status_F"),
+          col("O").as("status_O"), col("P").as("status_P"))
+    },
+
     // ----- JSON field extraction (events.props payload) ------------------
     Q("q36_json_extract",
       s"""SELECT event_id, event_type,
