@@ -103,4 +103,19 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"), col("rnk"))
   }
+
+  /** Per-query overlap between an ANN result and the exact top-k:
+    * (query_id, hits). Groups on the exact side so a query the ANN path
+    * missed entirely still appears with hits = 0. Both ANN paths are
+    * fully deterministic (LCG hyperplanes / seeded k-means), so
+    * `hits >= floor` is a reproducible integer a SQL oracle can gate —
+    * this is how qs05/qs06 turn ANN quality into a hash-checkable row
+    * instead of a spec-only assertion.
+    */
+  def recallHits(exact: DataFrame, ann: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(ann.select(col("query_id").as("qid"), col("neighbor_id").as("nid")),
+        col("query_id") === col("qid") && col("neighbor_id") === col("nid"),
+        "left")
+      .groupBy("query_id").agg(count(col("nid")).as("hits"))
 }

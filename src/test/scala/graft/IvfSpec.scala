@@ -20,11 +20,13 @@ class IvfSpec extends SparkSpec {
     val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the qs04/qs06 gate config (8 cells, 4 probes) measured mean
+    // hits@10 >= 7.6 at sf0.001/sf0.01
     val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 8, iters = 3)
-    val approx = Ivf.search(emb, q, model, "vec_id", "embedding", k, nprobe = 3)
+    val approx = Ivf.search(emb, q, model, "vec_id", "embedding", k, nprobe = 4)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall@$k was $recall")
+    assert(recall >= 0.6, s"IVF recall@$k was $recall")
   }
 }

@@ -25,13 +25,23 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // these embeddings are near-orthogonal (top-10 sims ~0.3-0.5), so
-    // recall needs short hashes and many tables: p(bucket|sim=.3) ~ .13
-    // per table -> ~.90 over 16 tables
+    // recall needs short hashes and many tables — the qs03/qs05 gate
+    // config (3 planes x 24 tables) measured mean hits@10 >= 8 per SF
     val approx = Similarity.lshCosineTopK(emb, q, "vec_id", "embedding", k,
-      planesPerTable = 4, tables = 16)
+      planesPerTable = 3, tables = 24)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH recall@$k was $recall")
+    assert(recall >= 0.75, s"LSH recall@$k was $recall")
+  }
+
+  test("recallHits counts per-query ANN overlap, zero for missed queries") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val ann = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "neighbor_id")
+    val hits = Similarity.recallHits(exact, ann)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 0L))
   }
 }
