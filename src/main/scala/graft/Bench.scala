@@ -47,16 +47,29 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = ("warehouse_build" -> warehouseSec) +:
-      SparkEntry.allQueries.map { q =>
-        q.name -> (1 to passes).map(_ => timeOne(q)).min
-      }
+    val results: Seq[(String, Seq[Double])] =
+      ("warehouse_build" -> Seq(warehouseSec)) +:
+        SparkEntry.allQueries.map { q =>
+          q.name -> (1 to passes).map(_ => timeOne(q))
+        }
     val qs = results
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // per-pass times alongside the minima: this host shows 10-20x
+    // transient CPU-steal outliers, and a min with its passes next to it
+    // lets a reader machine-detect "one bad pass" vs a real regression
+    val pj = results
+      .map { case (k, v) => "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$pj,"sf":"$sfDir"}"""
+    println(line)
+    // stdout through sbt has truncated the tail in past rounds (the
+    // driver recorded parsed: null) — also land the line in a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
   }
 }
