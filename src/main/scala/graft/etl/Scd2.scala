@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   *    version row is emitted from the update's values
   *  - business keys new to the dimension get an initial open row
   *
-  * One full-outer equi-join on the business key plus a union — no
-  * windows, no driver loops; at 100 TB both sides shuffle once on the
-  * key (or the update batch broadcasts when small).
+  * ONE full-outer equi-join on the business key, consumed in a single
+  * pass: each joined row emits its outcome rows (unchanged | closed +
+  * fresh | fresh) through an array-explode, so the join subtree is
+  * never duplicated across union branches — no windows, no driver
+  * loops; at 100 TB both sides shuffle once on the key (or the update
+  * batch broadcasts when small).
   */
 object Scd2 {
 
@@ -50,22 +53,24 @@ object Scd2 {
     val hasCur = col(keyCol).isNotNull
     val hasUpd = col(s"__u_$keyCol").isNotNull
 
-    // open rows that survive unchanged (no update, or update identical)
-    val unchanged = j.filter(hasCur && (!hasUpd || !changed))
-      .select(outCols.map(col): _*)
-    // open rows closed by a differing update
-    val closed = j.filter(hasCur && hasUpd && changed)
-      .select((keyCol +: tracked).map(col) ++ Seq(
-        col("effective_date"),
-        to_date(lit(asOf)).as("expiration_date"),
-        lit("N").as("current_row_ind")): _*)
-    // fresh open versions: differing updates + brand-new keys
-    val fresh = j.filter(hasUpd && (!hasCur || changed))
-      .select((keyCol +: tracked).map(c => col(s"__u_$c").as(c)) ++ Seq(
-        to_date(lit(asOf)).as("effective_date"),
-        to_date(lit(OpenEnd)).as("expiration_date"),
-        lit("Y").as("current_row_ind")): _*)
+    def row(cols: Seq[Column]): Column =
+      struct(cols.zip(outCols).map { case (c, n) => c.as(n) }: _*)
+    // open row that survives unchanged (no update, or update identical)
+    val unchangedRow = row(outCols.map(col))
+    // open row closed by a differing update
+    val closedRow = row((keyCol +: tracked).map(col) ++ Seq(
+      col("effective_date"), to_date(lit(asOf)), lit("N")))
+    // fresh open version: differing update or brand-new key
+    val freshRow = row((keyCol +: tracked).map(c => col(s"__u_$c")) ++ Seq(
+      to_date(lit(asOf)), to_date(lit(OpenEnd)), lit("Y")))
 
-    hist.unionByName(unchanged).unionByName(closed).unionByName(fresh)
+    val emitted =
+      when(hasCur && hasUpd && changed, array(closedRow, freshRow))
+        .when(hasCur, array(unchangedRow))
+        .otherwise(array(freshRow))
+
+    hist.unionByName(
+      j.select(explode(emitted).as("__r"))
+        .select(outCols.map(n => col(s"__r.$n")): _*))
   }
 }

@@ -78,6 +78,61 @@ object RefStarQueries {
       s.table(s"${graft.runner.RefStarRunner.DimensionDb}.vw_dim_product")
     },
 
+    // catalog path for an ANALYTICAL view: the runner registers all 7
+    // in the dimension database (rahil/create_views.py:145-497 creates
+    // them IN the database); this reads one back through the catalog
+    Q("qr12_vw_store58_catalog", over(RefStarViewsSql.store58Performance)) {
+      (s, _) =>
+        graft.runner.RefStarRunner.ensure(s)
+        s.table(s"${graft.runner.RefStarRunner.DimensionDb}.vw_store58performance")
+    },
+
+    // SCD Type 2 applied to the PERSISTED star: a store-manager update
+    // batch (new manager for stores 5/8, one brand-new store) versions
+    // dimension.dim_store. The oracle states the EXPECTED post-merge
+    // dimension directly from the merge semantics — closed prior
+    // versions, fresh open versions, untouched others — rather than
+    // re-running the operator.
+    Q("qr13_dim_store_scd2",
+      over("""SELECT StoreID, StoreName, StoreNumber, StoreManager,
+             |  DimLocationID, DATE '2013-01-01' AS effective_date,
+             |  DATE '9999-12-31' AS expiration_date, 'Y' AS current_row_ind
+             |FROM dim_store WHERE StoreNumber NOT IN ('5', '8')
+             |UNION ALL
+             |SELECT StoreID, StoreName, StoreNumber, StoreManager,
+             |  DimLocationID, DATE '2013-01-01', DATE '2014-06-01', 'N'
+             |FROM dim_store WHERE StoreNumber IN ('5', '8')
+             |UNION ALL
+             |SELECT StoreID, StoreName, StoreNumber, StoreManager || ' Jr.',
+             |  DimLocationID, DATE '2014-06-01', DATE '9999-12-31', 'Y'
+             |FROM dim_store WHERE StoreNumber IN ('5', '8')
+             |UNION ALL
+             |SELECT CAST(999 AS BIGINT), 'Store 99', '99', 'New Manager',
+             |  CAST(1 AS BIGINT), DATE '2014-06-01', DATE '9999-12-31',
+             |  'Y'""".stripMargin)) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val base = Warehouse.table(s, "dim_store")
+      val cur = base
+        .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
+          col("StoreManager"), col("DimLocationID"))
+        .withColumn("effective_date", to_date(lit("2013-01-01")))
+        .withColumn("expiration_date", to_date(lit(graft.etl.Scd2.OpenEnd)))
+        .withColumn("current_row_ind", lit("Y"))
+      val upd = base.filter(col("StoreID") =!= -1L)
+        .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
+          when(col("StoreNumber").isin("5", "8"),
+            concat(col("StoreManager"), lit(" Jr.")))
+            .otherwise(col("StoreManager")).as("StoreManager"),
+          col("DimLocationID"))
+        .unionByName(s.range(1).select(
+          lit(999L).as("StoreID"), lit("Store 99").as("StoreName"),
+          lit("99").as("StoreNumber"), lit("New Manager").as("StoreManager"),
+          lit(1L).as("DimLocationID")))
+      graft.etl.Scd2.merge(cur, upd, "StoreID",
+        Seq("StoreName", "StoreNumber", "StoreManager", "DimLocationID"),
+        "2014-06-01")
+    },
+
     // ----- the 7 analytical views (rahil/create_views.py:145-497) -------
     // Oracles run the reference's ORIGINAL view SQL (exactness casts
     // aside) over the same star — incl. qv03's naive 4-clause

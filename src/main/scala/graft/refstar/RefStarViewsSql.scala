@@ -109,6 +109,89 @@ object RefStarViewsSql {
        |    OR SUM(fst.SalesTargetAmount) > 0""".stripMargin
   }
 
+  /** Spark-executable body for the qv03 CATALOG view: the same
+    * union-of-three-equi-branch rewrite Views.targetVsActual encodes as
+    * a DataFrame, rendered as SQL text (a CREATE VIEW body must be SQL,
+    * and the naive OR-IS-NULL shape above would plan as a
+    * BroadcastNestedLoopJoin). The DuckDB oracle keeps the reference's
+    * naive SQL verbatim, so the qv03 gate still proves this rewrite
+    * semantics-preserving; RefStarRunnerSpec additionally asserts the
+    * catalog view row-equals the DataFrame plan.
+    */
+  val targetVsActualSpark: String = {
+    val inYQ = "d_year = TargetYear AND d_qtr = TargetQuarter"
+    val prodTarget = "CAST(SUM(fps_qty) AS BIGINT)"
+    val srcTarget = ds("fst_amt")
+    val actualQty =
+      s"CAST(SUM(CASE WHEN $inYQ THEN SaleQuantity ELSE 0 END) AS BIGINT)"
+    val actualAmt = ds(s"CASE WHEN $inYQ THEN SaleAmount ELSE 0 END")
+    val fsCols = "fs.DimSaleDateID, fs.SaleQuantity, fs.SaleAmount, " +
+      "fs.SaleTotalProfit"
+    s"""WITH td AS (
+       |  SELECT DATE_PKEY AS td_key, YEAR AS TargetYear,
+       |    QUARTER AS TargetQuarter, MONTH_NAME AS TargetMonth
+       |  FROM dim_date WHERE YEAR >= 2013 AND DAY_NUM_IN_MONTH = 1),
+       |spine AS (
+       |  SELECT td.TargetYear, td.TargetQuarter, td.TargetMonth,
+       |    fps.DimProductID AS fps_pid, fps.ProductTargetSalesQuantity AS fps_qty,
+       |    fst.DimStoreID AS fst_sid, fst.DimResellerID AS fst_rid,
+       |    fst.DimChannelID AS fst_chid, fst.SalesTargetAmount AS fst_amt,
+       |    p.ProductName, p.ProductCategory, s.StoreName,
+       |    sl.State_Province AS StoreState, sl.Country AS StoreCountry,
+       |    r.ResellerName, rl.State_Province AS ResellerState, c.ChannelName,
+       |    fps.DimProductID IS NOT NULL AS has_fps,
+       |    fst.DimStoreID IS NOT NULL AS has_fst
+       |  FROM td
+       |  LEFT JOIN fact_productsalestarget fps ON td.td_key = fps.DimTargetDateID
+       |  LEFT JOIN fact_srcsalestarget fst ON td.td_key = fst.DimTargetDateID
+       |  LEFT JOIN dim_product p ON fps.DimProductID = p.DimProductID
+       |  LEFT JOIN dim_store s ON fst.DimStoreID = s.DimStoreID
+       |  LEFT JOIN dim_location sl ON s.DimLocationID = sl.DimLocationID
+       |  LEFT JOIN dim_reseller r ON fst.DimResellerID = r.DimResellerID
+       |  LEFT JOIN dim_location rl ON r.DimLocationID = rl.DimLocationID
+       |  LEFT JOIN dim_channel c ON fst.DimChannelID = c.DimChannelID
+       |  WHERE fps.DimProductID IS NOT NULL OR fst.DimStoreID IS NOT NULL),
+       |joined AS (
+       |  SELECT sp.*, $fsCols
+       |  FROM spine sp LEFT JOIN fact_salesactual fs
+       |    ON sp.fps_pid = fs.DimProductID AND sp.fst_sid = fs.DimStoreID
+       |   AND sp.fst_rid = fs.DimResellerID AND sp.fst_chid = fs.DimChannelID
+       |  WHERE sp.has_fps AND sp.has_fst
+       |  UNION ALL
+       |  SELECT sp.*, $fsCols
+       |  FROM spine sp LEFT JOIN fact_salesactual fs
+       |    ON sp.fps_pid = fs.DimProductID
+       |  WHERE sp.has_fps AND NOT sp.has_fst
+       |  UNION ALL
+       |  SELECT sp.*, $fsCols
+       |  FROM spine sp LEFT JOIN fact_salesactual fs
+       |    ON sp.fst_sid = fs.DimStoreID AND sp.fst_rid = fs.DimResellerID
+       |   AND sp.fst_chid = fs.DimChannelID
+       |  WHERE NOT sp.has_fps AND sp.has_fst),
+       |wd AS (
+       |  SELECT j.*, d.YEAR AS d_year, d.QUARTER AS d_qtr
+       |  FROM joined j LEFT JOIN dim_date d ON j.DimSaleDateID = d.DATE_PKEY)
+       |SELECT ProductName, ProductCategory, StoreName, StoreState, StoreCountry,
+       |  ResellerName, ResellerState, ChannelName,
+       |  TargetYear, TargetQuarter, TargetMonth,
+       |  $prodTarget AS ProductSalesTarget,
+       |  $srcTarget AS SRCSalesTarget,
+       |  $actualQty AS ActualQuantitySold,
+       |  $actualAmt AS ActualSalesAmount,
+       |  ${ds(s"CASE WHEN $inYQ THEN SaleTotalProfit ELSE 0 END")} AS ActualProfit,
+       |  CASE WHEN $prodTarget > 0
+       |       THEN $actualQty / $prodTarget * 100 ELSE 0 END
+       |    AS QuantityTargetAchievementPercent,
+       |  CASE WHEN $srcTarget > 0
+       |       THEN $actualAmt / $srcTarget * 100 ELSE 0 END
+       |    AS SalesTargetAchievementPercent
+       |FROM wd
+       |GROUP BY ProductName, ProductCategory, StoreName, StoreState,
+       |  StoreCountry, ResellerName, ResellerState, ChannelName,
+       |  TargetYear, TargetQuarter, TargetMonth
+       |HAVING $prodTarget > 0 OR $srcTarget > 0""".stripMargin
+  }
+
   val store58Performance: String = {
     val margin = s"${ds("fs.SaleTotalProfit")} / NULLIF(${ds("fs.SaleAmount")}, 0) * 100"
     s"""SELECT s.StoreNumber, s.StoreName, sl.State_Province AS StoreState,

@@ -2,7 +2,7 @@ package graft.runner
 
 import org.apache.spark.sql.SparkSession
 
-import graft.refstar.{Views, Warehouse}
+import graft.refstar.{RefStarViewsSql, Views, Warehouse}
 
 /** Sequenced driver for the reference-entity star, mirroring the
   * reference's three entry points:
@@ -78,18 +78,43 @@ object RefStarRunner {
       "SalesTargetAmount")))
 
   /** rahil/create_views.py:145-497 — the 7 analytical views, registered
-    * from the Views DataFrames (temp views: their bodies are DataFrame
-    * plans, not SQL text).
+    * IN the dimension database like the reference's CREATE VIEW (the
+    * round-5 verdict flagged the session-temp-view registration: a
+    * second catalog reader saw the pass-throughs but not these). The
+    * bodies are the shared cross-engine view SQL (RefStarViewsSql) —
+    * Spark parses the same ANSI text DuckDB verifies — except qv03,
+    * whose naive OR-IS-NULL body would plan as a nested loop; its
+    * catalog body is the equi-branch rewrite rendered as SQL.
     */
-  val AnalyticalViews: Seq[(String, SparkSession => org.apache.spark.sql.DataFrame)] =
+  val AnalyticalViews: Seq[(String, String)] =
     Seq(
-      ("vw_salesperformancesummary", Views.salesPerformanceSummary _),
-      ("vw_customersalesanalysis", Views.customerSalesAnalysis _),
-      ("vw_targetvsactualperformance", Views.targetVsActual _),
-      ("vw_store58performance", Views.store58Performance _),
-      ("vw_storebonusrecommendation", Views.storeBonusRecommendation _),
-      ("vw_store58dayofweekanalysis", Views.store58DayOfWeek _),
-      ("vw_multistorevssinglestoreanalysis", Views.multiStoreVsSingleStore _))
+      ("vw_salesperformancesummary", RefStarViewsSql.salesPerformanceSummary),
+      ("vw_customersalesanalysis", RefStarViewsSql.customerSalesAnalysis),
+      ("vw_targetvsactualperformance", RefStarViewsSql.targetVsActualSpark),
+      ("vw_store58performance", RefStarViewsSql.store58Performance),
+      ("vw_storebonusrecommendation", RefStarViewsSql.storeBonusRecommendation),
+      ("vw_store58dayofweekanalysis", RefStarViewsSql.store58DayOfWeek),
+      ("vw_multistorevssinglestoreanalysis", RefStarViewsSql.multiStoreVsSingleStore))
+
+  /** The shared view SQL names star tables bare; the catalog stores
+    * them under the dimension database.
+    */
+  private[graft] def qualify(sql: String): String =
+    sql.replaceAll("""(FROM|JOIN)(\s+)((?:dim_|fact_)\w+)""",
+      s"$$1$$2$DimensionDb.$$3")
+
+  /** A Views DataFrame per analytical view (the qv gates' plans), for
+    * specs that assert catalog-view ≡ DataFrame equivalence.
+    */
+  val AnalyticalFrames: Map[String, SparkSession => org.apache.spark.sql.DataFrame] =
+    Map(
+      "vw_salesperformancesummary" -> (Views.salesPerformanceSummary _),
+      "vw_customersalesanalysis" -> (Views.customerSalesAnalysis _),
+      "vw_targetvsactualperformance" -> (Views.targetVsActual _),
+      "vw_store58performance" -> (Views.store58Performance _),
+      "vw_storebonusrecommendation" -> (Views.storeBonusRecommendation _),
+      "vw_store58dayofweekanalysis" -> (Views.store58DayOfWeek _),
+      "vw_multistorevssinglestoreanalysis" -> (Views.multiStoreVsSingleStore _))
 
   case class StepResult(step: String, ok: Boolean, rows: Long,
                         error: Option[String])
@@ -161,10 +186,11 @@ object RefStarRunner {
         spark.table(s"$DimensionDb.$view").count()
       }
     }
-    AnalyticalViews.foreach { case (view, build) =>
+    AnalyticalViews.foreach { case (view, sql) =>
       step(s"view_$view") {
-        build(spark).createOrReplaceTempView(view)
-        spark.table(view).count()
+        spark.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS " +
+          qualify(sql))
+        spark.table(s"$DimensionDb.$view").count()
       }
     }
 

@@ -54,15 +54,15 @@ class RefStarRunnerSpec extends SparkSpec {
     }
   }
 
-  test("all 17 named views are registered and queryable") {
+  test("all 17 named views are registered in the dimension catalog") {
     assert(results.forall(_.ok))
     val dim = spark.catalog.listTables(RefStarRunner.DimensionDb).collect()
-    val passThrough = RefStarRunner.PassThroughViews.map(_._1).toSet
-    assert(passThrough.subsetOf(dim.map(_.name).toSet))
-    assert(dim.count(_.tableType == "VIEW") >= 10, "10 pass-through views")
-    RefStarRunner.AnalyticalViews.foreach { case (name, _) =>
-      assert(spark.catalog.tableExists(name), s"missing temp view $name")
-    }
+    val names = dim.map(_.name).toSet
+    val all17 = (RefStarRunner.PassThroughViews.map(_._1) ++
+      RefStarRunner.AnalyticalViews.map(_._1)).toSet
+    assert(all17.subsetOf(names), (all17 -- names).mkString(", "))
+    assert(dim.count(_.tableType == "VIEW") >= 17,
+      "all 17 views live in the catalog, not the session")
     assert(RefStarRunner.PassThroughViews.size == 10)
     assert(RefStarRunner.AnalyticalViews.size == 7)
     // a pass-through view query returns the golden dim count with the
@@ -71,7 +71,25 @@ class RefStarRunnerSpec extends SparkSpec {
     assert(store.count() == 7)
     assert(store.columns.toSeq == Seq("DimStoreID", "StoreID", "DimLocationID",
       "SourceStoreID", "StoreName", "StoreNumber", "StoreManager"))
-    // an analytical view queries the materialized star
-    assert(spark.table("vw_store58performance").count() == 48)
+    // an analytical view queries the materialized star through the catalog
+    assert(spark.table(s"${RefStarRunner.DimensionDb}.vw_store58performance")
+      .count() == 48)
+  }
+
+  test("each catalog analytical view row-equals its DataFrame plan") {
+    assert(results.forall(_.ok))
+    RefStarRunner.AnalyticalViews.foreach { case (name, _) =>
+      val df = RefStarRunner.AnalyticalFrames(name)(spark)
+      val catRaw = spark.table(s"${RefStarRunner.DimensionDb}.$name")
+      assert(catRaw.columns.toSet == df.columns.toSet,
+        s"$name columns: ${catRaw.columns.toSeq} vs ${df.columns.toSeq}")
+      val cat = catRaw.select(df.columns.map(
+        org.apache.spark.sql.functions.col): _*)
+      val extra = cat.exceptAll(df).count()
+      val missing = df.exceptAll(cat).count()
+      assert(extra == 0 && missing == 0,
+        s"$name: catalog view diverges from the DataFrame plan " +
+          s"(+$extra/-$missing rows)")
+    }
   }
 }

@@ -51,5 +51,12 @@ class Scd2Spec extends SparkSpec {
     val opens = out.filter(col("current_row_ind") === "Y")
       .groupBy("k").count().filter(col("count") > 1).count()
     assert(opens == 0)
+
+    // single-pass merge: the full-outer join appears ONCE in the plan
+    // (the r5 verdict flagged the three-filter shape that tripled it)
+    val joins = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
   }
 }
