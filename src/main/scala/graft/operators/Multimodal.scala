@@ -10,13 +10,16 @@ import graft.functions.Text
   * pipeline as opaque `binary` columns plus typed metadata, processed
   * per-partition in batches.
   *
-  * The actual codec step is STUBBED (this environment has no
-  * image/audio libraries): `decodeStub` derives deterministic fake
-  * dimensions from the byte content. Everything around it — the binary
-  * column representation, the batched mapPartitions shape (one
-  * decoder init per partition, streamed batches, no collect), the
-  * metadata schema — is the real, tested scale path. Swapping
-  * `decodeStub` for a JNI/javacpp codec is a one-function change.
+  * The PNG path is REAL (`decodeImage`/`imageMeta` via the JDK's
+  * javax.imageio, gated against a generation-time sidecar oracle —
+  * qm02). Audio/video codecs are STUBBED (`decodeStub` derives
+  * deterministic fake dimensions from the byte content; this
+  * environment has no such libraries), but everything around them —
+  * the binary column representation, the batched mapPartitions shape
+  * (one decoder init per partition, streamed batches, no collect),
+  * the metadata schema — is the real, tested scale path; swapping
+  * `decodeStub` for a JNI/javacpp codec is a one-function change, as
+  * the PNG path demonstrates.
   */
 object Multimodal {
 
@@ -90,6 +93,42 @@ object Multimodal {
           }
       }
     }
+  }
+
+  /** REAL decode for one format — PNG via the JDK's `javax.imageio`
+    * (public stack, no external libs). Returns (width, height, bands).
+    */
+  def decodeImage(bytes: Array[Byte]): (Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    (img.getWidth.toLong, img.getHeight.toLong,
+      img.getRaster.getNumBands.toLong)
+  }
+
+  /** Decoded metadata for a directory of PNG files: the distributed
+    * binary ingestion path (`binaryFile` source — each file is a row,
+    * splittable across executors) into the same batched mapPartitions
+    * decode shape as `extractMeta`, but with the real ImageIO codec.
+    * At 100 TB this is exactly the layout a media corpus uses: many
+    * files, opaque payload column, per-partition decoder, no collect.
+    */
+  def imageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      // real codec init happens once per partition here if needed
+      it.map { case (id, bytes) =>
+        val (w, h, c) = decodeImage(bytes)
+        MediaMeta(id, bytes.length.toLong, w, h, c)
+      }
+    }.select(col("id").as("media_id"), col("width"), col("height"),
+      col("channels"), col("n_bytes"))
   }
 
   /** Column-only mirror of the stub (identical arithmetic, codegen'd via

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline suite: dedup, similarity search, text
   * analysis, multimodal plumbing over the `documents` and `embeddings`
@@ -336,6 +336,18 @@ object Pipeline {
          |  CAST(3 AS BIGINT) AS channels
          |FROM f""".stripMargin) { (s, dir) =>
       Multimodal.metaColumns(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- multimodal REAL decode (PNG via javax.imageio) ----------------
+    // The oracle reads the generation-time sidecar; the Spark side must
+    // actually decode the PNG bytes to reproduce width/height/channels.
+    Q("qm02_png_decode",
+      s"""SELECT media_id, width, height, channels, n_bytes
+         |FROM read_csv('${MediaFixtures.metaCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'width': 'BIGINT',
+         |    'height': 'BIGINT', 'channels': 'BIGINT',
+         |    'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.imageMeta(s, MediaFixtures.ensure())
     },
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Multimodal
+import graft.operators.{MediaFixtures, Multimodal}
 
 /** The batched mapPartitions decode path must agree with the
   * column-only mirror used by the oracle-gated query (same stub
@@ -33,6 +33,27 @@ class MultimodalSpec extends SparkSpec {
     val rows = resized.collect()
     assert(rows.nonEmpty && rows.forall(_.payload.length <= 64))
     assert(rows.forall(r => r.width >= 16 && r.height >= 16))
+  }
+
+  test("decodeImage recovers exact dimensions from real PNG bytes") {
+    val img = new java.awt.image.BufferedImage(37, 21,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(5, 5, 0xa0b0c0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.decodeImage(bos.toByteArray) == (37L, 21L, 3L))
+  }
+
+  test("distributed PNG decode reproduces the generation-time sidecar") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.imageMeta(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, width LONG, height LONG, channels LONG, " +
+        "n_bytes LONG")
+      .csv(MediaFixtures.metaCsv)
+    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "decoded metadata must equal the sidecar exactly")
   }
 
   test("frame sampling fans one payload into strided frame records") {
