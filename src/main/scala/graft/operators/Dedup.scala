@@ -159,28 +159,33 @@ object Dedup {
     * between rounds so the plan doesn't grow with iterations. Nodes in
     * no qualifying pair are not emitted (they are their own cluster).
     *
-    * Durability note for very long cluster runs: localCheckpoint stores
-    * blocks on executors (lost if an executor dies mid-loop). On a
-    * cluster, set a checkpoint dir and swap in reliable
-    * `df.checkpoint()` for restartable rounds; the algorithm is
-    * unchanged.
+    * Durability: by default rounds are localCheckpoint'ed — blocks live
+    * on executors and die with them, fine for short loops on a healthy
+    * cluster. Pass `reliable = true` (with
+    * `sparkContext.setCheckpointDir` pointing at durable storage) to
+    * use reliable `df.checkpoint()` instead: each round's labels are
+    * persisted to the checkpoint dir, so an executor loss mid-loop
+    * recomputes from the last round's files rather than from the raw
+    * pair graph. The algorithm is unchanged.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          reliable: Boolean = false): DataFrame = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .distinct())
+    var labels = ckpt(edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
     var converged = false
     while (!converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels
+      val next = ckpt(labels
         .join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2")))
       converged = next.filter(col("lbl2") < col("lbl")).isEmpty
       labels = next.select(col("node"), col("lbl2").as("lbl"))
     }

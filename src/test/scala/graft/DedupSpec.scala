@@ -35,6 +35,27 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("reliable-checkpoint components equal the localCheckpoint variant") {
+    import spark.implicits._
+    val prior = Option(spark.sparkContext.getCheckpointDir.orNull)
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 22L),
+        (21L, 22L)).toDF("doc_a", "doc_b")
+      val reliable = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        reliable = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val local = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable rounds actually hit the durable checkpoint dir
+      assert(new java.io.File(ckDir).listFiles().nonEmpty,
+        "checkpoint dir must contain persisted rounds")
+    } finally prior.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("near-dup clusters close the LSH pairs under transitivity") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 32, bands = 8,
       threshold = 0.5).select("doc_a", "doc_b")
