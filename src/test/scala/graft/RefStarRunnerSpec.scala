@@ -76,6 +76,17 @@ class RefStarRunnerSpec extends SparkSpec {
       .count() == 48)
   }
 
+  test("catalog qv03 body plans as equi joins, never a nested loop") {
+    assert(results.forall(_.ok))
+    val plan = spark
+      .table(s"${RefStarRunner.DimensionDb}.vw_targetvsactualperformance")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the catalog view must carry the equi-branch rewrite, not the " +
+        "reference's naive OR-IS-NULL shape")
+  }
+
   test("each catalog analytical view row-equals its DataFrame plan") {
     assert(results.forall(_.ok))
     RefStarRunner.AnalyticalViews.foreach { case (name, _) =>
