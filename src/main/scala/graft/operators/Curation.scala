@@ -84,4 +84,60 @@ object Curation {
       .withColumn("shard", expr(s"__cb div ${budget}L"))
       .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
   }
+
+  /** Fixed-token-window document chunking with overlap — the shape
+    * long documents take before tokenization for a context-bounded
+    * model: windows of `chunkTokens` words starting every
+    * `chunkTokens - overlap` words (the final window may be short;
+    * empty documents emit nothing).
+    *
+    * Per-row generate (explode of a sequence) — narrow, no shuffle, no
+    * state: at 100 TB each task chunks its own partition and the
+    * output is ~`1/(1-overlap/chunkTokens)`× the input tokens.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = (chunkTokens - overlap).toLong
+    df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+      .withColumn("__n", size(col("__ws")).cast("long"))
+      .filter(col("__n") > 0L)
+      .withColumn("tok_start",
+        explode(sequence(lit(0L), col("__n") - 1L, lit(stride))))
+      .select(
+        col(idCol),
+        expr(s"CAST(tok_start DIV $stride AS BIGINT)").as("chunk_idx"),
+        col("tok_start"),
+        least(lit(chunkTokens.toLong), col("__n") - col("tok_start"))
+          .as("tok_len"),
+        concat_ws(" ",
+          slice(col("__ws"), (col("tok_start") + 1L).cast("int"),
+            lit(chunkTokens))).as("chunk_text"))
+  }
+
+  /** Train/eval decontamination accounting: for every training document,
+    * how many of its distinct word `n`-gram shingles appear in ANY
+    * document of the evaluation set. Downstream policy then drops or
+    * flags rows by `n_contaminated / n_shingles` — this operator stays
+    * policy-free and exactly gateable.
+    *
+    * Scale posture: one equi-join on the shingle. The eval side is
+    * distinct-reduced and benchmark-sized (AQE broadcasts it); the
+    * train side streams its shingles through without ever building an
+    * all-pairs structure — cost is linear in corpus tokens, unlike the
+    * all-pairs qd02 baseline.
+    */
+  def contamination(train: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def sh(df: DataFrame, cols: Column*): DataFrame =
+      df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+        .select(cols :+ explode(expr(Text.shinglesExpr("__ws", n)))
+          .as("shingle"): _*)
+    val trainSh = sh(train, col(idCol))
+    val evalSh = sh(evalSet).distinct().withColumn("__hit", lit(1L))
+    trainSh.join(evalSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
 }

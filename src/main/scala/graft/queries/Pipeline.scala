@@ -326,6 +326,46 @@ object Pipeline {
       Curation.packByBudget(docs, "doc_id", "tokens", "source", budget = 512L)
     },
 
+    // ----- fixed-token-window chunking with overlap ----------------------
+    Q("qc03_chunk_docs",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, ws, n, UNNEST(range(0, n, 48)) AS tok_start
+         |      FROM t)
+         |SELECT doc_id,
+         |  CAST(tok_start // 48 AS BIGINT) AS chunk_idx,
+         |  CAST(tok_start AS BIGINT) AS tok_start,
+         |  CAST(LEAST(64, n - tok_start) AS BIGINT) AS tok_len,
+         |  array_to_string(list_slice(ws, tok_start + 1, tok_start + 64), ' ')
+         |    AS chunk_text
+         |FROM c""".stripMargin) { (s, dir) =>
+      Curation.chunkDocs(Tables(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 64, overlap = 16)
+    },
+
+    // ----- train/eval decontamination (8-gram overlap accounting) --------
+    // eval set = deterministic 5% hash sample; per remaining doc, how
+    // many of its distinct 8-gram shingles appear anywhere in eval
+    Q("qd07_decontaminate",
+      s"""WITH w AS ($wCte),
+         |ev AS (SELECT doc_id FROM documents
+         |  WHERE ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 < 500),
+         |tsh AS (SELECT doc_id, UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |esh AS (SELECT DISTINCT UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE doc_id IN (SELECT doc_id FROM ev))
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated
+         |FROM tsh t LEFT JOIN esh e ON t.shingle = e.shingle
+         |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val evalSet = Curation.hashSample(docs, "doc_id", 500)
+      val train = docs.join(evalSet.select(col("doc_id").as("__eid")),
+        col("doc_id") === col("__eid"), "left_anti")
+      Curation.contamination(train, evalSet, "doc_id", "text", n = 8)
+    },
+
     // ----- multimodal metadata plumbing (stub decode) --------------------
     Q("qm01_multimodal_meta",
       s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)

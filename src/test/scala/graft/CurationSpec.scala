@@ -63,4 +63,44 @@ class CurationSpec extends SparkSpec {
     assert(joined.filter(col("shard") =!= col("shard_naive")).count() == 0)
     assert(joined.count() == docs.count())
   }
+
+  test("chunkDocs windows cover every token with the stated overlap") {
+    import spark.implicits._
+    val words = (0 until 100).map(i => s"w$i")
+    val input = Seq((1L, words.mkString(" ")), (2L, "short doc"), (3L, ""))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkDocs(input, "doc_id", "text",
+      chunkTokens = 64, overlap = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1: 100 words, stride 48 -> starts 0/48/96 with lens 64/52/4
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 64L), (1L, 48L, 52L), (2L, 96L, 4L)))
+    assert(doc1(0)._5 == words.slice(0, 64).mkString(" "))
+    assert(doc1(1)._5 == words.slice(48, 100).mkString(" "))
+    assert(doc1(2)._5 == words.slice(96, 100).mkString(" "))
+    // a short doc is one whole-doc chunk; an empty doc emits nothing
+    assert(chunks.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, "short doc")))
+    assert(!chunks.exists(_._1 == 3L))
+  }
+
+  test("contamination counts shingle overlap against the eval set exactly") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta" +
+      " iota kappa")).toDF("doc_id", "text")
+    val train = Seq(
+      // identical to the eval doc: every shingle contaminated
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // fully disjoint vocabulary: zero overlap
+      (2L, "one two three four five six seven eight nine ten"),
+      // shares a full 8-gram window
+      (3L, "alpha beta gamma delta epsilon zeta eta theta unrelated tail"))
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(train, evalSet, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == got(1L)._2 && got(1L)._2 == 3L) // 10 words -> 3 8-grams
+    assert(got(2L) == ((3L, 0L)))
+    assert(got(3L) == ((3L, 1L)))
+  }
 }
