@@ -62,20 +62,37 @@ object Text {
     * (O(words^2) per row — measured 10x slowdown at sf0.1), while
     * slices and zip_with evaluate their inputs once per row.
     */
-  def shinglesExpr(ws: String, n: Int = 3): String = {
+  /** ALL word n-grams of a words-array column (with multiplicity —
+    * repetition analysis needs the duplicates; `shinglesExpr` is the
+    * distinct set). Documents shorter than `n` words yield their whole
+    * text as one gram.
+    *
+    * Deliberately built as a zip_with-of-slices chain rather than
+    * `transform(sequence(...), i -> element_at(ws, i...))`: after
+    * CollapseProject inlines the words expression, element_at inside a
+    * lambda re-evaluates the whole split/filter once PER ELEMENT
+    * (O(words^2) per row — measured 10x slowdown at sf0.1), while
+    * slices and zip_with evaluate their inputs once per row.
+    */
+  def ngramsExpr(ws: String, n: Int = 3): String = {
     val zipped = (2 to n).foldLeft(ws) { (acc, j) =>
       s"zip_with($acc, slice($ws, $j, size($ws)), (a, b) -> concat(a, ' ', b))"
     }
-    s"""array_distinct(CASE WHEN size($ws) >= $n
+    s"""CASE WHEN size($ws) >= $n
        |  THEN filter($zipped, x -> x IS NOT NULL)
-       |  ELSE array(array_join($ws, ' ')) END)""".stripMargin
+       |  ELSE array(array_join($ws, ' ')) END""".stripMargin
   }
-  def shinglesSql(ws: String, n: Int = 3): String = {
+  def ngramsSql(ws: String, n: Int = 3): String = {
     val joined = (0 until n).map(j => s"$ws[i + $j]").mkString(" || ' ' || ")
-    s"""list_distinct(CASE WHEN len($ws) >= $n
+    s"""CASE WHEN len($ws) >= $n
        |  THEN list_transform(range(1, len($ws) - ${n - 2}), i -> $joined)
-       |  ELSE [array_to_string($ws, ' ')] END)""".stripMargin
+       |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
   }
+
+  def shinglesExpr(ws: String, n: Int = 3): String =
+    s"array_distinct(${ngramsExpr(ws, n)})"
+  def shinglesSql(ws: String, n: Int = 3): String =
+    s"list_distinct(${ngramsSql(ws, n)})"
 
   /** Stopword lists for the n-gram language-ID heuristic. */
   val Stopwords: Seq[(String, Seq[String])] = Seq(

@@ -119,6 +119,23 @@ object TextAnalysis {
   /** Document fingerprint: rolling hash of the full text plus the
     * minimum shingle hash (a 1-perm minhash — robust to rotation).
     */
+  /** Repetition profile per document — the duplicate-n-gram signal
+    * quality filters threshold on (a heavily repeated bigram marks
+    * boilerplate/spam): total bigram occurrences, distinct bigrams, and
+    * the hottest bigram's count. Two per-doc partial-agg shuffles
+    * ((doc, gram) then doc) — no windows, no all-pairs.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 2): DataFrame =
+    withWords(df, textCol)
+      .select(col(idCol), explode(expr(Text.ngramsExpr("__ws", n))).as("__g"))
+      .groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cnt")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("__cnt")).as("top_count"))
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = withWords(df, textCol)
       .withColumn("__sh", expr(Text.shinglesExpr("__ws")))

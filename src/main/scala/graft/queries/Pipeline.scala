@@ -295,6 +295,21 @@ object Pipeline {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // ----- repetition profile (duplicate-bigram quality signal) ----------
+    Q("qt07_repetition",
+      s"""WITH w AS ($wCte),
+         |g AS (SELECT doc_id, UNNEST(${Text.ngramsSql("ws", 2)}) AS gram
+         |      FROM w),
+         |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+         |      GROUP BY doc_id, gram)
+         |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+         |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |  CAST(MAX(cnt) AS BIGINT) AS top_count
+         |FROM c GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.repetition(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 2)
+    },
+
     // ----- deterministic stratified sampling (training-mix quotas) -------
     // Hash-based keep decision (pure function of doc_id) — identical row
     // selection on both engines, unlike random() sampling.

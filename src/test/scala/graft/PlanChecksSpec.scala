@@ -153,4 +153,18 @@ class PlanChecksSpec extends SparkSpec {
     assert(s.linesIterator.exists(l => l.contains("*(") && l.contains("polyhash")),
       s.take(2000))
   }
+
+  test("chunking is a narrow generate: no shuffle in the plan (qc03)") {
+    val nodes = collectAll(executed(q("qc03_chunk_docs")))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "chunkDocs must stay per-partition — an Exchange here would " +
+        "shuffle the whole corpus for a per-row operation")
+  }
+
+  test("decontamination joins on the shingle, never all-pairs (qd07)") {
+    val nodes = collectAll(executed(q("qd07_decontaminate")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes.exists(_.toString.startsWith("CartesianProduct")),
+      "contamination must be an equi-join on the shingle")
+  }
 }
