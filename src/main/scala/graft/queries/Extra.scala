@@ -142,6 +142,29 @@ object Extra {
         ntile(4).over(w).cast(LongType).as("quartile"))
     },
 
+    // ----- RANGE-interval window frame (value-bounded, not row-count) ----
+    // 30-day trailing quantity per supplier: the frame is bounded by the
+    // ORDER-BY VALUE (ship date), so sparse/dense date runs change the
+    // row count inside the frame — a genuinely different operator from
+    // q39's ROWS frames. Quantity through BIGINT so the windowed sum is
+    // order-independent on both engines.
+    Q("q47_range_interval_frame",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate
+        |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS qty_30d
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // midnight-timestamp ship dates -> day numbers; RANGE [-30, 0]
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(datediff(col("l_shipdate"), lit("1970-01-01")).cast(LongType))
+        .rangeBetween(-30L, 0L)
+      Tables(s, dir, "lineitem").select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity").cast(LongType)).over(w).as("qty_30d"))
+    },
+
     // ----- INTERSECT / EXCEPT (distinct set semantics) -------------------
     Q("q40_intersect",
       """SELECT c_nationkey AS nationkey FROM customer
