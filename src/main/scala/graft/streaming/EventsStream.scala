@@ -54,6 +54,31 @@ object EventsStream {
     * after the previous one; the open session stays in state.
     * Partitioned by user_id — state scales horizontally with keys.
     */
+  /** Watermarked stream-stream interval join: each action event joins
+    * the same user's trigger events from the preceding `horizon`
+    * (attribution: click → impression, purchase → recommendation).
+    * Both sides carry watermarks and the join condition time-bounds the
+    * match, so each side's buffered state is evicted once the watermark
+    * passes the horizon — bounded memory at any input rate, the one
+    * property that makes stream-stream joins viable at scale.
+    */
+  def attribution(triggers: DataFrame, actions: DataFrame,
+                  horizon: String = "10 minutes",
+                  watermark: String = "30 minutes"): DataFrame = {
+    val t = triggers.withWatermark("ts", watermark)
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_id").as("trigger_id"))
+    val a = actions.withWatermark("ts", watermark)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("action_id"))
+    a.join(t,
+      col("a_user") === col("t_user") &&
+        col("t_ts") <= col("a_ts") &&
+        col("t_ts") >= col("a_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("a_user").as("user_id"), col("action_id"),
+        col("trigger_id"), col("a_ts"), col("t_ts"))
+  }
+
   def sessionize(spark: SparkSession, events: Dataset[Event],
                  gapSec: Long = 1800): Dataset[Session] = {
     import spark.implicits._

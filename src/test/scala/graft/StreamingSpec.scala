@@ -77,6 +77,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution joins actions to in-horizon triggers only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val triggers = MemoryStream[Event]
+    val actions = MemoryStream[Event]
+    val q = EventsStream.attribution(triggers.toDF(), actions.toDF(),
+      horizon = "10 minutes")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      triggers.addData(
+        Event(101, ts(0), 1, "impression", 0.0),   // 12 min before: outside
+        Event(102, ts(8), 1, "impression", 0.0),   // 4 min before: inside
+        Event(103, ts(9), 2, "impression", 0.0))   // other user: no match
+      actions.addData(Event(201, ts(12), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "action_id", "trigger_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 201L, 102L)),
+        "exactly the same-user trigger within the 10-minute horizon")
+    } finally q.stop()
+  }
+
   test("streaming hourly counts agree with the batch q30 on testdata") {
     // batch semantics = streaming semantics with all data in one batch
     import spark.implicits._
