@@ -114,22 +114,33 @@ object Extra {
     },
 
     // ----- window frames + offsets + ntile -------------------------------
+    // Window order note: the synthetic data does NOT keep
+    // (l_orderkey, l_linenumber) unique (118k duplicate pairs at
+    // sf0.1), so the order extends into every column the outputs
+    // depend on (quantity, extendedprice, discount) — rows still tied
+    // then have identical windowed outputs, making the result a
+    // deterministic multiset on both engines.
     Q("q39_window_frames",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  l_extendedprice * (1 - l_discount) AS revenue,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |          l_quantity, l_extendedprice, l_discount
         |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
         |  lag(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      l_quantity, l_extendedprice, l_discount) AS prev_qty,
         |  lead(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty,
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      l_quantity, l_extendedprice, l_discount) AS next_qty,
         |  CAST(ntile(4) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS quartile
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |      l_quantity, l_extendedprice, l_discount) AS BIGINT) AS quartile
         |FROM lineitem""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
       Tables(s, dir, "lineitem").select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
