@@ -136,6 +136,18 @@ object TextAnalysis {
         count(lit(1)).as("n_distinct"),
         max(col("__cnt")).as("top_count"))
 
+  /** Canonical text normalization — the pass every training corpus
+    * takes before tokenization/dedup: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Patterns stay
+    * inside the regex subset Java and RE2 agree on, so the operator is
+    * exactly oracle-checkable. Per-row, codegen'd, no shuffle.
+    */
+  def normalize(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
+        " +", " ")).as("norm_text"))
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = withWords(df, textCol)
       .withColumn("__sh", expr(Text.shinglesExpr("__ws")))

@@ -295,6 +295,15 @@ object Pipeline {
       TextAnalysis.topTerms(Tables(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // ----- canonical text normalization ----------------------------------
+    Q("qt08_normalize",
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '',
+        |    'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.normalize(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
     // ----- repetition profile (duplicate-bigram quality signal) ----------
     Q("qt07_repetition",
       s"""WITH w AS ($wCte),
