@@ -341,5 +341,61 @@ object Extra {
         .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
           .as("median_price"))
     },
+
+    // ----- sketch-bound gates: the approximates made measurable ----------
+    // Same pattern as the qs05/qs06 ANN-recall gates: the Spark side
+    // computes the sketch AND the exact value in one plan and emits only
+    // the deterministic bound verdict; the oracle states the expected
+    // verdict. The verdicts are order-independent (HLL register merges
+    // are max-based; the quantile/heavy-hitter bounds hold for ANY merge
+    // order by construction), so a broken sketch — and only a broken
+    // sketch — flips a boolean and hash-mismatches.
+    Q("q48_approx_distinct_bound",
+      """SELECT l_returnflag, TRUE AS within_5pct FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        // rsd 0.01: the 5% verdict band is then ~5 sigma of sketch
+        // error — comfortably deterministic, never flaky
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+          countDistinct(col("l_orderkey")).as("exact"))
+        .select(col("l_returnflag"),
+          (abs(col("approx") - col("exact")) <=
+            col("exact").cast("double") * 0.05).as("within_5pct"))
+    },
+
+    Q("q49_approx_percentile_bound",
+      """SELECT o_orderpriority, TRUE AS within_rank_band FROM orders
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("approx"),
+          expr("percentile(o_totalprice, 0.45)").as("lo"),
+          expr("percentile(o_totalprice, 0.55)").as("hi"))
+        .select(col("o_orderpriority"),
+          (col("approx") >= col("lo") && col("approx") <= col("hi"))
+            .as("within_rank_band"))
+    },
+
+    // SpaceSaving guarantees: every reported count overestimates the
+    // true count by at most n/capacity, for any merge order.
+    Q("qa03_heavy_hitters_bound",
+      """SELECT CAST(10 AS BIGINT) AS n_hitters, TRUE AS all_overestimate,
+        |  TRUE AS all_error_bounded""".stripMargin) { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(explode(expr(graft.functions.Text.wordsExpr("text"))).as("w"))
+      val hh = words
+        .agg(graft.functions.Text.spaceSavingTopK(col("w"), 64, 10).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.value").as("w"), col("e.est").as("est"))
+      val exact = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val total = words.agg(count(lit(1)).as("n"))
+      hh.join(exact, "w").crossJoin(total)
+        .agg(count(lit(1)).as("n_hitters"),
+          expr("bool_and(est >= cnt)").as("all_overestimate"),
+          expr("bool_and(est - cnt <= n / 64.0)").as("all_error_bounded"))
+    },
   )
 }
