@@ -22,6 +22,21 @@ object SparkEntry {
   private def queries_extra: Seq[Q] = Seq(
     Q("q27_date_dim", etl.DateDim.oracleSql()) { (s, _) =>
       etl.DateDim.build(s)
+    },
+
+    // JSON-lines source: declared-schema scan vs DuckDB read_json over
+    // the same fixture file (text->typed parsing of longs, doubles,
+    // arrays, nested structs, hash-verified cross-engine)
+    Q("qj01_jsonl_scan",
+      s"""SELECT id, name, score, nested.k AS k, len(tags) AS n_tags
+         |FROM read_json('${sources.Jsonl.path}',
+         |  format='newline_delimited',
+         |  columns={'id': 'BIGINT', 'name': 'VARCHAR', 'score': 'DOUBLE',
+         |    'tags': 'VARCHAR[]',
+         |    'nested': 'STRUCT(k BIGINT)'})""".stripMargin) { (s, _) =>
+      sources.Jsonl.read(s).select(col("id"), col("name"), col("score"),
+        col("nested.k").as("k"),
+        size(col("tags")).cast("long").as("n_tags"))
     }
   )
 
