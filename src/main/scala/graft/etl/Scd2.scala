@@ -33,7 +33,13 @@ object Scd2 {
 
   /** @param current  dimension state: `keyCol`, `tracked` attributes,
     *                 effective_date, expiration_date, current_row_ind
-    * @param updates  source batch: `keyCol` + `tracked` attributes
+    * @param updates  source batch: `keyCol` + `tracked` attributes.
+    *                 PRECONDITION: at most one row per business key —
+    *                 a batch carrying two versions of the same key
+    *                 would close the open row twice and emit two open
+    *                 versions. A CDC feed folds to last-per-key before
+    *                 merging (it has the in-band ordering to do so;
+    *                 this operator has none to fold by).
     * @param asOf     the batch's effective date (yyyy-MM-dd)
     */
   def merge(current: DataFrame, updates: DataFrame, keyCol: String,
