@@ -384,6 +384,26 @@ object Extra {
             .as("within_rank_band"))
     },
 
+    // ----- interval-join attribution (batch twin of the stream-stream
+    // join) — the SAME EventsStream.attribution code runs here on batch
+    // frames (watermarks no-op in batch), so the streaming operator's
+    // join semantics get a DuckDB oracle. Equi on user_id + time-range
+    // filter: per-user event runs are bounded, so the hash join holds
+    // at scale.
+    Q("q50_attribution",
+      """SELECT a.user_id, a.event_id AS action_id, t.event_id AS trigger_id,
+        |  a.ts AS a_ts, t.ts AS t_ts
+        |FROM events a JOIN events t ON a.user_id = t.user_id
+        |  AND t.ts <= a.ts AND t.ts >= a.ts - INTERVAL 10 MINUTE
+        |WHERE a.event_type = 'purchase' AND t.event_type = 'click'""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        graft.streaming.EventsStream.attribution(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"),
+          horizon = "10 minutes")
+    },
+
     // SpaceSaving guarantees: every reported count overestimates the
     // true count by at most n/capacity, for any merge order.
     Q("qa03_heavy_hitters_bound",
