@@ -85,6 +85,24 @@ class CurationSpec extends SparkSpec {
     assert(!chunks.exists(_._1 == 3L))
   }
 
+  test("zero-overlap chunks reconstruct every document exactly") {
+    import spark.implicits._
+    val chunks = Curation.chunkDocs(docs, "doc_id", "text",
+      chunkTokens = 32, overlap = 0)
+    // stitching chunk texts back in order must equal the whitespace-
+    // normalized document for every doc in the corpus
+    val stitched = chunks
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(
+        struct(col("chunk_idx"), col("chunk_text")))).getField("chunk_text"))
+        .as("rebuilt"))
+    val original = docs.select(col("doc_id"),
+      concat_ws(" ", expr(graft.functions.Text.wordsExpr("text"))).as("norm"))
+    val diff = stitched.join(original, "doc_id")
+      .filter(col("rebuilt") =!= col("norm")).count()
+    assert(diff == 0, "chunking must lose or reorder no tokens")
+  }
+
   test("contamination counts shingle overlap against the eval set exactly") {
     import spark.implicits._
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta" +
