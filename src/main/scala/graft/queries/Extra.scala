@@ -342,6 +342,20 @@ object Extra {
           .as("median_price"))
     },
 
+    // ----- exact interpolated median -------------------------------------
+    // Hash-exact cross-engine because l_quantity is integer-valued: the
+    // midpoint of two small integers is exact in IEEE double under
+    // either engine's interpolation formula. (Medians of arbitrary
+    // doubles would differ in final ulps between a+(b-a)*f and
+    // (1-f)*a+f*b — integer-valued columns erase that.)
+    Q("q51_exact_median",
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"))
+    },
+
     // ----- sketch-bound gates: the approximates made measurable ----------
     // Same pattern as the qs05/qs06 ANN-recall gates: the Spark side
     // computes the sketch AND the exact value in one plan and emits only
