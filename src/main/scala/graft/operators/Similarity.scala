@@ -118,4 +118,19 @@ object Similarity {
         col("query_id") === col("qid") && col("neighbor_id") === col("nid"),
         "left")
       .groupBy("query_id").agg(count(col("nid")).as("hits"))
+
+  /** Per-label embedding centroids in exploded (label, pos, m) form —
+    * the element-wise exact mean that class-centroid classifiers and
+    * IVF-style training build on. One posexplode (narrow) plus one
+    * partial-agg shuffle on (label, pos); sums go through
+    * DECIMAL(25,6) so the mean is bit-identical at any partitioning.
+    * Reassemble with sort_array(collect_list(struct(pos, m))) when an
+    * array-shaped centroid is needed.
+    */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos").cast(LongType).as("pos"))
+      .agg((sum(col("x").cast(graft.functions.Exact.Dec)).cast("double") /
+        count(lit(1))).as("m"))
 }

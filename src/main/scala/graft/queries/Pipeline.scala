@@ -390,6 +390,18 @@ object Pipeline {
       Curation.contamination(train, evalSet, "doc_id", "text", n = 8)
     },
 
+    // ----- per-label embedding centroids (element-wise exact mean) -------
+    Q("qs07_label_centroids",
+      """WITH e AS (SELECT label, unnest(embedding) AS x,
+        |                  generate_subscripts(embedding, 1) - 1 AS pos
+        |           FROM embeddings)
+        |SELECT label, CAST(pos AS BIGINT) AS pos,
+        |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+        |    / COUNT(*) AS m
+        |FROM e GROUP BY label, pos""".stripMargin) { (s, dir) =>
+      Similarity.centroids(Tables(s, dir, "embeddings"), "label", "embedding")
+    },
+
     // ----- multimodal metadata plumbing (stub decode) --------------------
     Q("qm01_multimodal_meta",
       s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)
