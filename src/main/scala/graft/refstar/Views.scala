@@ -229,7 +229,19 @@ object Views {
     * the sales fact restricted to stores 5 and 8 with store + date
     * attributes attached.
     */
-  private def store58Base(spark: SparkSession, dateCols: Seq[String]): DataFrame = {
+  /** Year-restricted sales-fact scan: `YEAR` on dim_date equals the
+    * fact's `SaleYear` partition (both derive from the same yyyyMMdd
+    * key), so a view whose dim-side filter is `YEAR IN (years)` can
+    * push the SAME restriction onto the fact's partition column and
+    * prune non-matching years at the file-listing level — at 100× this
+    * is the difference between reading two years and the full history.
+    * PlanChecksSpec asserts the resulting PartitionFilters.
+    */
+  private def factForYears(spark: SparkSession, years: Seq[Int]): DataFrame =
+    Warehouse.factSalesForYears(spark, years)
+
+  private def store58Base(spark: SparkSession, dateCols: Seq[String],
+                          years: Seq[Int] = Nil): DataFrame = {
     val s = t(spark, "dim_store").select(
       col("DimStoreID").as("__s_id"), col("DimLocationID").as("__s_loc"),
       col("StoreNumber"), col("StoreName"))
@@ -237,7 +249,8 @@ object Views {
       col("State_Province").as("StoreState"))
     val d = t(spark, "dim_date")
       .select(col("DATE_PKEY").as("__d_key") +: dateCols.map(col): _*)
-    t(spark, "fact_salesactual")
+    (if (years.isEmpty) t(spark, "fact_salesactual")
+     else factForYears(spark, years))
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(sl, col("__s_loc") === col("__sl_id"))
       .join(d, col("DimSaleDateID") === col("__d_key"))
@@ -289,7 +302,7 @@ object Views {
       col("DATE_PKEY").as("__d_key"), col("YEAR"))
     val w = Window.partitionBy(col("YEAR"), col("ProductType"))
 
-    val grouped = t(spark, "fact_salesactual")
+    val grouped = factForYears(spark, Seq(2013, 2014))
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(sl, col("__s_loc") === col("__sl_id"))
       .join(p, col("DimProductID") === col("__p_id"))
@@ -339,7 +352,8 @@ object Views {
     val w = Window.partitionBy(col("StoreNumber"), col("YEAR"))
     val winSales = sum(col("__amt_dec")).over(w).cast("double")
     val avgDaily = winSales / count(lit(1)).over(w)
-    store58Base(spark, Seq("DAY_NAME", "DAY_NUM_IN_WEEK", "WEEKDAY_IND", "YEAR"))
+    store58Base(spark, Seq("DAY_NAME", "DAY_NUM_IN_WEEK", "WEEKDAY_IND", "YEAR"),
+      years = Seq(2013, 2014))
       .filter(col("YEAR").isin(2013, 2014))
       .groupBy("StoreNumber", "StoreName", "DAY_NAME", "DAY_NUM_IN_WEEK",
         "WEEKDAY_IND", "YEAR")
@@ -393,7 +407,7 @@ object Views {
     val d = t(spark, "dim_date").select(
       col("DATE_PKEY").as("__d_key"), col("YEAR"))
 
-    val statePerf = t(spark, "fact_salesactual")
+    val statePerf = factForYears(spark, Seq(2013, 2014))
       .join(s, col("DimStoreID") === col("__s_id"))
       .join(loc, col("__s_loc") === col("__l_id"))
       .join(d, col("DimSaleDateID") === col("__d_key"))

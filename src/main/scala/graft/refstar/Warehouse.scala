@@ -3,7 +3,7 @@ package graft.refstar
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, floor}
 
 /** The materialized star — the reference's core architecture, which the
   * lazy `RefStar` recipes alone do not reproduce: the reference *persists*
@@ -101,6 +101,28 @@ object Warehouse {
 
   def path(table: String): String = s"$root/$table"
 
+  /** Partition column of `fact_salesactual`: the sale year, derived from
+    * the yyyyMMdd `DimSaleDateID` at write time and stripped again on
+    * every read (`table` drops it), so downstream schemas are unchanged.
+    * The fact is the ONLY unbounded star table; at 100× the year-filtered
+    * views (reference rahil/create_views.py:356,413 `YEAR IN (2013,2014)`)
+    * must prune whole years at the file-listing level, not scan the full
+    * history — `factSalesForYears` is the pruned entry point.
+    */
+  val FactYearCol = "SaleYear"
+
+  /** The sales fact restricted to `years` via the partition column, so
+    * the scan carries PartitionFilters (asserted in PlanChecksSpec) and
+    * skips every other year's files before reading a byte. Returns the
+    * same 14-column schema as `table(_, "fact_salesactual")`.
+    */
+  def factSalesForYears(spark: SparkSession, years: Seq[Int]): DataFrame = {
+    ensure(spark)
+    spark.read.parquet(path("fact_salesactual"))
+      .filter(col(FactYearCol).isin(years: _*))
+      .drop(FactYearCol)
+  }
+
   case class Step(name: String, rows: Long, seconds: Double)
 
   @volatile private var memo: Option[Seq[Step]] = None
@@ -116,7 +138,8 @@ object Warehouse {
     */
   def table(spark: SparkSession, name: String): DataFrame = {
     ensure(spark)
-    spark.read.parquet(path(name))
+    // the fact's partition column is storage layout, not star schema
+    spark.read.parquet(path(name)).drop(FactYearCol)
   }
 
   /** Build the warehouse if absent/stale; return the per-step accounting
@@ -168,9 +191,12 @@ object Warehouse {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
 
-    def write(name: String, df: DataFrame): DataFrame = {
+    def write(name: String, df: DataFrame,
+              partitionCols: Seq[String] = Nil): DataFrame = {
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(path(name))
+      val w = df.write.mode("overwrite")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(path(name))
       val back = spark.read.parquet(path(name))
       val n = back.count()
       steps.synchronized {
@@ -214,12 +240,18 @@ object Warehouse {
       val header = spark.read.parquet(path("stg_salesheader"))
         .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
           col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
+      // the sales fact is written DATE-PARTITIONED by derived year: each
+      // write task emits one file per year it holds (no extra shuffle in
+      // the timed build), and year-filtered views prune at listing time
       wave(Seq(
         () => write("fact_salesactual",
           RefStar.resolveFact(
             detail.join(header, col("SALESHEADERID") === col("__h_hid"))
               .drop("__h_hid"),
-            product, store, customer, reseller, channel)),
+            product, store, customer, reseller, channel)
+            .withColumn(FactYearCol,
+              floor(col("DimSaleDateID") / 10000L).cast("int")),
+          partitionCols = Seq(FactYearCol)),
         () => write("fact_productsalestarget",
           RefStar.factProductSalesTarget(spark, product)),
         () => write("fact_srcsalestarget",

@@ -167,12 +167,16 @@ object RefStarRunner {
       }
     }
 
-    // register star tables under the dimension database
+    // register star tables under the dimension database; the sales fact
+    // is date-partitioned on disk, so its external table needs its
+    // partition metadata recovered before the catalog serves any rows
     (Warehouse.DimTables ++ Warehouse.FactTables).foreach { tbl =>
       step(s"register_$DimensionDb.$tbl") {
         spark.sql(s"DROP TABLE IF EXISTS $DimensionDb.$tbl")
         spark.sql(s"CREATE TABLE $DimensionDb.$tbl USING parquet " +
           s"LOCATION '${Warehouse.path(tbl)}'")
+        if (tbl == "fact_salesactual")
+          spark.sql(s"ALTER TABLE $DimensionDb.$tbl RECOVER PARTITIONS")
         spark.table(s"$DimensionDb.$tbl").count()
       }
     }

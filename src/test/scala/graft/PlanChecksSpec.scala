@@ -161,6 +161,22 @@ class PlanChecksSpec extends SparkSpec {
         "shuffle the whole corpus for a per-row operation")
   }
 
+  test("year-filtered views prune the date-partitioned fact at the " +
+    "listing level (qv06)") {
+    // fact_salesactual is written partitionBy(SaleYear); the view's
+    // YEAR IN (2013,2014) restriction must surface as PartitionFilters
+    // on the fact scan — at 100× this skips every other year's files
+    // before reading a byte, instead of scanning the full history.
+    val s = planString(q("qv06_store58_dayofweek"))
+    val factScan = s.linesIterator.find(l =>
+      l.contains("PartitionFilters: [") && l.contains("SaleYear"))
+    assert(factScan.isDefined,
+      s"expected a fact scan with SaleYear PartitionFilters in:\n${s.take(3000)}")
+    assert(factScan.get.contains("dynamicpruning") ||
+      factScan.get.matches(".*SaleYear.*(IN|isin|2013).*"),
+      s"PartitionFilters must carry the year restriction: ${factScan.get}")
+  }
+
   test("decontamination joins on the shingle, never all-pairs (qd07)") {
     val nodes = collectAll(executed(q("qd07_decontaminate")))
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
