@@ -17,8 +17,8 @@ import graft.functions.Text
   * scans, centroids live on the driver — they are tiny); search is an
   * equi-join corpus-cell ⋈ query-probe — no cross join anywhere.
   * Deterministic: centroids initialize from the first k vectors by id
-  * and Lloyd iterations are exact averages, so results are reproducible
-  * run to run (tested in IvfSpec).
+  * and Lloyd means run through DECIMAL(25,6), so centroids are
+  * bit-identical at any input partitioning (tested in IvfSpec).
   */
 object Ivf {
 
@@ -52,9 +52,15 @@ object Ivf {
     for (_ <- 1 to iters) {
       val assigned = data.withColumn("cid", assignExpr("v", "nrm", centroids))
       val dim = centroids.head.length
+      // means through DECIMAL(25,6) (same move as Similarity.centroids):
+      // plain double avg is partition-order-dependent in the last ulp,
+      // so centroids — and the qs06 recall gate built on them — would
+      // depend on how the corpus happens to be partitioned
       val means = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos").agg(avg("x").as("m"))
+        .groupBy("cid", "pos")
+        .agg((sum(col("x").cast(graft.functions.Exact.Dec)).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m"))).as("mm"))
         .collect()

@@ -14,6 +14,17 @@ class IvfSpec extends SparkSpec {
     assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("IVF centroids are bit-identical across input partitionings") {
+    // Lloyd means run through DECIMAL(25,6); plain double avg would be
+    // partition-order-dependent in the last ulp and make the qs06
+    // recall gate a function of the physical layout
+    val m1 = Ivf.train(spark, emb.repartition(1), "vec_id", "embedding",
+      k = 8, iters = 2)
+    val m2 = Ivf.train(spark, emb.repartition(7, col("vec_id")), "vec_id",
+      "embedding", k = 8, iters = 2)
+    assert(m1.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
   test("IVF search recall vs brute force is reasonable") {
     val q = emb.filter(col("vec_id") % 50 === 0)
     val k = 10
