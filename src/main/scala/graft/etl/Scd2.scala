@@ -37,11 +37,33 @@ object Scd2 {
     *                 PRECONDITION: at most one row per business key —
     *                 a batch carrying two versions of the same key
     *                 would close the open row twice and emit two open
-    *                 versions. A CDC feed folds to last-per-key before
-    *                 merging (it has the in-band ordering to do so;
-    *                 this operator has none to fold by).
+    *                 versions. A CDC feed folds to last-per-key FIRST
+    *                 via `foldCdc(batch, key, orderCol)` (the feed has
+    *                 the in-band ordering to fold by; this operator has
+    *                 none).
     * @param asOf     the batch's effective date (yyyy-MM-dd)
     */
+  /** Fold a CDC batch to its LAST version per business key — the
+    * preparation `merge`'s one-row-per-key precondition prescribes. A
+    * CDC feed has in-band ordering (an LSN, an offset, a change
+    * timestamp); `orderCol` names it. Within one merge interval only
+    * the final state matters — intermediate versions never become
+    * dimension rows (they were superseded inside the batch), which is
+    * standard warehouse CDC-compaction semantics. One partial-agg
+    * shuffle on the key (max_by), no window sort.
+    *
+    * Ties on `orderCol` are broken by the largest tracked-attribute
+    * tuple, so the fold is deterministic even on a sloppy feed.
+    */
+  def foldCdc(batch: DataFrame, keyCol: String, orderCol: String): DataFrame = {
+    val payload = batch.columns.filter(_ != keyCol)
+    val ord = struct(col(orderCol) +:
+      payload.filterNot(_ == orderCol).map(col): _*)
+    batch.groupBy(col(keyCol))
+      .agg(max_by(struct(payload.map(col): _*), ord).as("__last"))
+      .select(col(keyCol) +: payload.map(c => col(s"__last.$c")): _*)
+  }
+
   def merge(current: DataFrame, updates: DataFrame, keyCol: String,
             tracked: Seq[String], asOf: String): DataFrame = {
     val meta = Seq("effective_date", "expiration_date", "current_row_ind")

@@ -93,42 +93,32 @@ object RefStarQueries {
     // dimension directly from the merge semantics — closed prior
     // versions, fresh open versions, untouched others — rather than
     // re-running the operator.
-    Q("qr13_dim_store_scd2",
-      over("""SELECT StoreID, StoreName, StoreNumber, StoreManager,
-             |  DimLocationID, DATE '2013-01-01' AS effective_date,
-             |  DATE '9999-12-31' AS expiration_date, 'Y' AS current_row_ind
-             |FROM dim_store WHERE StoreNumber NOT IN ('5', '8')
-             |UNION ALL
-             |SELECT StoreID, StoreName, StoreNumber, StoreManager,
-             |  DimLocationID, DATE '2013-01-01', DATE '2014-06-01', 'N'
-             |FROM dim_store WHERE StoreNumber IN ('5', '8')
-             |UNION ALL
-             |SELECT StoreID, StoreName, StoreNumber, StoreManager || ' Jr.',
-             |  DimLocationID, DATE '2014-06-01', DATE '9999-12-31', 'Y'
-             |FROM dim_store WHERE StoreNumber IN ('5', '8')
-             |UNION ALL
-             |SELECT CAST(999 AS BIGINT), 'Store 99', '99', 'New Manager',
-             |  CAST(1 AS BIGINT), DATE '2014-06-01', DATE '9999-12-31',
-             |  'Y'""".stripMargin)) { (s, _) =>
+    Q("qr13_dim_store_scd2", scd2StoreOracle) { (s, _) =>
+      val (cur, upd) = scd2StoreInputs(s)
+      graft.etl.Scd2.merge(cur, upd, "StoreID",
+        Seq("StoreName", "StoreNumber", "StoreManager", "DimLocationID"),
+        "2014-06-01")
+    },
+
+    // CDC-fold twin of qr13: the same update batch arrives as a
+    // MULTI-VERSION CDC feed (an intermediate ' Sr.' manager version
+    // before the final ' Jr.' one, ordered by LSN). foldCdc compacts
+    // to last-per-key, so the merge — and the oracle — are identical
+    // to qr13's: intermediate versions never become dimension rows.
+    Q("qr14_dim_store_cdc_fold", scd2StoreOracle) { (s, _) =>
       import org.apache.spark.sql.functions._
+      val (cur, upd) = scd2StoreInputs(s)
       val base = Warehouse.table(s, "dim_store")
-      val cur = base
-        .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
-          col("StoreManager"), col("DimLocationID"))
-        .withColumn("effective_date", to_date(lit("2013-01-01")))
-        .withColumn("expiration_date", to_date(lit(graft.etl.Scd2.OpenEnd)))
-        .withColumn("current_row_ind", lit("Y"))
-      val upd = base.filter(col("StoreID") =!= -1L)
+      val v1 = base.filter(col("StoreID") =!= -1L)
         .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
           when(col("StoreNumber").isin("5", "8"),
-            concat(col("StoreManager"), lit(" Jr.")))
+            concat(col("StoreManager"), lit(" Sr.")))
             .otherwise(col("StoreManager")).as("StoreManager"),
           col("DimLocationID"))
-        .unionByName(s.range(1).select(
-          lit(999L).as("StoreID"), lit("Store 99").as("StoreName"),
-          lit("99").as("StoreNumber"), lit("New Manager").as("StoreManager"),
-          lit(1L).as("DimLocationID")))
-      graft.etl.Scd2.merge(cur, upd, "StoreID",
+        .withColumn("lsn", lit(1L))
+      val cdc = v1.unionByName(upd.withColumn("lsn", lit(2L)))
+      val folded = graft.etl.Scd2.foldCdc(cdc, "StoreID", "lsn").drop("lsn")
+      graft.etl.Scd2.merge(cur, folded, "StoreID",
         Seq("StoreName", "StoreNumber", "StoreManager", "DimLocationID"),
         "2014-06-01")
     },
@@ -166,6 +156,56 @@ object RefStarQueries {
       (s, _) => Views.multiStoreVsSingleStore(s)
     },
   )
+
+  /** The expected post-merge dim_store, stated directly from the SCD2
+    * merge semantics (closed prior versions for stores 5/8, fresh open
+    * versions, one brand-new store, untouched others) — shared by qr13
+    * (clean one-row-per-key batch) and qr14 (multi-version CDC feed,
+    * compacted by foldCdc to the same batch).
+    */
+  private def scd2StoreOracle: String =
+    over("""SELECT StoreID, StoreName, StoreNumber, StoreManager,
+           |  DimLocationID, DATE '2013-01-01' AS effective_date,
+           |  DATE '9999-12-31' AS expiration_date, 'Y' AS current_row_ind
+           |FROM dim_store WHERE StoreNumber NOT IN ('5', '8')
+           |UNION ALL
+           |SELECT StoreID, StoreName, StoreNumber, StoreManager,
+           |  DimLocationID, DATE '2013-01-01', DATE '2014-06-01', 'N'
+           |FROM dim_store WHERE StoreNumber IN ('5', '8')
+           |UNION ALL
+           |SELECT StoreID, StoreName, StoreNumber, StoreManager || ' Jr.',
+           |  DimLocationID, DATE '2014-06-01', DATE '9999-12-31', 'Y'
+           |FROM dim_store WHERE StoreNumber IN ('5', '8')
+           |UNION ALL
+           |SELECT CAST(999 AS BIGINT), 'Store 99', '99', 'New Manager',
+           |  CAST(1 AS BIGINT), DATE '2014-06-01', DATE '9999-12-31',
+           |  'Y'""".stripMargin)
+
+  /** (current dimension state, clean last-per-key update batch) for the
+    * qr13/qr14 store SCD2 scenario.
+    */
+  private def scd2StoreInputs(s: org.apache.spark.sql.SparkSession)
+  : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val base = Warehouse.table(s, "dim_store")
+    val cur = base
+      .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
+        col("StoreManager"), col("DimLocationID"))
+      .withColumn("effective_date", to_date(lit("2013-01-01")))
+      .withColumn("expiration_date", to_date(lit(graft.etl.Scd2.OpenEnd)))
+      .withColumn("current_row_ind", lit("Y"))
+    val upd = base.filter(col("StoreID") =!= -1L)
+      .select(col("StoreID"), col("StoreName"), col("StoreNumber"),
+        when(col("StoreNumber").isin("5", "8"),
+          concat(col("StoreManager"), lit(" Jr.")))
+          .otherwise(col("StoreManager")).as("StoreManager"),
+        col("DimLocationID"))
+      .unionByName(s.range(1).select(
+        lit(999L).as("StoreID"), lit("Store 99").as("StoreName"),
+        lit("99").as("StoreNumber"), lit("New Manager").as("StoreManager"),
+        lit(1L).as("DimLocationID")))
+    (cur, upd)
+  }
 
   /** Referenced so the staging entity list stays honest at compile time. */
   private val entityCount = Staging.schemas.size

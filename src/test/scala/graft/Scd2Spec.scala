@@ -59,4 +59,49 @@ class Scd2Spec extends SparkSpec {
     }
     assert(joins.size == 1, s"expected exactly one join, got ${joins.size}")
   }
+
+  test("foldCdc reduces a multi-version CDC batch so merge emits exactly " +
+    "one closed + one open row per changed key") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "Ann", "A", d("2020-01-01"), d("9999-12-31"), "Y"),
+      (2L, "Bo", "B", d("2020-01-01"), d("9999-12-31"), "Y"))
+      .toDF("k", "name", "segment", "effective_date", "expiration_date",
+        "current_row_ind")
+    // key 1 changes TWICE in the batch; key 3 is inserted then updated
+    val cdc = Seq(
+      (1L, "Ann", "X", 10L),
+      (1L, "Ann", "Z", 20L),   // final state for key 1
+      (3L, "New", "N0", 5L),
+      (3L, "New", "N1", 6L))   // final state for key 3
+      .toDF("k", "name", "segment", "lsn")
+
+    val folded = Scd2.foldCdc(cdc, "k", "lsn").drop("lsn")
+    assert(folded.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ==
+      Set((1L, "Ann", "Z"), (3L, "New", "N1")))
+
+    val out = Scd2.merge(current, folded, "k", Seq("name", "segment"),
+      "2024-06-01")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getDate(3).toString, r.getDate(4).toString,
+      r.getString(5))).toSet
+    // exactly one closed + one open row for key 1 — the intermediate
+    // "X" version never becomes a dimension row
+    assert(rows == Set(
+      (1L, "Ann", "A", "2020-01-01", "2024-06-01", "N"),
+      (1L, "Ann", "Z", "2024-06-01", "9999-12-31", "Y"),
+      (2L, "Bo", "B", "2020-01-01", "9999-12-31", "Y"),
+      (3L, "New", "N1", "2024-06-01", "9999-12-31", "Y")))
+  }
+
+  test("foldCdc breaks order ties deterministically") {
+    import spark.implicits._
+    val cdc = Seq((1L, "b", 1L), (1L, "a", 1L), (1L, "c", 1L))
+      .toDF("k", "v", "lsn")
+    // same lsn: largest payload tuple wins, independent of partitioning
+    val f1 = Scd2.foldCdc(cdc.repartition(1), "k", "lsn").collect().toSeq
+    val f3 = Scd2.foldCdc(cdc.repartition(3), "k", "lsn").collect().toSeq
+    assert(f1 == f3 && f1.head.getString(1) == "c")
+  }
 }
