@@ -150,14 +150,24 @@ object Dedup {
     * cluster label isn't its own id, transitively: A~B and B~C dedup to
     * A even when A~C was never a candidate pair).
     *
-    * Iterative min-label propagation: each round every node takes the
-    * min of its own label and its neighbors' labels; one equi-shuffle
-    * join + partial-agg group-by per round, converging in <= graph
-    * diameter rounds (near-dup clusters are small and dense, so a
-    * handful). No driver-side graph structure — the driver sees only a
-    * scalar convergence count per round; labels are localCheckpoint'ed
-    * between rounds so the plan doesn't grow with iterations. Nodes in
-    * no qualifying pair are not emitted (they are their own cluster).
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * every node takes the min of its own label, its neighbors' labels,
+    * and its label's label (one extra equi-join that follows the label
+    * forest one hop through the round's already-improved labels — label
+    * depth roughly DOUBLES per round, so a diameter-d graph converges
+    * in O(log d) rounds, not d: a 1000-node path needs ~12 rounds,
+    * spec-tested, where plain propagation needs 999). Two equi-shuffle
+    * joins + one partial-agg group-by per round. No driver-side graph
+    * structure — the driver sees only a scalar convergence count per
+    * round; labels are checkpointed between rounds so the plan doesn't
+    * grow with iterations. Nodes in no qualifying pair are not emitted
+    * (they are their own cluster).
+    *
+    * `maxRounds` is a loud backstop, not a tuning knob: with doubling,
+    * 64 rounds covers any physically possible diameter, so hitting the
+    * cap means the input is pathological (e.g. label churn from a
+    * non-deterministic pair source) and silent truncation would emit
+    * WRONG clusters — it throws instead.
     *
     * Durability: by default rounds are localCheckpoint'ed — blocks live
     * on executors and die with them, fine for short loops on a healthy
@@ -166,10 +176,15 @@ object Dedup {
     * use reliable `df.checkpoint()` instead: each round's labels are
     * persisted to the checkpoint dir, so an executor loss mid-loop
     * recomputes from the last round's files rather than from the raw
-    * pair graph. The algorithm is unchanged.
+    * pair graph. The algorithm is unchanged. NOTE: checkpoint files
+    * accumulate for the app's lifetime unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set —
+    * the O(log d) round bound keeps that to a few dozen bounded label
+    * snapshots, but long-running apps should set the config.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          maxRounds: Int = 64): DataFrame = {
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -178,14 +193,29 @@ object Dedup {
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node")))
     var converged = false
+    var round = 0
     while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds — " +
+            "pathological input (non-deterministic pairs?); refusing to " +
+            "emit possibly-wrong clusters")
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "__n"), col("dst") === col("__n"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = ckpt(labels
+      val prop = labels
         .join(neighborMin, col("node") === col("src"), "left")
         .select(col("node"), col("lbl"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl2")))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
+      // pointer jumping: follow the label one hop through the ROUND'S
+      // improved labels (every label is a node id of the same
+      // component, so taking the min stays in-component)
+      val hop = prop.select(col("node").as("__jn"), col("lbl1").as("__jl"))
+      val next = ckpt(prop
+        .join(hop, prop("lbl1") === col("__jn"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl1"), coalesce(col("__jl"), col("lbl1"))).as("lbl2")))
       converged = next.filter(col("lbl2") < col("lbl")).isEmpty
       labels = next.select(col("node"), col("lbl2").as("lbl"))
     }

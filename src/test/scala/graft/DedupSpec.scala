@@ -35,6 +35,28 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("a 1000-node path converges in O(log d) rounds under the round cap") {
+    import spark.implicits._
+    // worst-case diameter for min-label propagation: plain propagation
+    // needs 999 rounds; pointer jumping must land well under maxRounds
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+      maxRounds = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 1L),
+      "every path node must label to the minimum node 1")
+  }
+
+  test("the round cap fails loudly instead of emitting truncated clusters") {
+    import spark.implicits._
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxRounds = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("reliable-checkpoint components equal the localCheckpoint variant") {
     import spark.implicits._
     val prior = Option(spark.sparkContext.getCheckpointDir.orNull)
