@@ -53,15 +53,6 @@ object Text {
   def wordsSql(textCol: String): String =
     s"list_filter(string_split($textCol, ' '), w -> w != '')"
 
-  /** Distinct word n-gram shingles from a words-array column.
-    *
-    * Deliberately built as a zip_with-of-slices chain rather than
-    * `transform(sequence(...), i -> element_at(ws, i...))`: after
-    * CollapseProject inlines the words expression, element_at inside a
-    * lambda re-evaluates the whole split/filter once PER ELEMENT
-    * (O(words^2) per row — measured 10x slowdown at sf0.1), while
-    * slices and zip_with evaluate their inputs once per row.
-    */
   /** ALL word n-grams of a words-array column (with multiplicity —
     * repetition analysis needs the duplicates; `shinglesExpr` is the
     * distinct set). Documents shorter than `n` words yield their whole

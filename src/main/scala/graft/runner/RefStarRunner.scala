@@ -96,13 +96,6 @@ object RefStarRunner {
       ("vw_store58dayofweekanalysis", RefStarViewsSql.store58DayOfWeek),
       ("vw_multistorevssinglestoreanalysis", RefStarViewsSql.multiStoreVsSingleStore))
 
-  /** The shared view SQL names star tables bare; the catalog stores
-    * them under the dimension database.
-    */
-  private[graft] def qualify(sql: String): String =
-    sql.replaceAll("""(FROM|JOIN)(\s+)((?:dim_|fact_)\w+)""",
-      s"$$1$$2$DimensionDb.$$3")
-
   /** A Views DataFrame per analytical view (the qv gates' plans), for
     * specs that assert catalog-view ≡ DataFrame equivalence.
     */
@@ -190,10 +183,18 @@ object RefStarRunner {
         spark.table(s"$DimensionDb.$view").count()
       }
     }
+    // The shared view SQL names star tables bare; CREATE VIEW under
+    // USE <DimensionDb> captures that database as the view's resolution
+    // context (Spark stores it with the view), so bare names resolve
+    // through the CATALOG — no text rewriting, and a CTE that happens
+    // to be named dim_*/fact_* still shadows the table, as SQL says it
+    // must (a previous regex-rewrite here would have qualified it).
     AnalyticalViews.foreach { case (view, sql) =>
       step(s"view_$view") {
-        spark.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS " +
-          qualify(sql))
+        val priorDb = spark.catalog.currentDatabase
+        spark.sql(s"USE $DimensionDb")
+        try spark.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS $sql")
+        finally spark.sql(s"USE `$priorDb`")
         spark.table(s"$DimensionDb.$view").count()
       }
     }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.etl.Scd2
@@ -15,36 +15,77 @@ import graft.etl.Scd2
   * Each micro-batch of source updates is merged into the persisted
   * dimension path with `Scd2.merge` inside `foreachBatch` — the
   * micro-batch is the transaction: read current state, merge, write to
-  * a staging path, atomically swap. Dimensions are bounded and
+  * a staging path, swap via renames. Dimensions are bounded and
   * slow-changing, so the full-rewrite-per-batch is the right trade at
   * any scale (the unbounded table is the FACT, which appends —
   * FactIngest — and never rewrites).
   *
-  * Crash safety: if a batch is reprocessed after a failure (the
-  * checkpoint replays it), the merge is IDEMPOTENT — re-applying an
-  * update whose attributes already match the open row is a no-op by
-  * Scd2's null-safe change predicate — so at-least-once replay yields
-  * exactly-once dimension state.
+  * Crash safety, precisely: the swap is write-staging → rename live
+  * aside (`__prev`) → rename staging in → drop `__prev`. Readers can
+  * race only the two metadata renames (not a recursive delete of the
+  * old files, the earlier design's window), and every crash point is
+  * recoverable: `recover` runs before each batch and restores the live
+  * path from `__staging` (which is always COMPLETE whenever the live
+  * path is missing — staging is fully written while the live dimension
+  * still exists) or, failing that, `__prev`. Batch replay after
+  * recovery is IDEMPOTENT — re-applying an update whose attributes
+  * already match the open row is a no-op by Scd2's null-safe change
+  * predicate — so at-least-once replay yields exactly-once dimension
+  * state (spec-tested, incl. kill/restart and crash-window recovery).
+  *
+  * Bootstrap: a first-ever batch against an absent `dimPath` merges
+  * into an empty current state with the batch-derived schema, so the
+  * stream can create the dimension rather than requiring a seed load.
   */
 object DimIngest {
 
+  private def paths(dimPath: String): (Path, Path, Path) =
+    (new Path(dimPath), new Path(dimPath + "__staging"),
+      new Path(dimPath + "__prev"))
+
+  /** Restore `dimPath` after a crash mid-swap. See the crash-safety
+    * contract in the object doc; idempotent, cheap when clean.
+    */
+  def recover(fs: FileSystem, dimPath: String): Unit = {
+    val (dst, staging, prev) = paths(dimPath)
+    if (!fs.exists(dst)) {
+      // a missing live path means the crash hit between the two swap
+      // renames — staging was complete before the swap began
+      if (fs.exists(staging)) {
+        if (!fs.rename(staging, dst))
+          throw new java.io.IOException(s"recover: rename $staging -> $dst failed")
+      } else if (fs.exists(prev)) {
+        if (!fs.rename(prev, dst))
+          throw new java.io.IOException(s"recover: rename $prev -> $dst failed")
+      }
+    }
+    if (fs.exists(dst)) fs.delete(prev, true)
+  }
+
   /** Merge one update batch into the dimension at `dimPath` as of
-    * `asOf`, with an atomic staging-swap so readers never observe a
-    * half-written dimension.
+    * `asOf`, with the recoverable rename swap described on the object.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, dimPath: String,
                  keyCol: String, tracked: Seq[String], asOf: String): Unit = {
-    val cur = spark.read.parquet(dimPath)
-    val merged = Scd2.merge(cur,
-      batch.select((keyCol +: tracked).map(col): _*), keyCol, tracked, asOf)
     val fs = new Path(dimPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dimPath + "__staging")
+    recover(fs, dimPath)
+    val (dst, staging, prev) = paths(dimPath)
+    val cur =
+      if (fs.exists(dst)) spark.read.parquet(dimPath)
+      else // bootstrap: empty current state with the expected schema
+        batch.select((keyCol +: tracked).map(col): _*).limit(0)
+          .withColumn("effective_date", lit(null).cast("date"))
+          .withColumn("expiration_date", lit(null).cast("date"))
+          .withColumn("current_row_ind", lit(null).cast("string"))
+    val merged = Scd2.merge(cur,
+      batch.select((keyCol +: tracked).map(col): _*), keyCol, tracked, asOf)
     merged.write.mode("overwrite").parquet(staging.toString)
-    val dst = new Path(dimPath)
-    fs.delete(dst, true)
+    if (fs.exists(dst) && !fs.rename(dst, prev))
+      throw new java.io.IOException(s"swap: rename $dst aside failed")
     if (!fs.rename(staging, dst))
-      throw new java.io.IOException(s"atomic swap into $dimPath failed")
+      throw new java.io.IOException(s"swap: rename $staging -> $dst failed")
+    fs.delete(prev, true)
   }
 
   /** Start the continuous maintenance stream. `asOfForBatch` maps the

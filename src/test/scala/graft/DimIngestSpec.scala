@@ -77,4 +77,48 @@ class DimIngestSpec extends SparkSpec {
     assert(once.contains((1L, "Zed", "2014-06-01", "9999-12-31", "Y")))
     assert(once.contains((7L, "Eve", "2014-06-01", "9999-12-31", "Y")))
   }
+
+  test("a first-ever batch bootstraps an absent dimension") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dim-boot").toString
+    val dim = s"$tmp/dim" // never seeded
+    val batch = Seq(DimUpd(1L, "Ann"), DimUpd(2L, "Bo")).toDF("k", "manager")
+    DimIngest.applyBatch(spark, batch, dim, "k", Seq("manager"), "2014-01-01")
+    assert(snapshot(dim) == Set(
+      (1L, "Ann", "2014-01-01", "9999-12-31", "Y"),
+      (2L, "Bo", "2014-01-01", "9999-12-31", "Y")))
+  }
+
+  test("recover restores the live path from every crash window") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-dim-crash").toString
+    val dim = s"$tmp/dim"
+    seedDim(dim)
+    val fs = new org.apache.hadoop.fs.Path(dim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dim)
+    val staging = new org.apache.hadoop.fs.Path(dim + "__staging")
+    val prev = new org.apache.hadoop.fs.Path(dim + "__prev")
+
+    // window (b): live renamed aside, complete staging not yet renamed
+    // in — the next batch's recover must promote STAGING (the new state)
+    val upd = Seq(DimUpd(1L, "Zed")).toDF("k", "manager")
+    DimIngest.applyBatch(spark, upd, dim, "k", Seq("manager"), "2014-06-01")
+    val after = snapshot(dim)
+    spark.read.parquet(dim).write.parquet(staging.toString) // staged copy
+    assert(fs.rename(dst, prev)) // simulate crash between the two renames
+    DimIngest.recover(fs, dim)
+    assert(snapshot(dim) == after, "recover must promote the staged state")
+    assert(!fs.exists(prev) && !fs.exists(staging))
+
+    // window (c): swap finished but __prev not dropped — recover drops it
+    assert(fs.mkdirs(prev))
+    DimIngest.recover(fs, dim)
+    assert(snapshot(dim) == after && !fs.exists(prev))
+
+    // degenerate: only __prev survives (no staging) — recover falls back
+    assert(fs.rename(dst, prev))
+    DimIngest.recover(fs, dim)
+    assert(snapshot(dim) == after)
+  }
 }
