@@ -12,9 +12,11 @@ import graft.functions.Text
   *
   * The PNG path is REAL (`decodeImage`/`imageMeta` via the JDK's
   * javax.imageio, gated against a generation-time sidecar oracle —
-  * qm02). Audio/video codecs are STUBBED (`decodeStub` derives
-  * deterministic fake dimensions from the byte content; this
-  * environment has no such libraries), but everything around them —
+  * qm02), and so is the WAV path (`decodeAudio`/`audioMeta` via
+  * javax.sound.sampled — qm03). Video codecs are STUBBED
+  * (`decodeStub` derives deterministic fake dimensions from the byte
+  * content; this environment has no such libraries), but everything
+  * around them —
   * the binary column representation, the batched mapPartitions shape
   * (one decoder init per partition, streamed batches, no collect),
   * the metadata schema — is the real, tested scale path; swapping
@@ -129,6 +131,46 @@ object Multimodal {
       }
     }.select(col("id").as("media_id"), col("width"), col("height"),
       col("channels"), col("n_bytes"))
+  }
+
+  case class AudioMeta(id: Long, n_bytes: Long, sample_rate: Long,
+                       channels: Long, n_frames: Long)
+
+  /** REAL audio decode — WAV via the JDK's `javax.sound.sampled`
+    * (public stack, no external libs; the same zero-dependency move as
+    * the PNG path). Returns (sampleRate, channels, frameLength); the
+    * frame count is the exact integer duration measure, so the gate
+    * stays hash-exact (duration-in-seconds would be a float ratio).
+    */
+  def decodeAudio(bytes: Array[Byte]): (Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      (f.getSampleRate.toLong, f.getChannels.toLong, in.getFrameLength)
+    } finally in.close()
+  }
+
+  /** Decoded metadata for a directory of WAV files — the audio twin of
+    * `imageMeta`: `binaryFile` source, per-partition decode, no
+    * collect. Gated against the generation-time sidecar (qm03).
+    */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (rate, ch, frames) = decodeAudio(bytes)
+        AudioMeta(id, bytes.length.toLong, rate, ch, frames)
+      }
+    }.select(col("id").as("media_id"), col("sample_rate"), col("channels"),
+      col("n_frames"), col("n_bytes"))
   }
 
   /** Column-only mirror of the stub (identical arithmetic, codegen'd via

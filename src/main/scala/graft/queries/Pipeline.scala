@@ -153,24 +153,14 @@ object Pipeline {
           "vec_id", "embedding", k = 10)
     },
 
-    // ----- ANN (approximate — rows-only result gates; QUALITY is gated
-    // by the qs05/qs06 recall twins below, which ARE hash-checkable) ------
+    // ----- ANN recall gates: deterministic, oracle-checkable -------------
+    // Each gate runs the FULL ANN path (LSH / IVF train+search) AND the
+    // exact baseline in one plan — the former rows-only qs03/qs04
+    // result gates were folded in here (round-6 verdict #7): they
+    // carried no signal the recall hash doesn't.
     // Configs tuned against the near-orthogonal synthetic embeddings:
     // LSH 3 planes x 24 tables and IVF 8 cells x 4 probes measured
     // min per-query hits@10 of 6+/4+ across sf0.001..sf0.1.
-    Q.noOracle("qs03_lsh_ann_topk") { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.lshCosineTopK(emb, emb.filter(col("vec_id") % 100 === 0),
-        "vec_id", "embedding", k = 10, planesPerTable = 3, tables = 24)
-    },
-    Q.noOracle("qs04_ivf_ann_topk") { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val model = graft.operators.Ivf.train(s, emb, "vec_id", "embedding", k = 8)
-      graft.operators.Ivf.search(emb, emb.filter(col("vec_id") % 100 === 0),
-        model, "vec_id", "embedding", k = 10, nprobe = 4)
-    },
-
-    // ----- ANN recall gates: deterministic, oracle-checkable -------------
     // Both ANN paths are pure functions of the data (LCG hyperplanes,
     // first-k-by-id k-means init), so per-query recall@10 vs the exact
     // top-k is a reproducible integer. The gate emits
@@ -424,6 +414,18 @@ object Pipeline {
          |    'height': 'BIGINT', 'channels': 'BIGINT',
          |    'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.imageMeta(s, MediaFixtures.ensure())
+    },
+
+    // ----- multimodal REAL decode (WAV via javax.sound.sampled) ----------
+    // Same shape as qm02: the Spark side must parse the WAV headers and
+    // frame stream to reproduce the generation-time sidecar.
+    Q("qm03_wav_decode",
+      s"""SELECT media_id, sample_rate, channels, n_frames, n_bytes
+         |FROM read_csv('${MediaFixtures.audioCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'sample_rate': 'BIGINT',
+         |    'channels': 'BIGINT', 'n_frames': 'BIGINT',
+         |    'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.audioMeta(s, MediaFixtures.ensure())
     },
   )
 }

@@ -56,6 +56,29 @@ class MultimodalSpec extends SparkSpec {
       "decoded metadata must equal the sidecar exactly")
   }
 
+  test("decodeAudio recovers exact format parameters from real WAV bytes") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val pcm = new Array[Byte](300 * 2 * 2) // 300 frames, stereo, 16-bit
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 300L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeAudio(bos.toByteArray) == (16000L, 2L, 300L))
+  }
+
+  test("distributed WAV decode reproduces the generation-time sidecar") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.audioMeta(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, sample_rate LONG, channels LONG, " +
+        "n_frames LONG, n_bytes LONG")
+      .csv(MediaFixtures.audioCsv)
+    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "decoded audio metadata must equal the sidecar exactly")
+  }
+
   test("frame sampling fans one payload into strided frame records") {
     import spark.implicits._
     val oneVideo = Seq((1L, Array.fill[Byte](1000)(7))).toDS()
