@@ -49,11 +49,6 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Gap-based sessionization with explicit state. A session closes
-    * when a later event for the same user arrives more than `gapSec`
-    * after the previous one; the open session stays in state.
-    * Partitioned by user_id — state scales horizontally with keys.
-    */
   /** Watermarked stream-stream interval join: each action event joins
     * the same user's trigger events from the preceding `horizon`
     * (attribution: click → impression, purchase → recommendation).
@@ -79,30 +74,63 @@ object EventsStream {
         col("trigger_id"), col("a_ts"), col("t_ts"))
   }
 
+  /** Gap-based sessionization with explicit state. A session closes
+    * when a later event for the same user arrives more than `gapSec`
+    * after the previous one — OR when the event-time watermark passes
+    * the session's gap deadline (EventTimeTimeout): an idle user's open
+    * session is emitted and its state evicted without needing a closing
+    * event, so state is bounded by ACTIVE keys, not all keys ever seen.
+    * Partitioned by user_id — state scales horizontally with keys.
+    *
+    * The watermark is applied here (EventTimeTimeout requires one); on
+    * a BATCH Dataset it is a no-op and timeouts never fire — the batch
+    * twin sees pure gap-closure semantics. The timeout timestamp is
+    * clamped one ms past the current watermark — a session whose
+    * deadline already passed (late-arriving group) still gets one
+    * firing rather than an invalid-timestamp error.
+    */
   def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapSec: Long = 1800): Dataset[Session] = {
+                 gapSec: Long = 1800,
+                 watermark: String = "30 minutes"): Dataset[Session] = {
     import spark.implicits._
+    val streaming = events.isStreaming
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var closed = List.empty[Session]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.ts.getTime - s.last.getTime > gapSec * 1000L =>
-                closed ::= Session(userId, s.start, s.last, s.n, s.total)
-                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
-              case Some(s) =>
-                cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed the gap deadline with no new events:
+            // flush the open session and evict the key's state
+            val out = state.getOption.map(s =>
+              Session(userId, s.start, s.last, s.n, s.total))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.last.getTime > gapSec * 1000L =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(s.last.getTime + gapSec * 1000L,
+                    state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.reverse.iterator
           }
-          cur.foreach(state.update)
-          closed.reverse.iterator
       }
   }
 }

@@ -58,6 +58,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an idle user's open session is flushed by event-time timeout, " +
+    "without a closing event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val sessions = EventsStream.sessionize(spark, mem.toDS(), gapSec = 600,
+      watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("idle_sessions")
+      .outputMode("append").start()
+    try {
+      // user 7's only event; the session stays open in state
+      mem.addData(Event(1, ts(0), 7, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("idle_sessions").isEmpty)
+      // a DIFFERENT user's event an hour later advances the watermark
+      // past user 7's gap deadline — no further event for user 7 ever
+      // arrives, yet the timeout must emit and evict the session
+      mem.addData(Event(2, ts(60), 8, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("idle_sessions").as[Session].collect()
+      assert(rows.length == 1)
+      val s = rows.head
+      assert(s.user_id == 7 && s.n_events == 1 && s.total_value == 1.0 &&
+        s.session_start == ts(0) && s.session_end == ts(0))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
