@@ -316,32 +316,6 @@ object Extra {
           Seq("name", "segment"), "2024-06-01")
     },
 
-    // ----- SpaceSaving heavy hitters (TypedImperativeAggregate) ----------
-    // rows-only: estimates depend on partition order; the n/m coverage
-    // guarantee is asserted in SketchesSpec instead.
-    Q.noOracle("qa02_heavy_hitters") { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(explode(expr(graft.functions.Text.wordsExpr("text"))).as("w"))
-        .agg(graft.functions.Text.spaceSavingTopK(col("w"), 64, 10).as("top"))
-        .select(explode(col("top")).as("e"))
-        .select(col("e.value").as("value"), col("e.est").as("est"))
-    },
-
-    // ----- approximate sketches (rows-only: no exact-equality oracle) ----
-    // HLL++ distinct sketch; error bound asserted in SketchesSpec.
-    Q.noOracle("q37_approx_distinct") { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"))
-    },
-    // KLL/GK-style quantile sketch.
-    Q.noOracle("q38_approx_percentile") { (s, dir) =>
-      Tables(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000))
-          .as("median_price"))
-    },
-
     // ----- exact interpolated median -------------------------------------
     // Hash-exact cross-engine because l_quantity is integer-valued: the
     // midpoint of two small integers is exact in IEEE double under

@@ -16,7 +16,4 @@ object Q {
   def apply(name: String, oracle: String)(
       build: (SparkSession, String) => DataFrame): Q =
     Q(name, build, Some(oracle))
-
-  def noOracle(name: String)(build: (SparkSession, String) => DataFrame): Q =
-    Q(name, build, None)
 }
