@@ -37,6 +37,18 @@ object SparkEntry {
       sources.Jsonl.read(s).select(col("id"), col("name"), col("score"),
         col("nested.k").as("k"),
         size(col("tags")).cast("long").as("n_tags"))
+    },
+
+    // ORC source/sink: DuckDB can't read ORC, so the gate proves the
+    // ROUND TRIP — documents written to ORC by Spark and scanned back
+    // must hash-equal the oracle's direct parquet read (any
+    // writer/reader type mangling breaks the hash)
+    Q("qj02_orc_roundtrip",
+      """SELECT doc_id, lang, source, n_chars, length(text) AS text_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      sources.Orc.read(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), col("n_chars"),
+        length(col("text")).cast("long").as("text_len"))
     }
   )
 

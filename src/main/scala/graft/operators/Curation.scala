@@ -140,4 +140,22 @@ object Curation {
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
   }
+
+  /** Deterministic per-stratum cap — corpus balancing: keep at most
+    * `cap` documents per stratum (source / language), chosen by content
+    * hash so the selection is unbiased AND reproducible at any
+    * partitioning (rank order is total: hash, then id). One shuffle on
+    * the stratum key; each window sorts only its own stratum. When
+    * `cap` is far below the stratum size at extreme scale, pre-filter
+    * with `hashSample` first — it uses the same hash family, so the
+    * cheap filter keeps a superset of the final selection.
+    */
+  def stratumCap(df: DataFrame, idCol: String, stratumCol: String,
+                 textCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(Text.polyhash(col(textCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .select(col(idCol), col(stratumCol))
+  }
 }

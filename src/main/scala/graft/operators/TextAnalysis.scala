@@ -159,4 +159,28 @@ object TextAnalysis {
       .select(col(idCol), Text.polyhash(col(textCol)).as("fingerprint"))
       .join(minShingle, idCol)
   }
+
+  /** Per-document out-of-vocabulary rate against a corpus-derived
+    * top-`vocabSize` vocabulary — the tokenizer-prep signal that decides
+    * whether a vocab covers a corpus (and flags docs that are mostly
+    * OOV noise). Vocabulary selection is deterministic (count desc,
+    * word asc) and runs as TakeOrderedAndProject — a distributed top-k,
+    * never a global sort; the vocab is then broadcast-sized by
+    * construction, so the membership join is a broadcast hash join and
+    * the only shuffles are the two partial-agg group-bys.
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int = 1000): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(expr(Text.wordsExpr(textCol))).as("__w"))
+    val vocab = words.groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w")).limit(vocabSize)
+      .select(col("__w"), lit(1L).as("__in"))
+    words.join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
 }

@@ -316,6 +316,23 @@ object Extra {
           Seq("name", "segment"), "2024-06-01")
     },
 
+    // ----- ntile curriculum binning --------------------------------------
+    // Per-stratum deciles (curriculum bucketing by difficulty proxy).
+    // PARTITIONED window — per-priority sorts parallelize across strata;
+    // the total order (price, key) makes tied rows output-identical in
+    // both engines (the q39 duplicate-sort-key lesson).
+    Q("q52_ntile_bins",
+      """SELECT o_orderkey, CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |FROM orders""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders").select(col("o_orderkey"),
+        ntile(10).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey")))
+          .cast("long").as("decile"))
+    },
+
     // ----- exact interpolated median -------------------------------------
     // Hash-exact cross-engine because l_quantity is integer-valued: the
     // midpoint of two small integers is exact in IEEE double under

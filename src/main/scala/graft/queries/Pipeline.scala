@@ -392,6 +392,42 @@ object Pipeline {
       Similarity.centroids(Tables(s, dir, "embeddings"), "label", "embedding")
     },
 
+    // ----- per-stratum cap (corpus balancing) ----------------------------
+    Q("qc04_stratum_cap",
+      s"""WITH r AS (SELECT doc_id, source,
+         |  ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${Text.polyhashSql("text")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 200""".stripMargin) {
+      (s, dir) =>
+        Curation.stratumCap(Tables(s, dir, "documents"), "doc_id", "source",
+          "text", cap = 200)
+    },
+
+    // ----- OOV rate vs a corpus-derived top-1000 vocabulary --------------
+    Q("qt09_oov_rate",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+         |vc AS (SELECT wrd FROM (SELECT wrd, COUNT(*) AS cnt FROM wd
+         |       GROUP BY wrd ORDER BY cnt DESC, wrd LIMIT 1000)),
+         |j AS (SELECT wd.doc_id,
+         |        CASE WHEN vc.wrd IS NULL THEN 1 ELSE 0 END AS oov
+         |      FROM wd LEFT JOIN vc ON wd.wrd = vc.wrd)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  SUM(oov) * 1.0 / COUNT(*) AS oov_rate
+         |FROM j GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.oovRate(Tables(s, dir, "documents"), "doc_id", "text",
+        vocabSize = 1000)
+    },
+
+    // ----- scalar quantization reconstruction bound ----------------------
+    Q("qs08_quantization_bound",
+      "SELECT vec_id, TRUE AS within_bound FROM embeddings") { (s, dir) =>
+      Similarity.scalarQuantizationBound(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding")
+    },
+
     // ----- multimodal metadata plumbing (stub decode) --------------------
     Q("qm01_multimodal_meta",
       s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)

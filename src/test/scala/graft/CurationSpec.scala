@@ -103,6 +103,19 @@ class CurationSpec extends SparkSpec {
     assert(diff == 0, "chunking must lose or reorder no tokens")
   }
 
+  test("stratumCap keeps at most cap docs per stratum, independent of " +
+    "partitioning") {
+    val docs = Tables(spark, sfDir, "documents")
+    val capped = Curation.stratumCap(docs, "doc_id", "source", "text", cap = 5)
+    val perStratum = capped.groupBy("source").count().collect()
+    assert(perStratum.forall(_.getLong(1) <= 5L))
+    // deterministic selection at any physical layout
+    val again = Curation.stratumCap(docs.repartition(7), "doc_id", "source",
+      "text", cap = 5)
+    assert(capped.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      again.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
+
   test("contamination counts shingle overlap against the eval set exactly") {
     import spark.implicits._
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta" +

@@ -24,4 +24,31 @@ class PartitionPruningSpec extends SparkSpec {
     assert(clicks.count() ==
       events.filter(col("event_type") === "click").count())
   }
+
+  test("a dim-side filter prunes fact partitions dynamically (DPP)") {
+    import spark.implicits._
+    // fact partitioned on the join key; the selective filter lives on
+    // the (broadcast) dim side only — static pruning can't see it, so
+    // the scan must carry a dynamicpruning subquery that waits for the
+    // dim's build side. At 100 TB this is how a star join reads one
+    // partition instead of the full fact history.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toFile
+    Tables(spark, sfDir, "events")
+      .write.partitionBy("event_type").mode("overwrite")
+      .parquet(dir.getAbsolutePath)
+    // the dim must be a file-based scan: a local Seq would constant-fold
+    // the filter into a LocalRelation and DPP's selective-predicate
+    // detection would see no filter at all
+    Seq(("click", "hot"), ("view", "cold"), ("purchase", "cold"))
+      .toDF("et", "tier")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}__dim")
+    val dim = spark.read.parquet(s"${dir.getAbsolutePath}__dim")
+    val joined = spark.read.parquet(dir.getAbsolutePath)
+      .join(broadcast(dim).filter(col("tier") === "hot"),
+        col("event_type") === col("et"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter in:\n${plan.take(2000)}")
+  }
 }

@@ -44,4 +44,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(hits == Map(1L -> 1L, 2L -> 0L))
   }
+
+  test("scalar quantization reconstructs every vector within half a level") {
+    val out = Similarity.scalarQuantizationBound(emb, "vec_id", "embedding")
+    assert(out.count() == emb.count())
+    assert(out.filter(!col("within_bound")).isEmpty,
+      "all reconstruction errors must sit within step/2")
+  }
+
+  test("scalar quantization bound handles constant dimensions") {
+    import spark.implicits._
+    // dim 1 is constant across the corpus: step = 0, error must be 0
+    val tiny = Seq((1L, Seq(0.1f, 5f)), (2L, Seq(0.9f, 5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantizationBound(tiny, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> true))
+  }
 }
