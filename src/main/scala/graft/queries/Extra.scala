@@ -316,6 +316,56 @@ object Extra {
           Seq("name", "segment"), "2024-06-01")
     },
 
+    // ----- GROUPING SETS with grouping markers ---------------------------
+    // The third grouping shape next to ROLLUP (q35) / CUBE (q45):
+    // explicit set list + GROUPING() flags so consumers can tell a real
+    // NULL key from a subtotal row. SQL surface in both engines.
+    Q("q53_grouping_sets",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         |  COUNT(*) AS n, ${graft.functions.Exact.dsumSql("l_quantity")} AS qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         |  (l_returnflag), ())""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           |  COUNT(*) AS n, ${graft.functions.Exact.dsumSql("l_quantity")} AS qty
+           |FROM lineitem
+           |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+           |  (l_returnflag), ())""".stripMargin)
+    },
+
+    // ----- mergeable sketch rollup (persisted-sketch pattern) ------------
+    // The 100 TB distinct-count architecture: per-day HLL sketches are
+    // built ONCE (a rollup table would persist them as binary columns),
+    // then ANY date range's distinct count is a cheap union-merge of
+    // sketches — no raw-data rescan. The gate builds daily sketches,
+    // union-merges them, and emits the deterministic bound verdict vs
+    // the exact distinct (default lgK=12 -> rsd 1.6%; the 10% band is
+    // ~6 sigma — never flaky), plus the exact day count the oracle can
+    // state independently.
+    Q("q54_sketch_rollup",
+      """SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+        |  TRUE AS within_10pct FROM events""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(
+        """WITH daily AS (
+          |  SELECT date_trunc('DAY', ts) AS d, hll_sketch_agg(user_id) AS sk
+          |  FROM events GROUP BY date_trunc('DAY', ts)),
+          |merged AS (
+          |  SELECT COUNT(*) AS n_days,
+          |    hll_sketch_estimate(hll_union_agg(sk)) AS est
+          |  FROM daily),
+          |exact AS (SELECT COUNT(DISTINCT user_id) AS c FROM events)
+          |SELECT CAST(n_days AS BIGINT) AS n_days,
+          |  abs(est - c) <= c * 0.10 AS within_10pct
+          |FROM merged, exact""".stripMargin)
+    },
+
     // ----- ntile curriculum binning --------------------------------------
     // Per-stratum deciles (curriculum bucketing by difficulty proxy).
     // PARTITIONED window — per-priority sorts parallelize across strata;
