@@ -64,6 +64,18 @@ object Scd2 {
       .select(col(keyCol) +: payload.map(c => col(s"__last.$c")): _*)
   }
 
+  /** Point-in-time snapshot: the business state current AT `date` —
+    * effective_date <= date < expiration_date (half-open, so the day a
+    * version closes is the day its successor answers). The query every
+    * versioned dimension exists to serve: join facts to the dimension
+    * AS OF the fact date instead of today's row. A narrow filter —
+    * pushes down to the parquet scan, no shuffle.
+    */
+  def asOf(dim: DataFrame, date: String): DataFrame =
+    dim.filter(col("effective_date") <= to_date(lit(date)) &&
+      col("expiration_date") > to_date(lit(date)))
+      .drop("effective_date", "expiration_date", "current_row_ind")
+
   def merge(current: DataFrame, updates: DataFrame, keyCol: String,
             tracked: Seq[String], asOf: String): DataFrame = {
     val meta = Seq("effective_date", "expiration_date", "current_row_ind")

@@ -156,8 +156,10 @@ object Dedup {
     * forest one hop through the round's already-improved labels — label
     * depth roughly DOUBLES per round, so a diameter-d graph converges
     * in O(log d) rounds, not d: a 1000-node path needs ~12 rounds,
-    * spec-tested, where plain propagation needs 999). Two equi-shuffle
-    * joins + one partial-agg group-by per round. No driver-side graph
+    * spec-tested, where plain propagation needs 999). One equi-shuffle
+    * join + one partial-agg group-by per round, plus the hop join from
+    * round 3 on (small dense clusters converge before paying it; long
+    * chains still get the doubling). No driver-side graph
     * structure — the driver sees only a scalar convergence count per
     * round; labels are checkpointed between rounds so the plan doesn't
     * grow with iterations. Nodes in no qualifying pair are not emitted
@@ -210,12 +212,19 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl1"))
       // pointer jumping: follow the label one hop through the ROUND'S
       // improved labels (every label is a node id of the same
-      // component, so taking the min stays in-component)
-      val hop = prop.select(col("node").as("__jn"), col("lbl1").as("__jl"))
-      val next = ckpt(prop
-        .join(hop, prop("lbl1") === col("__jn"), "left")
-        .select(col("node"), col("lbl"),
-          least(col("lbl1"), coalesce(col("__jl"), col("lbl1"))).as("lbl2")))
+      // component, so taking the min stays in-component). Engaged only
+      // after round 2: near-dup clusters are small and dense, so most
+      // runs converge in the plain rounds and never pay the hop join;
+      // a pathological long chain still gets O(log d) doubling.
+      val next = ckpt(
+        if (round <= 2)
+          prop.select(col("node"), col("lbl"), col("lbl1").as("lbl2"))
+        else {
+          val hop = prop.select(col("node").as("__jn"), col("lbl1").as("__jl"))
+          prop.join(hop, prop("lbl1") === col("__jn"), "left")
+            .select(col("node"), col("lbl"),
+              least(col("lbl1"), coalesce(col("__jl"), col("lbl1"))).as("lbl2"))
+        })
       converged = next.filter(col("lbl2") < col("lbl")).isEmpty
       labels = next.select(col("node"), col("lbl2").as("lbl"))
     }

@@ -123,6 +123,23 @@ object RefStarQueries {
         "2014-06-01")
     },
 
+    // Point-in-time lookup over the VERSIONED dimension: as of
+    // 2013-06-01 (before the 2014-06-01 update batch) every store must
+    // answer with its ORIGINAL attributes and store 999 must not exist
+    // yet — the oracle is simply the unversioned dimension's business
+    // columns. As of a post-update date the qr13 oracle's open rows
+    // would answer instead; this gate pins the half-open interval
+    // semantics (closed-on date belongs to the successor).
+    Q("qr15_dim_store_asof",
+      over("""SELECT StoreID, StoreName, StoreNumber, StoreManager,
+             |  DimLocationID FROM dim_store""".stripMargin)) { (s, _) =>
+      val (cur, upd) = scd2StoreInputs(s)
+      val versioned = graft.etl.Scd2.merge(cur, upd, "StoreID",
+        Seq("StoreName", "StoreNumber", "StoreManager", "DimLocationID"),
+        "2014-06-01")
+      graft.etl.Scd2.asOf(versioned, "2013-06-01")
+    },
+
     // ----- the 7 analytical views (rahil/create_views.py:145-497) -------
     // Oracles run the reference's ORIGINAL view SQL (exactness casts
     // aside) over the same star — incl. qv03's naive 4-clause

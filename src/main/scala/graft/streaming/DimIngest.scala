@@ -39,28 +39,9 @@ import graft.etl.Scd2
   */
 object DimIngest {
 
-  private def paths(dimPath: String): (Path, Path, Path) =
-    (new Path(dimPath), new Path(dimPath + "__staging"),
-      new Path(dimPath + "__prev"))
-
-  /** Restore `dimPath` after a crash mid-swap. See the crash-safety
-    * contract in the object doc; idempotent, cheap when clean.
-    */
-  def recover(fs: FileSystem, dimPath: String): Unit = {
-    val (dst, staging, prev) = paths(dimPath)
-    if (!fs.exists(dst)) {
-      // a missing live path means the crash hit between the two swap
-      // renames — staging was complete before the swap began
-      if (fs.exists(staging)) {
-        if (!fs.rename(staging, dst))
-          throw new java.io.IOException(s"recover: rename $staging -> $dst failed")
-      } else if (fs.exists(prev)) {
-        if (!fs.rename(prev, dst))
-          throw new java.io.IOException(s"recover: rename $prev -> $dst failed")
-      }
-    }
-    if (fs.exists(dst)) fs.delete(prev, true)
-  }
+  /** Restore `dimPath` after a crash mid-swap (AtomicSwap protocol). */
+  def recover(fs: FileSystem, dimPath: String): Unit =
+    AtomicSwap.recover(fs, dimPath)
 
   /** Merge one update batch into the dimension at `dimPath` as of
     * `asOf`, with the recoverable rename swap described on the object.
@@ -69,10 +50,9 @@ object DimIngest {
                  keyCol: String, tracked: Seq[String], asOf: String): Unit = {
     val fs = new Path(dimPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recover(fs, dimPath)
-    val (dst, staging, prev) = paths(dimPath)
+    AtomicSwap.recover(fs, dimPath)
     val cur =
-      if (fs.exists(dst)) spark.read.parquet(dimPath)
+      if (fs.exists(new Path(dimPath))) spark.read.parquet(dimPath)
       else // bootstrap: empty current state with the expected schema
         batch.select((keyCol +: tracked).map(col): _*).limit(0)
           .withColumn("effective_date", lit(null).cast("date"))
@@ -80,12 +60,7 @@ object DimIngest {
           .withColumn("current_row_ind", lit(null).cast("string"))
     val merged = Scd2.merge(cur,
       batch.select((keyCol +: tracked).map(col): _*), keyCol, tracked, asOf)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(dst) && !fs.rename(dst, prev))
-      throw new java.io.IOException(s"swap: rename $dst aside failed")
-    if (!fs.rename(staging, dst))
-      throw new java.io.IOException(s"swap: rename $staging -> $dst failed")
-    fs.delete(prev, true)
+    AtomicSwap.rewrite(fs, dimPath, merged)
   }
 
   /** Start the continuous maintenance stream. `asOfForBatch` maps the
