@@ -140,6 +140,64 @@ object RefStarQueries {
       graft.etl.Scd2.asOf(versioned, "2013-06-01")
     },
 
+    // The query SCD2 exists to serve: facts joined to the dimension
+    // version IN FORCE ON THE SALE DATE (equi on the business key plus
+    // the half-open interval — the bounded dim broadcasts, so the range
+    // predicate is a cheap post-join filter, never a BNLJ over facts).
+    // 2013 sales land on the original managers; sales on/after
+    // 2014-06-01 land on the ' Jr.' versions of stores 5/8. The oracle
+    // states the versioned dimension directly from the merge semantics
+    // (the qr13 shape) and runs the same interval join.
+    Q("qr16_fact_asof_dim",
+      over("""WITH v AS (
+             |  SELECT StoreID, StoreManager,
+             |    DATE '2013-01-01' AS eff, DATE '2014-06-01' AS exp
+             |  FROM dim_store WHERE StoreNumber IN ('5', '8')
+             |  UNION ALL
+             |  SELECT StoreID, StoreManager || ' Jr.',
+             |    DATE '2014-06-01', DATE '9999-12-31'
+             |  FROM dim_store WHERE StoreNumber IN ('5', '8')
+             |  UNION ALL
+             |  SELECT StoreID, StoreManager,
+             |    DATE '2013-01-01', DATE '9999-12-31'
+             |  FROM dim_store WHERE StoreNumber NOT IN ('5', '8')),
+             |b AS (
+             |  SELECT s.StoreID, s.StoreNumber,
+             |    CAST(strptime(CAST(fs.DimSaleDateID AS VARCHAR), '%Y%m%d')
+             |      AS DATE) AS sale_date,
+             |    fs.SaleQuantity
+             |  FROM fact_salesactual fs
+             |  JOIN dim_store s ON fs.DimStoreID = s.DimStoreID)
+             |SELECT b.StoreNumber, v.StoreManager,
+             |  COUNT(*) AS n_sales,
+             |  CAST(SUM(CAST(b.SaleQuantity AS BIGINT)) AS BIGINT) AS total_qty
+             |FROM b JOIN v ON b.StoreID = v.StoreID
+             |  AND v.eff <= b.sale_date AND b.sale_date < v.exp
+             |GROUP BY b.StoreNumber, v.StoreManager""".stripMargin)) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      val (cur, upd) = scd2StoreInputs(s)
+      val versioned = graft.etl.Scd2.merge(cur, upd, "StoreID",
+        Seq("StoreName", "StoreNumber", "StoreManager", "DimLocationID"),
+        "2014-06-01")
+        .select(col("StoreID").as("__v_sid"), col("StoreManager"),
+          col("effective_date"), col("expiration_date"))
+      val bridge = Warehouse.table(s, "dim_store")
+        .select(col("DimStoreID").as("__b_id"), col("StoreID").as("__b_sid"),
+          col("StoreNumber"))
+      Warehouse.table(s, "fact_salesactual")
+        .select(col("DimStoreID"), col("DimSaleDateID"), col("SaleQuantity"))
+        .join(bridge, col("DimStoreID") === col("__b_id"))
+        .withColumn("sale_date",
+          to_date(col("DimSaleDateID").cast("string"), "yyyyMMdd"))
+        .join(versioned,
+          col("__b_sid") === col("__v_sid") &&
+            col("effective_date") <= col("sale_date") &&
+            col("sale_date") < col("expiration_date"))
+        .groupBy("StoreNumber", "StoreManager")
+        .agg(count(lit(1)).as("n_sales"),
+          sum(col("SaleQuantity").cast("long")).as("total_qty"))
+    },
+
     // ----- the 7 analytical views (rahil/create_views.py:145-497) -------
     // Oracles run the reference's ORIGINAL view SQL (exactness casts
     // aside) over the same star — incl. qv03's naive 4-clause

@@ -34,10 +34,15 @@ object AtomicSwap {
     if (fs.exists(dst)) fs.delete(prev, true)
   }
 
-  /** Write `next` as the new content of `path` via the rename swap. */
-  def rewrite(fs: FileSystem, path: String, next: DataFrame): Unit = {
+  /** Write `next` as the new content of `path` via the rename swap.
+    * `partitionCols` preserves a partitioned layout across the rewrite.
+    */
+  def rewrite(fs: FileSystem, path: String, next: DataFrame,
+              partitionCols: Seq[String] = Nil): Unit = {
     val (dst, staging, prev) = paths(path)
-    next.write.mode("overwrite").parquet(staging.toString)
+    val w = next.write.mode("overwrite")
+    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+      .parquet(staging.toString)
     if (fs.exists(dst) && !fs.rename(dst, prev))
       throw new java.io.IOException(s"swap: rename $dst aside failed")
     if (!fs.rename(staging, dst))

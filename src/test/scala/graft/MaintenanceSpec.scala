@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+
+/** Small-file compaction: content-identical, layout-preserving, fewer
+  * files — and the partition pruning built on the layout still works.
+  */
+class MaintenanceSpec extends SparkSpec {
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("compaction merges small files, preserves content and partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val events = Tables(spark, sfDir, "events")
+    // accrete many small files per partition (streaming-ingest shape)
+    events.repartition(16)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val before = dataFiles(dir).size
+    val want = events.orderBy("event_id").collect().toSeq
+
+    Maintenance.compact(spark, dir, partitionCols = Seq("event_type"))
+
+    val after = dataFiles(dir).size
+    assert(after < before,
+      s"expected fewer files after compaction, got $before -> $after")
+    val got = spark.read.parquet(dir)
+      .select(events.columns.map(col): _*) // partition col back in place
+      .orderBy("event_id").collect().toSeq
+    assert(got == want, "compaction must not change content")
+
+    // pruning still works on the compacted layout
+    val pruned = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: ["))
+  }
+
+  test("compaction of an unpartitioned table coalesces to the byte target") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact1").toString
+    val nation = Tables(spark, sfDir, "nation")
+    nation.repartition(8).write.mode("overwrite").parquet(dir)
+    assert(dataFiles(dir).size > 1)
+    val n = Maintenance.compact(spark, dir) // tiny table -> 1 file
+    assert(n == 1 && dataFiles(dir).size == 1)
+    assert(spark.read.parquet(dir).count() == nation.count())
+  }
+}

@@ -51,4 +51,22 @@ class PartitionPruningSpec extends SparkSpec {
     assert(plan.contains("dynamicpruning"),
       s"expected a dynamicpruning partition filter in:\n${plan.take(2000)}")
   }
+
+  test("schema evolution: a reader with mergeSchema unions old and new " +
+    "file schemas; old files answer the new column as NULL") {
+    import spark.implicits._
+    // a 100 TB table is never rewritten when a column lands — new files
+    // carry it, old files must keep answering
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=0")
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "score", "batch"))
+    val rows = merged.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(rows == Map(1L -> -1L, 2L -> -1L, 3L -> 30L, 4L -> 40L))
+  }
 }

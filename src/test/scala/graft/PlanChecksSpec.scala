@@ -177,6 +177,25 @@ class PlanChecksSpec extends SparkSpec {
       s"PartitionFilters must carry the year restriction: ${factScan.get}")
   }
 
+  test("OOV rate: vocabulary is a distributed top-k and membership is a " +
+    "broadcast join (qt09)") {
+    val s = planString(q("qt09_oov_rate"))
+    assert(s.contains("TakeOrderedAndProject"),
+      "top-V vocabulary must be a distributed top-k, not a global sort")
+    assert(s.contains("BroadcastHashJoin"),
+      "vocab membership must broadcast the bounded vocabulary")
+  }
+
+  test("fact-to-versioned-dim as-of join stays an equi join (qr16)") {
+    val nodes = collectAll(executed(q("qr16_fact_asof_dim")))
+    val conditionedBnlj = nodes.collect {
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(conditionedBnlj.isEmpty,
+      "the interval predicate must ride the StoreID equi join as a " +
+        "post-join filter, never a nested loop over facts")
+  }
+
   test("decontamination joins on the shingle, never all-pairs (qd07)") {
     val nodes = collectAll(executed(q("qd07_decontaminate")))
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
