@@ -33,11 +33,19 @@ object Maintenance {
   /** Rewrite the parquet table at `path` into ~`targetBytes` output
     * files. `partitionCols` must name the table's partition columns (if
     * any) so the layout — and the partition pruning built on it —
-    * survives the rewrite. Returns the output file count target.
+    * survives the rewrite. `sortCols` instead range-partitions and
+    * sorts the rewrite (a z-order-lite): output files then hold
+    * DISJOINT key ranges, so parquet min/max statistics let a point or
+    * range filter skip whole files — the data-layout half of pruning,
+    * complementing directory partitioning. Returns the output file
+    * count target.
     */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = Nil,
-              targetBytes: Long = 128L << 20): Int = {
+              targetBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): Int = {
+    require(partitionCols.isEmpty || sortCols.isEmpty,
+      "sort within partition dirs is not supported; pick one layout axis")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.recover(fs, path)
     val n = math.max(1L, (dataBytes(spark, path) + targetBytes - 1) / targetBytes)
@@ -47,7 +55,10 @@ object Maintenance {
     // coalesced output (hash-spread over n tasks); unpartitioned tables
     // coalesce outright — no shuffle needed to merge files
     val compacted =
-      if (partitionCols.isEmpty) df.coalesce(n)
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(n, sortCols.map(df.col): _*)
+          .sortWithinPartitions(sortCols.map(df.col): _*)
+      else if (partitionCols.isEmpty) df.coalesce(n)
       else df.repartition(n, partitionCols.map(df.col): _*)
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
     n

@@ -57,9 +57,17 @@ object EventsStream {
     * passes the horizon — bounded memory at any input rate, the one
     * property that makes stream-stream joins viable at scale.
     */
+  /** `joinType = "left_outer"` additionally emits UNATTRIBUTED actions
+    * (trigger columns NULL) once the watermark proves no in-horizon
+    * trigger can still arrive — the "organic conversion" rows an
+    * attribution pipeline must account for, with the same bounded-state
+    * guarantee (outer results are held only until the watermark passes
+    * the horizon).
+    */
   def attribution(triggers: DataFrame, actions: DataFrame,
                   horizon: String = "10 minutes",
-                  watermark: String = "30 minutes"): DataFrame = {
+                  watermark: String = "30 minutes",
+                  joinType: String = "inner"): DataFrame = {
     val t = triggers.withWatermark("ts", watermark)
       .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
         col("event_id").as("trigger_id"))
@@ -69,7 +77,8 @@ object EventsStream {
     a.join(t,
       col("a_user") === col("t_user") &&
         col("t_ts") <= col("a_ts") &&
-        col("t_ts") >= col("a_ts") - expr(s"INTERVAL $horizon"))
+        col("t_ts") >= col("a_ts") - expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("a_user").as("user_id"), col("action_id"),
         col("trigger_id"), col("a_ts"), col("t_ts"))
   }

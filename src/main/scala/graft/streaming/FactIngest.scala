@@ -43,15 +43,25 @@ object FactIngest {
       Warehouse.table(spark, "dim_reseller"),
       Warehouse.table(spark, "dim_channel"))
 
-  /** Append-mode continuous ingest into a parquet fact path. The
-    * checkpoint gives exactly-once file commits across restarts.
+  /** Append-mode continuous ingest into a parquet fact path, laid out
+    * like the batch warehouse fact: partitioned by derived sale year,
+    * so year-bounded reads prune streamed appends exactly as they prune
+    * the batch build (Warehouse.FactYearCol) and a later
+    * `Maintenance.compact` preserves the layout. The checkpoint gives
+    * exactly-once file commits across restarts.
     */
   def start(spark: SparkSession, raw: DataFrame, path: String,
             checkpoint: String): StreamingQuery =
-    resolved(spark, raw).writeStream
+    resolved(spark, raw)
+      .withColumn(Warehouse.FactYearCol,
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("DimSaleDateID") / 10000L)
+          .cast("int"))
+      .writeStream
       .format("parquet")
       .option("path", path)
       .option("checkpointLocation", checkpoint)
+      .partitionBy(Warehouse.FactYearCol)
       .outputMode("append")
       .start()
 }

@@ -76,7 +76,7 @@ class FactIngestSpec extends SparkSpec {
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
 
-    val out = spark.read.parquet(outDir)
+    val out = spark.read.parquet(outDir).drop(Warehouse.FactYearCol)
     assert(out.count() == 5, "all rows from both uptimes, exactly once")
     assert(out.select("SalesDetailID").distinct().count() == 5,
       "no detail id ingested twice across the restart")
@@ -101,6 +101,11 @@ class FactIngestSpec extends SparkSpec {
       assert(out.count() == 3)
       assert(out.filter(col("DimProductID") === 1L || col("DimChannelID") === 1L)
         .count() == 0, "known products/channels must resolve, not fall back")
+      // streamed appends land in the same year-partitioned layout as the
+      // batch warehouse fact, so year-bounded reads prune them too
+      assert(new java.io.File(s"$tmp/fact").listFiles()
+        .exists(_.getName.startsWith(s"${Warehouse.FactYearCol}=")),
+        "appends must be partitioned by derived sale year")
     } finally q.stop()
   }
 }

@@ -43,6 +43,28 @@ class MaintenanceSpec extends SparkSpec {
       .contains("PartitionFilters: ["))
   }
 
+  test("sorted compaction yields files with disjoint key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sorted").toString
+    val orders = Tables(spark, sfDir, "orders")
+    orders.repartition(8).write.mode("overwrite").parquet(dir)
+    // force a multi-file layout so disjointness is non-trivial
+    Maintenance.compact(spark, dir, targetBytes = 8L << 10,
+      sortCols = Seq("o_orderkey"))
+    val files = dataFiles(dir)
+    assert(files.size > 1, "need several files to prove range layout")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderkey"), max("o_orderkey")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == orders.count())
+  }
+
   test("compaction of an unpartitioned table coalesces to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact1").toString
     val nation = Tables(spark, sfDir, "nation")

@@ -85,6 +85,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer attribution emits unattributed actions with NULL " +
+    "trigger once the watermark proves no match can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val triggers = MemoryStream[Event]
+    val actions = MemoryStream[Event]
+    val q = EventsStream.attribution(triggers.toDF(), actions.toDF(),
+      horizon = "10 minutes", watermark = "10 minutes",
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode("append").start()
+    try {
+      // user 7 converts with NO trigger anywhere in the horizon
+      actions.addData(Event(1, ts(5), 7, "purchase", 9.0))
+      q.processAllAvailable()
+      // much later traffic on BOTH sides advances both watermarks past
+      // the point where a trigger for event 1 could still arrive
+      triggers.addData(Event(2, ts(120), 8, "click", 1.0))
+      actions.addData(Event(3, ts(125), 8, "purchase", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib_outer")
+        .select("user_id", "action_id", "trigger_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(rows.contains((7L, 1L, -1L)),
+        s"unattributed action must surface with NULL trigger, got $rows")
+      assert(rows.contains((8L, 3L, 2L)), "attributed action still joins")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
