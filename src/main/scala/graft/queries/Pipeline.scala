@@ -392,6 +392,41 @@ object Pipeline {
       Similarity.centroids(Tables(s, dir, "embeddings"), "label", "embedding")
     },
 
+    // ----- END-TO-END curation pipeline (operators COMPOSED) -------------
+    // The flagship composition a training-data team actually runs:
+    // quality floor → exact dedup (keep min id per text) → stratified
+    // hash sample (language quotas) → token-budget shard packing. One
+    // oracle covers the whole chain, so the operators are proven to
+    // compose — not just to pass in isolation. Every stage is the same
+    // library call the standalone gates use.
+    Q("qp01_curation_pipeline",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS tokens
+         |      FROM w WHERE len(ws) >= 20),
+         |k AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY text),
+         |r AS (SELECT t.doc_id, d.lang, t.tokens
+         |      FROM t JOIN k USING (doc_id) JOIN documents d USING (doc_id)),
+         |sm AS (SELECT * FROM r
+         |  WHERE ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 <
+         |    CASE WHEN lang = 'en' THEN 8000 ELSE 5000 END),
+         |c AS (SELECT doc_id, lang, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cb
+         |  FROM sm)
+         |SELECT doc_id, lang, tokens, CAST(cb // 2048 AS BIGINT) AS shard
+         |FROM c""".stripMargin) { (s, dir) =>
+      val withTok = Tables(s, dir, "documents")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      val quality = withTok.filter(col("tokens") >= 20L)
+      val keep = Dedup.exact(quality, "doc_id", "text").select(col("keep_id"))
+      val reps = quality.join(keep, col("doc_id") === col("keep_id"))
+        .select("doc_id", "lang", "tokens")
+      val sampled = Curation.stratifiedHashSample(reps, "doc_id", "lang",
+        Map("en" -> 8000), defaultBp = 5000)
+      Curation.packByBudget(sampled, "doc_id", "tokens", "lang", budget = 2048L)
+    },
+
     // ----- per-stratum cap (corpus balancing) ----------------------------
     Q("qc04_stratum_cap",
       s"""WITH r AS (SELECT doc_id, source,
