@@ -147,8 +147,10 @@ object Curation {
     * partitioning (rank order is total: hash, then id). One shuffle on
     * the stratum key; each window sorts only its own stratum. When
     * `cap` is far below the stratum size at extreme scale, pre-filter
-    * with `hashSample` first — it uses the same hash family, so the
-    * cheap filter keeps a superset of the final selection.
+    * on the SAME rank key — `polyhash(textCol) < threshold` for a
+    * conservative threshold — before ranking: the hash is the rank
+    * order's leading term, so the narrow filter keeps a superset of
+    * the final selection and the window sorts only that sliver.
     */
   def stratumCap(df: DataFrame, idCol: String, stratumCol: String,
                  textCol: String, cap: Int): DataFrame = {

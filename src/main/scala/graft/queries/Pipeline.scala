@@ -123,6 +123,44 @@ object Pipeline {
         k = 48, bands = 12, threshold = 0.5)
     },
 
+    // ----- near-dup PRUNE policy (clusters applied to the corpus) --------
+    // The step qd05/qd06 exist for: drop every document whose cluster
+    // representative (min id) is some other document, keep the rest —
+    // reported per language. Composes banding, exact verify, connected
+    // components, and the anti-join policy under ONE oracle.
+    Q("qp02_neardup_prune",
+      s"""WITH RECURSIVE w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+         |       FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM cl WHERE cluster <> doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        k = 48, bands = 12, threshold = 0.5)
+      val dropped = clusters.filter(col("cluster") =!= col("doc_id"))
+        .select(col("doc_id").as("__drop"))
+      docs.join(dropped, col("doc_id") === col("__drop"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
+    },
+
     // ----- embedding near-dup pairs (exact cosine) ----------------------
     Q("qs02_embedding_neardup",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
