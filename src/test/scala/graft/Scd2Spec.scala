@@ -95,6 +95,23 @@ class Scd2Spec extends SparkSpec {
       (3L, "New", "N1", "2024-06-01", "9999-12-31", "Y")))
   }
 
+  test("asOf answers with the version in force, half-open on the merge date") {
+    import spark.implicits._
+    val current = Seq(
+      (1L, "Ann", "A", d("2020-01-01"), d("9999-12-31"), "Y"))
+      .toDF("k", "name", "segment", "effective_date", "expiration_date",
+        "current_row_ind")
+    val updates = Seq((1L, "Ann", "Z")).toDF("k", "name", "segment")
+    val versioned = Scd2.merge(current, updates, "k", Seq("name", "segment"),
+      "2024-06-01")
+    def seg(date: String): Seq[String] =
+      Scd2.asOf(versioned, date).collect().map(_.getString(2)).toSeq
+    assert(seg("2024-05-31") == Seq("A"), "day before the merge: old version")
+    assert(seg("2024-06-01") == Seq("Z"),
+      "the closing date itself belongs to the successor (half-open)")
+    assert(seg("2019-12-31").isEmpty, "before the first version: no row")
+  }
+
   test("foldCdc breaks order ties deterministically") {
     import spark.implicits._
     val cdc = Seq((1L, "b", 1L), (1L, "a", 1L), (1L, "c", 1L))
