@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.streaming.AtomicSwap
 
@@ -62,5 +63,52 @@ object Maintenance {
       else df.repartition(n, partitionCols.map(df.col): _*)
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
     n
+  }
+
+  /** Row-level delete from a partitioned table, rewriting ONLY the
+    * partitions that hold matching rows (the GDPR-erasure / bad-batch
+    * backfill move): partition pruning finds the affected partitions,
+    * dynamic partition overwrite replaces exactly those directories
+    * with their surviving rows, untouched partitions' files are never
+    * read or rewritten — at 100 TB a delete touching one day costs one
+    * day, not a table rewrite. Partitions left EMPTY by the delete are
+    * dropped explicitly (dynamic overwrite cannot write an empty
+    * partition, so their stale directories would otherwise survive).
+    * Returns the number of partitions rewritten or dropped.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  partitionCols: Seq[String], predicate: Column): Int = {
+    val df = spark.read.parquet(path)
+    val affected = df.filter(predicate)
+      .select(partitionCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return 0
+    val inAffected = affected.map(r =>
+      partitionCols.indices.map(i =>
+        col(partitionCols(i)) === lit(r.get(i))).reduce(_ && _))
+      .reduce(_ || _)
+    val survivors = df.filter(inAffected).filter(!predicate)
+    // computed BEFORE the overwrite: afterwards the source files this
+    // plan reads no longer exist
+    val alive = survivors.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSet
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      survivors.write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(path)
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // drop partitions the delete emptied (no survivors -> no overwrite)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.filterNot(r => alive.contains(r.toSeq)).foreach { r =>
+      val dir = partitionCols.indices
+        .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/")
+      fs.delete(new Path(s"$path/$dir"), true)
+    }
+    affected.length
   }
 }

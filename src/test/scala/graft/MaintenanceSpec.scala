@@ -65,6 +65,44 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == orders.count())
   }
 
+  test("deleteWhere rewrites only affected partitions and drops emptied ones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    val events = Tables(spark, sfDir, "events")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val untouched = dataFiles(dir)
+      .filter(_.getPath.contains("event_type=purchase"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    assert(untouched.nonEmpty)
+
+    // surgical delete: a user slice inside ONE partition
+    val nClickBefore = events.filter(col("event_type") === "click").count()
+    val nHit = events.filter(col("event_type") === "click" &&
+      col("user_id") % 10 === 0).count()
+    assert(nHit > 0)
+    Maintenance.deleteWhere(spark, dir, Seq("event_type"),
+      col("event_type") === "click" && col("user_id") % 10 === 0)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("event_type") === "click").count() ==
+      nClickBefore - nHit)
+    assert(after.filter(col("event_type") === "click" &&
+      col("user_id") % 10 === 0).count() == 0)
+    // untouched partitions: same files, same mtimes — never rewritten
+    val untouchedAfter = dataFiles(dir)
+      .filter(_.getPath.contains("event_type=purchase"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+    assert(untouchedAfter == untouched,
+      "unaffected partitions must not be read or rewritten")
+
+    // emptying delete: the whole 'view' partition disappears
+    Maintenance.deleteWhere(spark, dir, Seq("event_type"),
+      col("event_type") === "view")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName == "event_type=view"),
+      "an emptied partition's directory must be dropped")
+    assert(spark.read.parquet(dir)
+      .filter(col("event_type") === "view").count() == 0)
+  }
+
   test("compaction of an unpartitioned table coalesces to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact1").toString
     val nation = Tables(spark, sfDir, "nation")
