@@ -143,6 +143,36 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
         .otherwise(0L)).as("simhash"))
 
+  /** Near-duplicate pairs by simhash Hamming distance — the classic
+    * web-scale near-dup detector: band the `bits`-bit simhash into
+    * `bands` equal slices; by pigeonhole, any pair within `maxHamming`
+    * (< bands) differing bits agrees EXACTLY on at least one slice, so
+    * candidates come from equi-joins on (band, slice-key) — never
+    * all-pairs — and the exact popcount verify runs only on candidates.
+    * Recall is 1 by construction (pigeonhole is a theorem, not a
+    * probability), unlike minhash banding's probabilistic curve.
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, bits: Int = 60,
+                          bands: Int = 4): DataFrame = {
+    require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
+    require(bits % bands == 0, "bands must slice the hash evenly")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = simhash(df, idCol, textCol, bits)
+    def banded(p: String) = sh
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .select(col(idCol).as(s"${p}_id"), col("simhash").as(s"${p}_sh"),
+        col("band"),
+        expr(s"shiftright(simhash, band * $width) & ${mask}L").as("key"))
+    banded("a").join(banded("b"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        expr("CAST(bit_count(a_sh ^ b_sh) AS BIGINT)").as("hamming"))
+      .distinct() // a close pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over an undirected pair graph (the output
     * shape of minhashLshPairs / ngramJaccardPairs / embedding pairs):
     * every node is labeled with the MINIMUM id of its component — the

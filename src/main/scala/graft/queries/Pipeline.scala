@@ -74,6 +74,34 @@ object Pipeline {
       Dedup.simhash(Tables(s, dir, "documents"), "doc_id", "text", bits = 60)
     },
 
+    // ----- simhash near-dup pairs (banded Hamming, pigeonhole recall 1) --
+    Q("qd08_simhash_neardup",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |h AS (SELECT doc_id, ${Text.polyhashSql("word")} AS h FROM wd),
+         |b AS (
+         |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+         |  FROM h, (SELECT CAST(range AS INTEGER) AS j FROM range(0, 60))
+         |  GROUP BY doc_id, j),
+         |sh AS (SELECT doc_id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |  FROM b GROUP BY doc_id),
+         |bd AS (SELECT doc_id, simhash, band,
+         |         (simhash >> (band * 15)) & 32767 AS key
+         |       FROM sh, (SELECT CAST(range AS INTEGER) AS band
+         |                 FROM range(0, 4))),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS ha,
+         |                y.doc_id AS doc_b, y.simhash AS hb
+         |         FROM bd x JOIN bd y ON x.band = y.band AND x.key = y.key
+         |           AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 1""".stripMargin) {
+      (s, dir) =>
+        Dedup.simhashNearDupPairs(Tables(s, dir, "documents"), "doc_id",
+          "text", maxHamming = 1)
+    },
+
     // ----- minhash-LSH near-dup, exact-verified --------------------------
     // Spark runs banded LSH (k=48, b=12, r=4) then exact-verifies
     // candidates; the oracle brute-forces exact Jaccard. They agree as
