@@ -159,7 +159,11 @@ object Dedup {
     require(bits % bands == 0, "bands must slice the hash evenly")
     val width = bits / bands
     val mask = (1L << width) - 1
-    val sh = simhash(df, idCol, textCol, bits)
+    // cached: both join sides read the SAME computed signatures instead
+    // of re-hashing the corpus twice (the qv03 cached-spine precedent —
+    // signatures are one row per doc, bounded, and at real scale they'd
+    // be a materialized table anyway)
+    val sh = simhash(df, idCol, textCol, bits).cache()
     def banded(p: String) = sh
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col(idCol).as(s"${p}_id"), col("simhash").as(s"${p}_sh"),
