@@ -38,14 +38,18 @@ object Bench {
     // host shows 10-20x transient per-query CPU-steal outliers, and the
     // steady-state minimum is what predicts cluster throughput.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // a failed query reports -1, never its (tiny) time-to-throw: a broken
+    // query must not masquerade as a fast one
     def timeOne(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
-      try q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
+      try {
+        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          -1.0
       }
-      (System.nanoTime() - t0) / 1e9
     }
     val results: Seq[(String, Seq[Double])] =
       ("warehouse_build" -> Seq(warehouseSec)) +:
@@ -61,19 +65,25 @@ object Bench {
     val pj = results
       .map { case (k, v) => "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    // stdout gets the COMPACT line (per-query minima only): two rounds of
-    // driver artifacts came back `parsed: null` because the line with
-    // 100+ per-pass arrays exceeded what survives the sbt stdout path.
-    // The full per-pass arrays land in the bench_out.json file instead.
+    val failed = results.filter(_._2.min < 0).map(_._1)
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    // stdout gets a DIGEST line (<200 bytes): three rounds of driver
+    // artifacts came back `parsed: null` because even the minima-only map
+    // for 100+ queries (~3.5 KB) exceeds the ~2 KB stdout tail the driver
+    // retains. The per-query minima and per-pass arrays land in the
+    // bench_out.json file instead.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"warehouse_build":$warehouseSec%.3f,"failed":${failed.length},"sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$pj,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$pj,"failed":${failed.length},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

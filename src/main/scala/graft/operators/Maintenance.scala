@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, xxhash64}
 
 import graft.streaming.AtomicSwap
 
@@ -34,81 +34,213 @@ object Maintenance {
   /** Rewrite the parquet table at `path` into ~`targetBytes` output
     * files. `partitionCols` must name the table's partition columns (if
     * any) so the layout — and the partition pruning built on it —
-    * survives the rewrite. `sortCols` instead range-partitions and
-    * sorts the rewrite (a z-order-lite): output files then hold
-    * DISJOINT key ranges, so parquet min/max statistics let a point or
-    * range filter skip whole files — the data-layout half of pruning,
-    * complementing directory partitioning. Returns the output file
-    * count target.
+    * survives the rewrite. `sortCols` range-partitions and sorts the
+    * rewrite (a z-order-lite): output files then hold DISJOINT key
+    * ranges, so parquet min/max statistics let a point or range filter
+    * skip whole files — the data-layout half of pruning. The two axes
+    * COMPOSE: with both set, rows are range-partitioned on
+    * (partitionCols ++ sortCols), so each partition directory receives
+    * files with disjoint sort-key ranges — directory pruning picks the
+    * partition, min/max skipping picks the files inside it, which is
+    * the layout a 100 TB fact table wants (partition by year, sort by
+    * key within each year). A partitioned-only compaction salts the
+    * shuffle so a partition larger than `targetBytes` still splits into
+    * approximately-sized files instead of one giant file per directory.
+    * Returns the output file count target.
     */
   def compact(spark: SparkSession, path: String,
               partitionCols: Seq[String] = Nil,
               targetBytes: Long = 128L << 20,
               sortCols: Seq[String] = Nil): Int = {
-    require(partitionCols.isEmpty || sortCols.isEmpty,
-      "sort within partition dirs is not supported; pick one layout axis")
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.recover(fs, path)
     val n = math.max(1L, (dataBytes(spark, path) + targetBytes - 1) / targetBytes)
       .toInt
     val df = spark.read.parquet(path)
-    // repartition by the partition columns so each partition dir gets
-    // coalesced output (hash-spread over n tasks); unpartitioned tables
-    // coalesce outright — no shuffle needed to merge files
+    val layout = (partitionCols ++ sortCols).map(df.col)
     val compacted =
       if (sortCols.nonEmpty)
-        df.repartitionByRange(n, sortCols.map(df.col): _*)
-          .sortWithinPartitions(sortCols.map(df.col): _*)
+        // range-partition over the full layout axis: with partitionCols
+        // present each task holds a contiguous (partition, sort) slab, so
+        // the files it writes into any partition directory cover sort-key
+        // ranges disjoint from every other task's
+        df.repartitionByRange(n, layout: _*).sortWithinPartitions(layout: _*)
       else if (partitionCols.isEmpty) df.coalesce(n)
-      else df.repartition(n, partitionCols.map(df.col): _*)
+      else {
+        // hash on partitionCols alone would glue each partition value to
+        // ONE task (one oversized file per directory); salt with a row
+        // hash bounded by the per-directory split budget so large
+        // partitions shatter into ~targetBytes files
+        val dirs = math.max(1L,
+          df.select(partitionCols.map(df.col): _*).distinct().count())
+        val split = math.max(1L, math.ceil(n.toDouble / dirs).toLong)
+        val salt = pmod(xxhash64(df.columns.map(df.col): _*), lit(split))
+        df.repartition(n, partitionCols.map(df.col) :+ salt: _*)
+      }
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
     n
+  }
+
+  // ---------------------------------------------------------------------
+  // deleteWhere: partition-surgical row deletes, crash-recoverable.
+  //
+  // Protocol (per-partition generalization of AtomicSwap):
+  //   1. recoverDelete()          — roll forward any crashed prior delete
+  //   2. write surviving rows of the affected partitions to
+  //      `path__delstage` (live table untouched, fully readable)
+  //   3. atomically publish a journal `path/._delete_journal` (hidden
+  //      from readers) listing KEEP/DROP per affected partition — the
+  //      commit point: before it, recovery discards the stage; after it,
+  //      recovery rolls forward
+  //   4. per partition: rename the live dir aside under `path/.delprev/`
+  //      then rename the staged dir in — readers race only renames,
+  //      never a recursive delete
+  //   5. drop the aside dirs, the stage, the journal
+  // ---------------------------------------------------------------------
+
+  private def stagePath(path: String) = new Path(path + "__delstage")
+  private def journalPath(path: String) = new Path(path, "._delete_journal")
+  private def asidePath(path: String) = new Path(path, ".delprev")
+
+  /** Hive-style partition-path escaping (subset Spark writes): NULL maps
+    * to `__HIVE_DEFAULT_PARTITION__`, reserved path characters are
+    * %-encoded. Mirrors what `DataFrameWriter.partitionBy` produces so
+    * composed directory names locate the directories Spark wrote.
+    */
+  private def partSegment(colName: String, v: Any): String = {
+    if (v == null) return s"$colName=__HIVE_DEFAULT_PARTITION__"
+    val needEscape = "\"#%'*/:=?\\{[]^"
+    val sb = new StringBuilder
+    v.toString.foreach { c =>
+      if (c < ' ' || needEscape.contains(c)) sb.append(f"%%${c.toInt}%02X")
+      else sb.append(c)
+    }
+    s"$colName=${sb.toString}"
+  }
+
+  /** Relative partition directories present under `root`, `depth` levels
+    * deep (one level per partition column), skipping hidden entries.
+    */
+  private def listPartitionDirs(fs: FileSystem, root: Path, depth: Int): Seq[String] = {
+    def walk(p: Path, d: Int, rel: String): Seq[String] =
+      if (!fs.exists(p)) Nil
+      else if (d == 0) Seq(rel)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .flatMap(s => walk(s.getPath,
+          d - 1, if (rel.isEmpty) s.getPath.getName else s"$rel/${s.getPath.getName}"))
+    walk(root, depth, "")
+  }
+
+  private def renameInto(fs: FileSystem, src: Path, dst: Path): Unit = {
+    val parent = dst.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    if (fs.exists(src) && !fs.rename(src, dst))
+      throw new java.io.IOException(s"deleteWhere: rename $src -> $dst failed")
+  }
+
+  /** Roll forward a delete that crashed mid-publish. Idempotent and
+    * cheap when clean; called automatically at every `deleteWhere`
+    * entry. Before the journal exists nothing live was touched, so the
+    * stage is simply discarded; once the journal exists the staged
+    * survivors are complete, so each KEEP partition is (re)swapped in
+    * and each DROP partition removed.
+    */
+  def recoverDelete(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val journal = journalPath(path)
+    if (fs.exists(journal)) {
+      val in = fs.open(journal)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+      lines.foreach { line =>
+        val (op, rel) = line.splitAt(5) // "KEEP " / "DROP "
+        val live = new Path(path, rel)
+        val staged = new Path(stagePath(path), rel)
+        op.trim match {
+          case "KEEP" if fs.exists(staged) =>
+            fs.delete(live, true) // crash-window cleanup, no reader contract
+            renameInto(fs, staged, live)
+          case "DROP" => fs.delete(live, true)
+          case _ => ()
+        }
+      }
+      fs.delete(journal, false)
+    }
+    fs.delete(asidePath(path), true)
+    fs.delete(stagePath(path), true)
+    fs.delete(new Path(path, "._delete_journal.tmp"), false)
   }
 
   /** Row-level delete from a partitioned table, rewriting ONLY the
     * partitions that hold matching rows (the GDPR-erasure / bad-batch
     * backfill move): partition pruning finds the affected partitions,
-    * dynamic partition overwrite replaces exactly those directories
-    * with their surviving rows, untouched partitions' files are never
-    * read or rewritten — at 100 TB a delete touching one day costs one
-    * day, not a table rewrite. Partitions left EMPTY by the delete are
-    * dropped explicitly (dynamic overwrite cannot write an empty
-    * partition, so their stale directories would otherwise survive).
-    * Returns the number of partitions rewritten or dropped.
+    * their surviving rows are staged beside the table, then swapped in
+    * per-partition via renames — untouched partitions' files are never
+    * read or rewritten, so at 100 TB a delete touching one day costs one
+    * day, not a table rewrite. SQL DELETE semantics: only rows where
+    * `predicate` is TRUE are removed — rows where it evaluates NULL
+    * survive. NULL partition values are handled (null-safe match,
+    * `__HIVE_DEFAULT_PARTITION__` directories). Crash-recoverable: a
+    * crash anywhere leaves the table readable, and the next call (or
+    * `recoverDelete`) completes or discards the interrupted delete.
+    * Partitions left EMPTY by the delete are dropped. Returns the
+    * number of partitions rewritten or dropped.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   partitionCols: Seq[String], predicate: Column): Int = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverDelete(spark, path)
     val df = spark.read.parquet(path)
-    val affected = df.filter(predicate)
+    // three-valued logic: a NULL predicate must neither select a
+    // partition nor delete a row
+    val hit = coalesce(predicate, lit(false))
+    val affected = df.filter(hit)
       .select(partitionCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return 0
+    // null-safe partition match: col === lit(null) is never true, so a
+    // NULL partition value would silently escape the delete without <=>
     val inAffected = affected.map(r =>
       partitionCols.indices.map(i =>
-        col(partitionCols(i)) === lit(r.get(i))).reduce(_ && _))
+        col(partitionCols(i)) <=> lit(r.get(i))).reduce(_ && _))
       .reduce(_ || _)
-    val survivors = df.filter(inAffected).filter(!predicate)
-    // computed BEFORE the overwrite: afterwards the source files this
-    // plan reads no longer exist
-    val alive = survivors.select(partitionCols.map(col): _*).distinct()
-      .collect().map(_.toSeq).toSet
-    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try
-      survivors.write.mode("overwrite")
-        .partitionBy(partitionCols: _*).parquet(path)
-    finally prior match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val survivors = df.filter(inAffected).filter(!hit)
+
+    // stage the affected partitions' surviving rows beside the live
+    // table — source files stay intact while this plan reads them
+    val stage = stagePath(path)
+    survivors.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(stage.toString)
+
+    // KEEP = staged dirs as Spark actually named them; DROP = affected
+    // partitions the delete emptied (composed names, same escaping)
+    val keep = listPartitionDirs(fs, stage, partitionCols.length).toSet
+    val affectedRels = affected.map(r =>
+      partitionCols.indices.map(i => partSegment(partitionCols(i), r.get(i)))
+        .mkString("/"))
+    val drop = affectedRels.filterNot(keep)
+
+    // publish the journal atomically (write-then-rename): the commit point
+    val journal = journalPath(path)
+    val tmp = new Path(path, "._delete_journal.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((keep.toSeq.sorted.map("KEEP " + _) ++ drop.sorted.map("DROP " + _))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, journal))
+      throw new java.io.IOException(s"deleteWhere: journal publish failed at $journal")
+
+    // swap: readers race only renames, never a recursive delete
+    val aside = asidePath(path)
+    keep.toSeq.sorted.foreach { rel =>
+      renameInto(fs, new Path(path, rel), new Path(aside, rel))
+      renameInto(fs, new Path(stage, rel), new Path(path, rel))
     }
-    // drop partitions the delete emptied (no survivors -> no overwrite)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    affected.filterNot(r => alive.contains(r.toSeq)).foreach { r =>
-      val dir = partitionCols.indices
-        .map(i => s"${partitionCols(i)}=${r.get(i)}").mkString("/")
-      fs.delete(new Path(s"$path/$dir"), true)
-    }
+    drop.foreach(rel => renameInto(fs, new Path(path, rel), new Path(aside, rel)))
+    fs.delete(aside, true)
+    fs.delete(stage, true)
+    fs.delete(journal, false)
     affected.length
   }
 }

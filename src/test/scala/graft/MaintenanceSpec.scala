@@ -103,6 +103,139 @@ class MaintenanceSpec extends SparkSpec {
       .filter(col("event_type") === "view").count() == 0)
   }
 
+  test("sorted compaction within partition dirs: pruning plus in-file range skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psort").toString
+    val events = Tables(spark, sfDir, "events")
+    events.repartition(16)
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val want = events.orderBy("event_id").collect().toSeq
+
+    Maintenance.compact(spark, dir, partitionCols = Seq("event_type"),
+      targetBytes = 8L << 10, sortCols = Seq("event_id"))
+
+    // each partition directory's files hold DISJOINT event_id ranges —
+    // min/max stats can skip files inside the directory pruning chose
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(partDirs.nonEmpty)
+    var multiFileDirs = 0
+    partDirs.foreach { pd =>
+      val files = dataFiles(pd.toString)
+      if (files.size > 1) multiFileDirs += 1
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("event_id"), max("event_id")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"in-partition file ranges overlap in ${pd.getName}: $ranges")
+        case _ =>
+      }
+    }
+    assert(multiFileDirs > 0,
+      "need a partition dir with several files to prove in-dir range layout")
+
+    // directory pruning still works, and content is unchanged
+    val pruned = spark.read.parquet(dir).filter(col("event_type") === "click")
+    pruned.collect()
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: ["))
+    val got = spark.read.parquet(dir)
+      .select(events.columns.map(col): _*)
+      .orderBy("event_id").collect().toSeq
+    assert(got == want, "sorted partitioned compaction must not change content")
+  }
+
+  test("partitioned compaction splits an oversized partition into multiple files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-psplit").toString
+    val events = Tables(spark, sfDir, "events")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    Maintenance.compact(spark, dir, partitionCols = Seq("event_type"),
+      targetBytes = 2L << 10)
+    val perDir = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+      .map(pd => dataFiles(pd.toString).size)
+    assert(perDir.exists(_ > 1),
+      s"a partition above targetBytes must split into several files, got $perDir")
+    assert(spark.read.parquet(dir).count() == events.count())
+  }
+
+  test("deleteWhere keeps rows whose predicate evaluates NULL (SQL DELETE semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delnull").toString
+    import spark.implicits._
+    val df = Seq(
+      ("2024", "alice", 1), ("2024", "bob", 2), ("2024", null, 3),
+      ("2025", "alice", 4), ("2025", null, 5)
+    ).toDF("year", "user", "amount")
+    df.write.partitionBy("year").mode("overwrite").parquet(dir)
+
+    // delete alice from 2024: the NULL-user row in that partition makes
+    // the predicate evaluate NULL — it must SURVIVE, not be erased
+    val n = Maintenance.deleteWhere(spark, dir, Seq("year"),
+      col("user") === "alice" && col("year") === "2024")
+    assert(n == 1)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4)
+    assert(after.filter(col("user").isNull && col("year") === "2024").count() == 1,
+      "NULL-predicate rows must survive a delete of their partition")
+    assert(after.filter(col("user") === "alice" && col("year") === "2024").count() == 0)
+    assert(after.filter(col("year") === "2025").count() == 2)
+  }
+
+  test("deleteWhere reaches rows in a NULL partition value") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delnullpart").toString
+    import spark.implicits._
+    val df = Seq(
+      ("us", "alice", 1), ("us", "bob", 2),
+      (null, "alice", 3), (null, "carol", 4)
+    ).toDF("region", "user", "amount")
+    df.write.partitionBy("region").mode("overwrite").parquet(dir)
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName == "region=__HIVE_DEFAULT_PARTITION__"))
+
+    val n = Maintenance.deleteWhere(spark, dir, Seq("region"),
+      col("user") === "alice")
+    assert(n == 2, "both the us and the NULL partition hold alice rows")
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("user") === "alice").count() == 0,
+      "alice rows in the NULL partition must actually be deleted")
+    assert(after.count() == 2)
+    assert(after.filter(col("region").isNull).count() == 1,
+      "the NULL partition's surviving row must remain")
+
+    // emptying the NULL partition drops its directory too
+    Maintenance.deleteWhere(spark, dir, Seq("region"), col("region").isNull)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName == "region=__HIVE_DEFAULT_PARTITION__"),
+      "an emptied NULL partition's directory must be dropped")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
+  test("recoverDelete rolls a journaled crash forward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delrecover").toString
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(dir)
+    // simulate a crash AFTER the commit point (stage + journal written,
+    // no renames done): partition a's survivors staged, partition b emptied
+    Seq(("a", 2)).toDF("p", "v")
+      .write.partitionBy("p").mode("overwrite").parquet(dir + "__delstage")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "._delete_journal"), "KEEP p=a\nDROP p=b\n")
+
+    Maintenance.recoverDelete(spark, dir)
+
+    val after = spark.read.parquet(dir)
+    assert(after.collect().map(r => (r.getAs[String]("p"), r.getAs[Int]("v")))
+      .toSet == Set(("a", 2)), "recovery must complete the journaled delete")
+    assert(!new java.io.File(dir, "._delete_journal").exists())
+    assert(!new java.io.File(dir + "__delstage").exists())
+    // idempotent when clean
+    Maintenance.recoverDelete(spark, dir)
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("compaction of an unpartitioned table coalesces to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact1").toString
     val nation = Tables(spark, sfDir, "nation")
