@@ -123,6 +123,65 @@ object Warehouse {
       .drop(FactYearCol)
   }
 
+  /** The resolved sales fact (with the `SaleYear` partition column),
+    * derived from the PERSISTED staging layer and the given persisted
+    * dims — the one recipe shared by the full build and the incremental
+    * backfill. `years` (when set) prunes the HEADER SCAN with the same
+    * date-key arithmetic that later derives `SaleYear`, so a one-year
+    * backfill parses one year of headers, not the full history, before
+    * the join even runs.
+    */
+  private def salesFactFrame(spark: SparkSession, product: DataFrame,
+      store: DataFrame, customer: DataFrame, reseller: DataFrame,
+      channel: DataFrame, years: Option[Seq[Int]] = None): DataFrame = {
+    val detail = spark.read.parquet(path("stg_salesdetail"))
+      .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
+        "SALESAMOUNT")
+    val headerAll = spark.read.parquet(path("stg_salesheader"))
+      .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
+        col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
+    val header = years.fold(headerAll)(ys => headerAll.filter(
+      floor(RefStar.dateKey(col("DATE")) / 10000L).cast("int").isin(ys: _*)))
+    RefStar.resolveFact(
+      detail.join(header, col("SALESHEADERID") === col("__h_hid"))
+        .drop("__h_hid"),
+      product, store, customer, reseller, channel)
+      .withColumn(FactYearCol,
+        floor(col("DimSaleDateID") / 10000L).cast("int"))
+  }
+
+  /** Incremental backfill — the 100 TB answer to a late-arriving
+    * correction: recompute ONLY `years` of the sales fact from the
+    * persisted staging layer + dims and replace exactly those partition
+    * directories via dynamic partition overwrite. Dims, the target
+    * facts, and every other year's fact files are neither read nor
+    * rewritten (asserted by mtime equality in WarehouseBackfillSpec), so
+    * fixing one year costs one year — `rebuild` remains the
+    * whole-history hammer. Returns the fact rows written.
+    */
+  def rebuildPartitions(spark: SparkSession, years: Seq[Int]): Long = synchronized {
+    require(years.nonEmpty, "rebuildPartitions needs at least one year")
+    ensure(spark)
+    val Seq(channel, product, customer, reseller, store) =
+      Seq("dim_channel", "dim_product", "dim_customer", "dim_reseller",
+        "dim_store").map(t => spark.read.parquet(path(t)))
+    val fact = salesFactFrame(spark, product, store, customer, reseller,
+      channel, years = Some(years))
+      .filter(col(FactYearCol).isin(years: _*)) // write-safety: only target years
+    val prior = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fact.write.mode("overwrite").partitionBy(FactYearCol)
+      .parquet(path("fact_salesactual"))
+    finally prior match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.read.parquet(path("fact_salesactual"))
+      .filter(col(FactYearCol).isin(years: _*)).count()
+  }
+
   case class Step(name: String, rows: Long, seconds: Double)
 
   @volatile private var memo: Option[Seq[Step]] = None
@@ -233,24 +292,13 @@ object Warehouse {
       // facts join the PERSISTED dims (reference load_fact_tables.py:102)
       // and read the PERSISTED staging layer — the reference's facts load
       // from staging tables, and the 187 K-row CSVs were already parsed
-      // once when the staging layer was written above
-      val detail = spark.read.parquet(path("stg_salesdetail"))
-        .select("SALESDETAILID", "SALESHEADERID", "PRODUCTID", "SALESQUANTITY",
-          "SALESAMOUNT")
-      val header = spark.read.parquet(path("stg_salesheader"))
-        .select(col("SALESHEADERID").as("__h_hid"), col("DATE"), col("CHANNELID"),
-          col("STOREID"), col("CUSTOMERID"), col("RESELLERID"))
-      // the sales fact is written DATE-PARTITIONED by derived year: each
-      // write task emits one file per year it holds (no extra shuffle in
-      // the timed build), and year-filtered views prune at listing time
+      // once when the staging layer was written above. The sales fact is
+      // written DATE-PARTITIONED by derived year: each write task emits
+      // one file per year it holds (no extra shuffle in the timed build),
+      // and year-filtered views prune at listing time
       wave(Seq(
         () => write("fact_salesactual",
-          RefStar.resolveFact(
-            detail.join(header, col("SALESHEADERID") === col("__h_hid"))
-              .drop("__h_hid"),
-            product, store, customer, reseller, channel)
-            .withColumn(FactYearCol,
-              floor(col("DimSaleDateID") / 10000L).cast("int")),
+          salesFactFrame(spark, product, store, customer, reseller, channel),
           partitionCols = Seq(FactYearCol)),
         () => write("fact_productsalestarget",
           RefStar.factProductSalesTarget(spark, product)),
