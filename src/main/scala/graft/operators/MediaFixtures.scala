@@ -5,12 +5,14 @@ import java.io.ByteArrayOutputStream
 import java.nio.file.{Files, Paths}
 import javax.imageio.ImageIO
 
-/** Deterministic PNG + WAV fixture set for the REAL-decode multimodal
-  * gates (qm02 images, qm03 audio): seeded-LCG pixel/sample noise at
-  * per-id dimensions, encoded by the JDK's ImageIO PNG writer and
-  * javax.sound.sampled WAV writer, plus `expected_meta.csv` /
-  * `expected_audio.csv` sidecars recording each asset's intended
-  * parameters and the actual encoded byte count.
+/** Deterministic PNG + WAV + MP4 fixture set for the REAL-decode
+  * multimodal gates (qm02 images, qm03 audio, qm04 video containers):
+  * seeded-LCG pixel/sample noise at per-id dimensions, encoded by the
+  * JDK's ImageIO PNG writer, javax.sound.sampled WAV writer, and a
+  * hand-rolled ISO-BMFF box writer (ftyp/moov/mvhd/trak/mdat), plus
+  * `expected_meta.csv` / `expected_audio.csv` / `expected_video.csv`
+  * sidecars recording each asset's intended parameters and the actual
+  * encoded byte count.
   *
   * The sidecars are written in the same generation pass as the assets,
   * so the DuckDB oracle can state the expected metadata while the
@@ -24,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 2
+  val Version = 3
 
   val Count = 64
 
@@ -34,6 +36,8 @@ object MediaFixtures {
   def metaCsv: String = s"$root/expected_meta.csv"
 
   def audioCsv: String = s"$root/expected_audio.csv"
+
+  def videoCsv: String = s"$root/expected_video.csv"
 
   /** Generate (once) and return the fixture root. Thread-safe in-JVM. */
   def ensure(): String = synchronized {
@@ -73,6 +77,7 @@ object MediaFixtures {
     }
     Files.write(Paths.get(metaCsv), sb.toString.getBytes)
     generateAudio()
+    generateVideo()
   }
 
   /** PCM_SIGNED 16-bit little-endian WAVs with per-id sample rate /
@@ -104,5 +109,90 @@ object MediaFixtures {
       sb.append(s"$id,$rate,$channels,$frames,${bytes.length}\n")
     }
     Files.write(Paths.get(audioCsv), sb.toString.getBytes)
+  }
+
+  // ----- ISO-BMFF (MP4) containers ------------------------------------
+
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val len = 8 + payload.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len)
+    bb.putInt(len).put(typ.getBytes("ISO-8859-1"))
+    payload.foreach(bb.put)
+    bb.array()
+  }
+
+  private val UnityMatrix: Array[Int] =
+    Array(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+
+  /** Minimal-but-real MP4 containers: ftyp + free + moov(mvhd + N trak)
+    * + mdat, with per-id brand / timescale / duration / track count and
+    * LCG noise in mdat. Every fifth asset uses a VERSION-1 mvhd (64-bit
+    * times) so the parser's version branch is exercised, and the `free`
+    * box forces unknown-box skipping. The metadata is only recoverable
+    * by actually walking the box tree — not from names or sizes.
+    */
+  private def generateVideo(): Unit = {
+    val brands = Array("isom", "mp42", "avc1")
+    val timescales = Array(600, 1000, 90000, 44100, 12288)
+    val sb = new StringBuilder("media_id,brand,timescale,duration,n_tracks,n_bytes\n")
+    (1 to Count).foreach { id =>
+      val brand = brands(id % brands.length)
+      val timescale = timescales(id % timescales.length)
+      val duration = 100L + (id.toLong * 137L) % 5000L
+      val nTracks = 1 + id % 3
+      val v1 = id % 5 == 0
+
+      val ftyp = box("ftyp",
+        brand.getBytes("ISO-8859-1"),
+        java.nio.ByteBuffer.allocate(4).putInt(0x200).array(),
+        "isommp42".getBytes("ISO-8859-1")) // compatible brands
+
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(if (v1) 112 else 100)
+        bb.put((if (v1) 1 else 0).toByte).put(Array[Byte](0, 0, 0)) // ver/flags
+        if (v1) bb.putLong(3000000000L + id).putLong(3000000000L + id)
+          .putInt(timescale).putLong(duration)
+        else bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+          .putInt(timescale).putInt(duration.toInt)
+        bb.putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+        bb.put(new Array[Byte](10)) // reserved
+        UnityMatrix.foreach(bb.putInt)
+        bb.put(new Array[Byte](24)) // pre_defined
+        bb.putInt(nTracks + 1) // next_track_ID
+        box("mvhd", bb.array())
+      }
+
+      val traks = (1 to nTracks).map { t =>
+        val bb = java.nio.ByteBuffer.allocate(84)
+        bb.put(0.toByte).put(Array[Byte](0, 0, 7)) // v0, enabled|movie|preview
+        bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+        bb.putInt(t) // track_ID
+        bb.putInt(0) // reserved
+        bb.putInt(duration.toInt)
+        bb.put(new Array[Byte](8)) // reserved
+        bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/vol/res
+        UnityMatrix.foreach(bb.putInt)
+        bb.putInt(640 << 16).putInt(360 << 16) // fixed-point width/height
+        box("trak", bb.array())
+      }
+
+      val mdat = {
+        val data = new Array[Byte](50 + (id * 53) % 400)
+        var seed = id * 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < data.length) {
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          data(i) = (seed >>> 32).toByte
+          i += 1
+        }
+        box("mdat", data)
+      }
+
+      val bytes = ftyp ++ box("free", new Array[Byte](12)) ++
+        box("moov", (mvhd +: traks): _*) ++ mdat
+      Files.write(Paths.get(root, f"vid_$id%04d.mp4"), bytes)
+      sb.append(s"$id,$brand,$timescale,$duration,$nTracks,${bytes.length}\n")
+    }
+    Files.write(Paths.get(videoCsv), sb.toString.getBytes)
   }
 }

@@ -12,16 +12,17 @@ import graft.functions.Text
   *
   * The PNG path is REAL (`decodeImage`/`imageMeta` via the JDK's
   * javax.imageio, gated against a generation-time sidecar oracle —
-  * qm02), and so is the WAV path (`decodeAudio`/`audioMeta` via
-  * javax.sound.sampled — qm03). Video codecs are STUBBED
-  * (`decodeStub` derives deterministic fake dimensions from the byte
-  * content; this environment has no such libraries), but everything
-  * around them —
-  * the binary column representation, the batched mapPartitions shape
-  * (one decoder init per partition, streamed batches, no collect),
-  * the metadata schema — is the real, tested scale path; swapping
-  * `decodeStub` for a JNI/javacpp codec is a one-function change, as
-  * the PNG path demonstrates.
+  * qm02), so is the WAV path (`decodeAudio`/`audioMeta` via
+  * javax.sound.sampled — qm03), and so is the MP4/ISO-BMFF CONTAINER
+  * path (`decodeVideo`/`videoMeta`, a hand-rolled box walker — qm04).
+  * Video PIXEL decode is the one stubbed step (`decodeStub` derives
+  * deterministic fake dimensions from the byte content; real frame
+  * decode needs native codecs this environment lacks), but everything
+  * around it — the binary column representation, the batched
+  * mapPartitions shape (one decoder init per partition, streamed
+  * batches, no collect), the metadata schema — is the real, tested
+  * scale path; swapping `decodeStub` for a JNI/javacpp codec is a
+  * one-function change, as the PNG/WAV/MP4 paths demonstrate.
   */
 object Multimodal {
 
@@ -171,6 +172,87 @@ object Multimodal {
       }
     }.select(col("id").as("media_id"), col("sample_rate"), col("channels"),
       col("n_frames"), col("n_bytes"))
+  }
+
+  case class VideoMeta(id: Long, n_bytes: Long, brand: String,
+                       timescale: Long, duration: Long, n_tracks: Long)
+
+  /** REAL video-container parse — MP4/ISO-BMFF via a hand-rolled box
+    * walker (pure JVM, no codec libraries; the container layout is the
+    * published ISO/IEC 14496-12 base-media format). Walks the top-level
+    * box sequence for `ftyp` (major brand) and `moov`, then `moov`'s
+    * children for `mvhd` (timescale + duration, both 32-bit v0 and
+    * 64-bit v1 layouts) and the `trak` count. Handles `largesize`
+    * (size==1 → 64-bit) and size==0 (box extends to end) per spec, and
+    * skips unknown boxes by size — which is what makes a box walk safe
+    * on real-world files full of `free`/`udta`/vendor boxes. Full frame
+    * decode needs native codecs and stays out of scope; container
+    * metadata is what corpus curation at 100 TB actually filters on
+    * (duration, track shape) before paying for any decode.
+    */
+  def decodeVideo(bytes: Array[Byte]): (String, Long, Long, Long) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var tracks = 0L
+    // visit every box in [start, end): f(boxType, payloadStart, boxEnd)
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        var hdr = 8
+        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 } // largesize
+        else if (size == 0) size = (end - off).toLong // box runs to the end
+        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
+        f(typ, off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+    }
+    walk(0, bytes.length) { (typ, s, e) =>
+      typ match {
+        case "ftyp" => brand = new String(bytes, s, 4, "ISO-8859-1")
+        case "moov" => walk(s, e) { (child, cs, _) =>
+          child match {
+            case "mvhd" =>
+              if ((bytes(cs) & 0xff) == 1) { // v1: 64-bit times
+                timescale = u32(cs + 20); duration = bb.getLong(cs + 24)
+              } else {
+                timescale = u32(cs + 12); duration = u32(cs + 16)
+              }
+            case "trak" => tracks += 1
+            case _ => ()
+          }
+        }
+        case _ => ()
+      }
+    }
+    require(brand.nonEmpty && timescale > 0, "not an ISO-BMFF container")
+    (brand, timescale, duration, tracks)
+  }
+
+  /** Container metadata for a directory of MP4 files — the video twin
+    * of `imageMeta`/`audioMeta`: `binaryFile` source, per-partition box
+    * walk, no collect. Gated against the generation-time sidecar (qm04).
+    */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mp4").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.mp4$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (brand, ts, dur, tracks) = decodeVideo(bytes)
+        VideoMeta(id, bytes.length.toLong, brand, ts, dur, tracks)
+      }
+    }.select(col("id").as("media_id"), col("brand"), col("timescale"),
+      col("duration"), col("n_tracks"), col("n_bytes"))
   }
 
   /** Column-only mirror of the stub (identical arithmetic, codegen'd via

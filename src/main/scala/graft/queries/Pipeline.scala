@@ -564,5 +564,18 @@ object Pipeline {
          |    'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.audioMeta(s, MediaFixtures.ensure())
     },
+
+    // ----- multimodal REAL container parse (MP4/ISO-BMFF box walk) -------
+    // Same shape as qm02/qm03: the Spark side must walk the box tree
+    // (ftyp brand, moov/mvhd timescale+duration incl. the 64-bit v1
+    // layout, trak count) to reproduce the generation-time sidecar.
+    Q("qm04_mp4_meta",
+      s"""SELECT media_id, brand, timescale, duration, n_tracks, n_bytes
+         |FROM read_csv('${MediaFixtures.videoCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'brand': 'VARCHAR',
+         |    'timescale': 'BIGINT', 'duration': 'BIGINT',
+         |    'n_tracks': 'BIGINT', 'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.videoMeta(s, MediaFixtures.ensure())
+    },
   )
 }

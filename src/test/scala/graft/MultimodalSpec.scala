@@ -79,6 +79,53 @@ class MultimodalSpec extends SparkSpec {
       "decoded audio metadata must equal the sidecar exactly")
   }
 
+  test("decodeVideo walks real ISO-BMFF box trees, both mvhd layouts") {
+    // hand-build a v1 (64-bit times) container with a largesize box and
+    // an unknown box in the walk path — the parser must skip by size
+    def u32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len).put(typ.getBytes("ISO-8859-1"))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val mvhdV1 = {
+      val bb = java.nio.ByteBuffer.allocate(112)
+      bb.put(1.toByte).put(Array[Byte](0, 0, 0))
+      bb.putLong(1L).putLong(2L).putInt(90000).putLong(7654321L)
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      bb.put(new Array[Byte](10 + 36 + 24))
+      bb.putInt(3)
+      box("mvhd", bb.array())
+    }
+    val trak = box("trak", new Array[Byte](84))
+    val bytes = box("ftyp", "mp42".getBytes, u32(0), "isom".getBytes) ++
+      box("skip", new Array[Byte](5)) ++
+      box("moov", mvhdV1, trak, trak)
+    assert(Multimodal.decodeVideo(bytes) == ("mp42", 90000L, 7654321L, 2L))
+
+    // truncated/corrupt container must be rejected loudly, not mis-read
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo(bytes.take(bytes.length - 3))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideo("not a video at all".getBytes)
+    }
+  }
+
+  test("distributed MP4 container parse reproduces the generation-time sidecar") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.videoMeta(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, brand STRING, timescale LONG, " +
+        "duration LONG, n_tracks LONG, n_bytes LONG")
+      .csv(MediaFixtures.videoCsv)
+    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "parsed container metadata must equal the sidecar exactly")
+  }
+
   test("frame sampling fans one payload into strided frame records") {
     import spark.implicits._
     val oneVideo = Seq((1L, Array.fill[Byte](1000)(7))).toDS()
