@@ -151,6 +151,14 @@ object Dedup {
     * all-pairs — and the exact popcount verify runs only on candidates.
     * Recall is 1 by construction (pigeonhole is a theorem, not a
     * probability), unlike minhash banding's probabilistic curve.
+    *
+    * Cache lifecycle (caller-owned, like the other cached spines): the
+    * signature table is cached so both join sides share one computation;
+    * the blocks stay pinned until the application ends or the caller
+    * runs `spark.catalog.clearCache()`. One bounded row per document —
+    * at real scale signatures would be a materialized table, and
+    * repeated invocations should go through such a table rather than
+    * re-entering this method.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bits: Int = 60,
@@ -209,25 +217,54 @@ object Dedup {
     * on executors and die with them, fine for short loops on a healthy
     * cluster. Pass `reliable = true` (with
     * `sparkContext.setCheckpointDir` pointing at durable storage) to
-    * use reliable `df.checkpoint()` instead: each round's labels are
-    * persisted to the checkpoint dir, so an executor loss mid-loop
-    * recomputes from the last round's files rather than from the raw
-    * pair graph. The algorithm is unchanged. NOTE: checkpoint files
-    * accumulate for the app's lifetime unless
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` is set —
-    * the O(log d) round bound keeps that to a few dozen bounded label
-    * snapshots, but long-running apps should set the config.
+    * snapshot each round's labels as parquet under a loop-owned
+    * subdirectory of the checkpoint dir instead: an executor loss
+    * mid-loop recomputes from the last round's files rather than from
+    * the raw pair graph. The loop deletes each superseded round as soon
+    * as the next one is durable (runtime `conf.set` of Spark's
+    * `cleanCheckpoints` flag would be ignored — ContextCleaner captures
+    * it at startup — so cleanup is explicit), so the checkpoint dir
+    * holds O(1) snapshots at any moment and exactly one — the final
+    * labels, which the returned DataFrame reads — after convergence
+    * (spec-asserted). The algorithm is unchanged.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           reliable: Boolean = false,
                           maxRounds: Int = 64): DataFrame = {
-    def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val spark = pairs.sparkSession
+    val snapRoot: Option[org.apache.hadoop.fs.Path] =
+      if (!reliable) None
+      else {
+        val base = spark.sparkContext.getCheckpointDir.getOrElse(
+          throw new IllegalStateException(
+            "reliable=true requires sparkContext.setCheckpointDir"))
+        Some(new org.apache.hadoop.fs.Path(
+          base, s"graft-cc-${java.util.UUID.randomUUID()}"))
+      }
+    lazy val snapFs = snapRoot.get
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var snapIdx = 0
+    var lastLabelSnap: Option[org.apache.hadoop.fs.Path] = None
+    // labels=true marks snapshots eligible for supersede-cleanup; the
+    // edges snapshot must survive the whole loop (read every round)
+    def ckpt(df: DataFrame, labels: Boolean = false): DataFrame =
+      snapRoot match {
+        case None => df.localCheckpoint()
+        case Some(root) =>
+          val p = new org.apache.hadoop.fs.Path(root, s"snap-$snapIdx")
+          snapIdx += 1
+          df.write.mode("overwrite").parquet(p.toString)
+          if (labels) {
+            lastLabelSnap.foreach(snapFs.delete(_, true))
+            lastLabelSnap = Some(p)
+          }
+          spark.read.parquet(p.toString)
+      }
     val edges = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct())
     var labels = ckpt(edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node")))
+      .withColumn("lbl", col("node")), labels = true)
     var converged = false
     var round = 0
     while (!converged) {
@@ -258,10 +295,15 @@ object Dedup {
           prop.join(hop, prop("lbl1") === col("__jn"), "left")
             .select(col("node"), col("lbl"),
               least(col("lbl1"), coalesce(col("__jl"), col("lbl1"))).as("lbl2"))
-        })
+        },
+        labels = true)
       converged = next.filter(col("lbl2") < col("lbl")).isEmpty
       labels = next.select(col("node"), col("lbl2").as("lbl"))
     }
+    // converged: only the final labels snapshot is still needed (the
+    // returned plan reads it); the edges snapshot is done serving rounds
+    snapRoot.foreach(root =>
+      snapFs.delete(new org.apache.hadoop.fs.Path(root, "snap-0"), true))
     labels.select(col("node").as(aCol), col("lbl").as("cluster"))
   }
 

@@ -78,6 +78,34 @@ class DedupSpec extends SparkSpec {
     } finally prior.foreach(spark.sparkContext.setCheckpointDir)
   }
 
+  test("reliable rounds clean superseded snapshots; dir is bounded at convergence") {
+    import spark.implicits._
+    val prior = Option(spark.sparkContext.getCheckpointDir.orNull)
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-gc").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      // a 100-node path needs many doubling rounds — enough to prove
+      // snapshots are deleted as they are superseded, not accumulated
+      val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val labels = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        reliable = true)
+      // setCheckpointDir nests a session UUID dir under ckDir
+      val ccRoots = new java.io.File(ckDir).listFiles()
+        .flatMap(f => if (f.isDirectory) f.listFiles() else Array.empty[java.io.File])
+        .filter(_.getName.startsWith("graft-cc-"))
+      assert(ccRoots.length == 1)
+      val snaps = ccRoots.head.listFiles().map(_.getName).sorted
+      assert(snaps.length == 1,
+        s"after convergence only the final labels snapshot may remain, got ${snaps.toSeq}")
+      assert(snaps.head.stripPrefix("snap-").toInt >= 5,
+        "the path graph must have taken several persisted rounds")
+      // the returned plan still reads the surviving snapshot
+      assert(labels.collect().forall(_.getLong(1) == 1L),
+        "a single path component labels every node with the minimum id")
+    } finally prior.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("near-dup clusters close the LSH pairs under transitivity") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 32, bands = 8,
       threshold = 0.5).select("doc_a", "doc_b")
