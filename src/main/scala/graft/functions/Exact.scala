@@ -29,9 +29,18 @@ object Exact {
   /** Exact average: exact sum divided by COUNT(*) in double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** Oracle-side (DuckDB) text for the same exact sum. */
+  /** Oracle-side (DuckDB) text for the same exact sum. The decimal →
+    * double hop goes THROUGH STRING (a DuckDB alias for VARCHAR that
+    * Spark also parses, so the text stays shared-cross-engine): DuckDB's
+    * direct CAST(DECIMAL AS DOUBLE) divides double(unscaled) by
+    * double(10^scale) and is up to 1 ulp off once the sum exceeds 2^53
+    * quantums (first seen at sf1: a 1e17-quantum revenue sum), while
+    * Spark's BigDecimal.doubleValue is correctly rounded; string →
+    * double is correctly rounded in both engines, so the hop restores
+    * bit-equality at any magnitude.
+    */
   def dsumSql(expr: String): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($expr AS DECIMAL(25,6))) AS STRING) AS DOUBLE)"
 
   def davgSql(expr: String): String = s"${dsumSql(expr)} / COUNT(*)"
 }

@@ -20,11 +20,39 @@ object Text {
   val Mult: Long = PolyHash.Mult
   val Seed: Long = PolyHash.Seed
 
-  /** Minhash permutation constants: perm_i(h) = (a_i*h + b_i) mod Mod. */
-  def permA(i: Column): Column = lit(37L) + lit(2L) * i
-  def permB(i: Column): Column = lit(17L) + lit(101L) * i
-  def permSqlA(i: String): String = s"(37 + 2 * $i)"
-  def permSqlB(i: String): String = s"(17 + 101 * $i)"
+  /** Minhash permutation constants: perm_i(h) = (a_i*h + b_i) mod Mod,
+    * with a_i/b_i drawn from a splitmix64-style bit mixer of i.
+    *
+    * The constants MUST be structureless in i — two earlier families
+    * failed at sf1 in the same way: (a) a_i = 37 + 2i (tiny consecutive
+    * multipliers) and (b) a_i = C·(i+1) mod p with b_i likewise linear,
+    * which collapses every image to (i+1)·(C·h + D) + const mod p —
+    * affine IN THE PERM INDEX — so a single shingle whose (C·h + D)
+    * mod p lands small wins the per-perm minimum for HALF the perm
+    * indices at once. Either way one unlucky hash sinks a whole
+    * near-dup family's banding recall (observed: a Jaccard-0.92 pair
+    * agreeing on 24/48 signatures, sharing 0 bands). The mixer's
+    * avalanche makes each a_i/b_i an independent-looking draw from the
+    * field, restoring E[agreement] = Jaccard per perm with independent
+    * per-perm deviations (validated: win rates uniform over 4800
+    * perms). a_i*h stays < 2^63: both factors are < Mod ≈ 2^30.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  val MaxPerms = 64
+  val PermAs: IndexedSeq[Long] = (0 until MaxPerms).map(i =>
+    java.lang.Long.remainderUnsigned(mix64(2L * i), Mod - 1) + 1)
+  val PermBs: IndexedSeq[Long] = (0 until MaxPerms).map(i =>
+    java.lang.Long.remainderUnsigned(mix64(2L * i + 1), Mod))
+  /** DuckDB text for a_i / b_i: literal lookup tables (1-based index). */
+  def permSqlA(i: String): String =
+    s"(list_value(${PermAs.mkString(",")}))[CAST($i AS INTEGER) + 1]"
+  def permSqlB(i: String): String =
+    s"(list_value(${PermBs.mkString(",")}))[CAST($i AS INTEGER) + 1]"
 
   /** Rolling polynomial hash (custom codegen'd Catalyst expression). */
   def polyhash(c: Column): Column =

@@ -67,8 +67,9 @@ object Dedup {
     val hashed = withShingles(df, idCol, textCol, n)
       .select(col(idCol), explode(col("__sh")).as("__s"))
       .withColumn("__h", Text.polyhash(col("__s")))
+    require(k <= Text.MaxPerms, s"at most ${Text.MaxPerms} minhash perms")
     val mins = (0 until k).map { j =>
-      min((lit(37L + 2L * j) * col("__h") + lit(17L + 101L * j)) % Text.Mod)
+      min((lit(Text.PermAs(j)) * col("__h") + lit(Text.PermBs(j))) % Text.Mod)
         .as(s"__m$j")
     }
     hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
@@ -76,8 +77,9 @@ object Dedup {
   }
 
   /** Minhash signatures in long format: (id, perm_id, sig). Same values
-    * as the array form (perm_j(h) = (37+2j)*h + (17+101j) mod M —
-    * graft.functions.Text.permA/permB), exploded for the gate/oracle.
+    * as the array form (perm_j(h) = (a_j*h + b_j) mod M with the
+    * mixer-derived a_j/b_j of graft.functions.Text.PermAs/PermBs),
+    * exploded for the gate/oracle.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,

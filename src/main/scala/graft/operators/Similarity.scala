@@ -48,13 +48,24 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: planes x dim matrix with
-    * values in [-0.5, 0.5), derived from an LCG so both tests and any
-    * future oracle can reproduce them.
+    * values in [-0.5, 0.5), derived from a splitmix64-style bit mixer
+    * of the flat index so tests reproduce them exactly.
+    *
+    * NOT a raw LCG: an earlier version fed sequential indices through
+    * one LCG step, whose outputs lie on a coarse lattice — at sf1 one
+    * query vector sat so that its true sim≈0.45 neighbors (per-table
+    * agreement 0.27, miss 4.5e-4 over 24 tables under a random model)
+    * were missed almost entirely, failing the recall floor. The mixer's
+    * avalanche breaks the lattice and restores the random-hyperplane
+    * model the banding math assumes.
     */
   def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d) =>
-      val x = (1103515245L * (p * dim + d + 1) + 12345L) % 2147483648L
-      (x.toDouble / 2147483648.0) - 0.5
+      var x = (p.toLong * dim + d + 1) * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+      x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+      x ^= (x >>> 31)
+      ((x >>> 11).toDouble / (1L << 53).toDouble) - 0.5
     }
 
   /** Approximate top-k via random-hyperplane LSH with multiple tables.

@@ -123,10 +123,10 @@ object Extra {
     Q("q39_window_frames",
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  l_extendedprice * (1 - l_discount) AS revenue,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        |  CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
         |    OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
         |          l_quantity, l_extendedprice, l_discount
-        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+        |          ROWS UNBOUNDED PRECEDING) AS STRING) AS DOUBLE) AS running_revenue,
         |  lag(l_quantity) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber,
         |      l_quantity, l_extendedprice, l_discount) AS prev_qty,
@@ -476,6 +476,105 @@ object Extra {
         .agg(count(lit(1)).as("n_hitters"),
           expr("bool_and(est >= cnt)").as("all_overestimate"),
           expr("bool_and(est - cnt <= n / 64.0)").as("all_error_bounded"))
+    },
+
+    // ----- ordered conversion funnel --------------------------------------
+    // The product-analytics staple Spark has no operator for: users who
+    // viewed, then clicked AFTER their first view, then purchased AFTER
+    // that click. Each stage is a per-user aggregate joined to the
+    // previous stage's (shrinking, broadcastable) user set — the
+    // standard distributed funnel shape: no window over all events, no
+    // per-user collect, three equi-joins on the same key that AQE
+    // broadcasts as the funnel narrows. The strict ts ordering makes the
+    // stage sets deterministic in both engines.
+    Q("q55_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS viewed,
+        |       (SELECT COUNT(*) FROM c) AS clicked_after,
+        |       (SELECT COUNT(*) FROM p) AS purchased_after""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("viewed"))
+          .crossJoin(c.agg(count(lit(1)).as("clicked_after")))
+          .crossJoin(p.agg(count(lit(1)).as("purchased_after")))
+    },
+
+    // ----- top event paths (sequence analysis) ----------------------------
+    // Each user's first-5-event path, counted across users: ONE window
+    // shuffle on user_id (the rn<=5 cap bounds per-user state), then a
+    // group-by on the bounded path string. The in-group order is made
+    // total by (ts, event_id) — the q39 duplicate-sort-key lesson — and
+    // Spark's unordered collect_list is sorted by rn via array_sort
+    // before joining, because collect_list order is not a contract.
+    Q("q56_event_paths",
+      """WITH r AS (SELECT user_id, event_type,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, COUNT(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(10)
+    },
+
+    // ----- retention cohorts ----------------------------------------------
+    // Weekly cohort retention matrix: users bucketed by the week of
+    // their first event; each later (cohort, offset) cell counts users
+    // active that week. Two aggregation shuffles on user_id (first-week
+    // + distinct user-weeks, co-partitioned so the self-join is
+    // shuffle-free under AQE) then a group-by on the tiny matrix. Week
+    // index is day-diff floor-division from a fixed epoch — pure
+    // integer arithmetic both engines share, instead of date_trunc
+    // week-start conventions.
+    Q("q57_retention_cohorts",
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |coh AS (SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, u.wk - c.cohort_week AS week_offset,
+        |       COUNT(*) AS n_users
+        |FROM uw u JOIN coh c ON u.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+            .cast("long").as("wk"))
+        .distinct()
+      val coh = uw.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      uw.join(coh, "user_id")
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
     },
   )
 }

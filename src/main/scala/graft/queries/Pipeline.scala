@@ -103,11 +103,15 @@ object Pipeline {
     },
 
     // ----- minhash-LSH near-dup, exact-verified --------------------------
-    // Spark runs banded LSH (k=48, b=12, r=4) then exact-verifies
+    // Spark runs banded LSH (k=48, b=24, r=2) then exact-verifies
     // candidates; the oracle brute-forces exact Jaccard. They agree as
-    // long as LSH recall at the threshold is 1 — the band curve makes a
-    // miss < 0.2% even for the lowest planted near-dup (j = 0.8 at
-    // sf0.1; the sf0.01 gate corpus has nothing below 0.9).
+    // long as LSH recall over the corpus's actual pairs is ~1: with
+    // r=2 rows per band, a pair at the sf1 corpus floor (j = 2/3) is
+    // missed with prob (1-j^2)^24 ≈ 8e-7 — the earlier r=4 banding
+    // missed such pairs 7% of the time, which the sf1 validation run
+    // caught. r=2 costs more candidates, but every candidate still
+    // flows through the bucketed exact-verify join, so precision is
+    // unaffected and the extra work is proportional to true near-dups.
     Q("qd05_minhash_lsh",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
@@ -120,7 +124,7 @@ object Pipeline {
          |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
          |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin) { (s, dir) =>
       Dedup.minhashLshPairs(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 48, bands = 12, threshold = 0.5)
+        k = 48, bands = 24, threshold = 0.5)
     },
 
     // ----- near-dup clusters: LSH pairs closed under transitivity --------
@@ -148,7 +152,7 @@ object Pipeline {
          |SELECT node AS doc_id, min(lbl) AS cluster
          |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
       Dedup.nearDupClusters(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 48, bands = 12, threshold = 0.5)
+        k = 48, bands = 24, threshold = 0.5)
     },
 
     // ----- near-dup PRUNE policy (clusters applied to the corpus) --------
@@ -182,7 +186,7 @@ object Pipeline {
          |GROUP BY lang""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
-        k = 48, bands = 12, threshold = 0.5)
+        k = 48, bands = 24, threshold = 0.5)
       val dropped = clusters.filter(col("cluster") =!= col("doc_id"))
         .select(col("doc_id").as("__drop"))
       docs.join(dropped, col("doc_id") === col("__drop"), "left_anti")
@@ -227,8 +231,9 @@ object Pipeline {
     // Configs tuned against the near-orthogonal synthetic embeddings:
     // LSH 3 planes x 24 tables and IVF 8 cells x 4 probes measured
     // min per-query hits@10 of 6+/4+ across sf0.001..sf0.1.
-    // Both ANN paths are pure functions of the data (LCG hyperplanes,
-    // first-k-by-id k-means init), so per-query recall@10 vs the exact
+    // Both ANN paths are pure functions of the data (bit-mixed
+    // deterministic hyperplanes, first-k-by-id k-means init), so
+    // per-query recall@10 vs the exact
     // top-k is a reproducible integer. The gate emits
     // (query_id, recall_ok = hits >= floor); the oracle knows every row
     // must be 1, so ANY per-query recall regression below the floor
@@ -452,7 +457,7 @@ object Pipeline {
         |                  generate_subscripts(embedding, 1) - 1 AS pos
         |           FROM embeddings)
         |SELECT label, CAST(pos AS BIGINT) AS pos,
-        |  CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
         |    / COUNT(*) AS m
         |FROM e GROUP BY label, pos""".stripMargin) { (s, dir) =>
       Similarity.centroids(Tables(s, dir, "embeddings"), "label", "embedding")

@@ -114,10 +114,10 @@ object Relational {
     // ----- A4/F4: conditional aggregation -------------------------------
     Q("q07_conditional_agg",
       """SELECT l_linestatus,
-        |  CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
-        |    AS DECIMAL(25,6))) AS DOUBLE) AS returned_qty,
-        |  CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END
-        |    AS DECIMAL(25,6))) AS DOUBLE) AS kept_qty
+        |  CAST(CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END
+        |    AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS returned_qty,
+        |  CAST(CAST(SUM(CAST(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END
+        |    AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS kept_qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -350,8 +350,8 @@ object Relational {
          |  JOIN nation   ON s_nationkey = n_nationkey
          |  GROUP BY n_name, s_name)
          |SELECT n_name, s_name, rev,
-         |  (rev * 100) / CAST(SUM(CAST(rev AS DECIMAL(25,6)))
-         |    OVER (PARTITION BY n_name) AS DOUBLE) AS pct_of_nation
+         |  (rev * 100) / CAST(CAST(SUM(CAST(rev AS DECIMAL(25,6)))
+         |    OVER (PARTITION BY n_name) AS STRING) AS DOUBLE) AS pct_of_nation
          |FROM sup_rev""".stripMargin) { (s, dir) =>
       val supRev = t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
@@ -373,9 +373,9 @@ object Relational {
          |  JOIN nation   ON s_nationkey = n_nationkey
          |  GROUP BY n_name, s_name)
          |SELECT n_name, s_name, rev,
-         |  CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (PARTITION BY n_name) AS DOUBLE)
+         |  CAST(CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (PARTITION BY n_name) AS STRING) AS DOUBLE)
          |    / COUNT(*) OVER (PARTITION BY n_name) AS nation_avg_rev,
-         |  rev - CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (PARTITION BY n_name) AS DOUBLE)
+         |  rev - CAST(CAST(SUM(CAST(rev AS DECIMAL(25,6))) OVER (PARTITION BY n_name) AS STRING) AS DOUBLE)
          |    / COUNT(*) OVER (PARTITION BY n_name) AS rev_vs_nation_avg
          |FROM sup_rev""".stripMargin) { (s, dir) =>
       val supRev = t(s, dir, "lineitem")
@@ -395,8 +395,8 @@ object Relational {
     Q("q22_conditional_window",
       """SELECT o_orderkey,
         |  CAST(year(o_orderdate) AS BIGINT) AS order_year, o_totalprice,
-        |  CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
-        |      AS DECIMAL(25,6))) OVER (PARTITION BY year(o_orderdate)) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
+        |      AS DECIMAL(25,6))) OVER (PARTITION BY year(o_orderdate)) AS STRING) AS DOUBLE)
         |    / NULLIF(COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
         |      OVER (PARTITION BY year(o_orderdate)), 0) AS urgent_avg_price
         |FROM orders""".stripMargin) { (s, dir) =>

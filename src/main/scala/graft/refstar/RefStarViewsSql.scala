@@ -15,12 +15,16 @@ package graft.refstar
   */
 object RefStarViewsSql {
 
+  // The decimal → double hop goes THROUGH VARCHAR (see Exact.dsumSql):
+  // DuckDB's direct CAST(DECIMAL AS DOUBLE) is up to 1 ulp off past
+  // 2^53 quantums, while the string route is correctly rounded in both
+  // engines and bit-matches Spark's BigDecimal.doubleValue.
   private def ds(x: String): String =
-    s"CAST(SUM(CAST($x AS DECIMAL(25,6))) AS DOUBLE)"
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(25,6))) AS STRING) AS DOUBLE)"
 
   /** Window total of per-group decimal sums, as double. */
   private def wds(x: String, part: String): String =
-    s"CAST(SUM(SUM(CAST($x AS DECIMAL(25,6)))) OVER (PARTITION BY $part) AS DOUBLE)"
+    s"CAST(CAST(SUM(SUM(CAST($x AS DECIMAL(25,6)))) OVER (PARTITION BY $part) AS STRING) AS DOUBLE)"
 
   val salesPerformanceSummary: String =
     s"""SELECT p.ProductName, p.ProductCategory, p.ProductType,
@@ -226,8 +230,8 @@ object RefStarViewsSql {
     val salesShare = s"${ds("fs.SaleAmount")} / ${wds("fs.SaleAmount", part)}"
     val profitShare = s"${ds("fs.SaleTotalProfit")} / ${wds("fs.SaleTotalProfit", part)}"
     def bonus(pool: Int): String =
-      s"""CAST(ROUND(CAST($pool * ($salesShare) * 0.5 +
-         |  $pool * ($profitShare) * 0.5 AS DECIMAL(25,6)), 2) AS DOUBLE)""".stripMargin
+      s"""CAST(CAST(ROUND(CAST($pool * ($salesShare) * 0.5 +
+         |  $pool * ($profitShare) * 0.5 AS DECIMAL(25,6)), 2) AS STRING) AS DOUBLE)""".stripMargin
     s"""SELECT s.StoreNumber, s.StoreName, sl.State_Province AS StoreState,
        |  d.YEAR, p.ProductType,
        |  ${ds("fs.SaleAmount")} AS TotalSalesAmount,
@@ -291,8 +295,8 @@ object RefStarViewsSql {
 
   val multiStoreVsSingleStore: String = {
     def configAvg(config: String, metric: String): String =
-      s"""CAST(SUM(CAST(CASE WHEN StoreConfiguration = '$config'
-         |    THEN $metric END AS DECIMAL(25,6))) OVER (PARTITION BY YEAR) AS DOUBLE)
+      s"""CAST(CAST(SUM(CAST(CASE WHEN StoreConfiguration = '$config'
+         |    THEN $metric END AS DECIMAL(25,6))) OVER (PARTITION BY YEAR) AS STRING) AS DOUBLE)
          |  / COUNT(CASE WHEN StoreConfiguration = '$config'
          |    THEN $metric END) OVER (PARTITION BY YEAR)""".stripMargin
     val multiAvgSales = configAvg("Multi-Store State", "AvgSalesPerStore")
