@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{coalesce, col, lit, pmod, shiftleft, shiftright, when, xxhash64}
 
 import graft.streaming.AtomicSwap
 
@@ -77,6 +77,66 @@ object Maintenance {
         val salt = pmod(xxhash64(df.columns.map(df.col): _*), lit(split))
         df.repartition(n, partitionCols.map(df.col) :+ salt: _*)
       }
+    AtomicSwap.rewrite(fs, path, compacted, partitionCols)
+    n
+  }
+
+  /** Morton/Z-order interleaving of several numeric columns, each
+    * min-max scaled to `bits` bits: bit i of scaled column j lands at
+    * position i*ncols + j of the z-value. Files laid out along the
+    * z-curve then cover a bounded hyper-rectangle of EVERY interleaved
+    * column, so parquet min/max statistics skip files for predicates on
+    * ANY of them — the multi-column generalization of single-key sorted
+    * compaction (which perfectly skips one column and not at all on the
+    * others). Ranges (mins/maxs) are one tiny pre-agg; at 100 TB that
+    * scan is a metadata-only min/max over footer stats in practice.
+    */
+  private def zvalue(df: DataFrame, cols: Seq[String], bits: Int): Column = {
+    val stats = df.agg(
+      org.apache.spark.sql.functions.min(col(cols.head)).cast("double"),
+      (cols.tail.map(c => org.apache.spark.sql.functions.min(col(c)).cast("double")) ++
+        cols.map(c => org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*).head()
+    val mins = cols.indices.map(i => stats.getDouble(i))
+    val maxs = cols.indices.map(i => stats.getDouble(cols.length + i))
+    val maxVal = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(maxs(i) - mins(i), java.lang.Double.MIN_NORMAL)
+      val s = ((col(c).cast("double") - lit(mins(i))) / lit(span) * lit(maxVal.toDouble))
+        .cast("long")
+      when(s < 0, lit(0L)).when(s > maxVal, lit(maxVal)).otherwise(s)
+    }
+    val ncols = cols.length
+    (0 until bits).flatMap { i =>
+      scaled.zipWithIndex.map { case (s, j) =>
+        shiftleft(shiftright(s, i).bitwiseAND(lit(1L)), i * ncols + j)
+      }
+    }.reduce[Column](_.bitwiseOR(_))
+  }
+
+  /** Z-order compaction: rewrite the table into ~`targetBytes` files
+    * laid out along the Morton curve of `zorderCols`, composing with
+    * directory partitioning exactly like sorted compaction. Use when
+    * queries filter on SEVERAL independent columns — a single-key sort
+    * gives perfect skipping on one column and none on the rest, while
+    * z-order gives ~sqrt-of-files skipping on each.
+    */
+  def zorderCompact(spark: SparkSession, path: String,
+                    zorderCols: Seq[String],
+                    partitionCols: Seq[String] = Nil,
+                    targetBytes: Long = 128L << 20): Int = {
+    require(zorderCols.size >= 2, "z-order needs at least two columns; use sortCols for one")
+    val bits = math.min(16, 62 / zorderCols.size)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, path)
+    val n = math.max(1L, (dataBytes(spark, path) + targetBytes - 1) / targetBytes)
+      .toInt
+    val df = spark.read.parquet(path)
+    val z = zvalue(df, zorderCols, bits)
+    val layout = (partitionCols :+ "__z").map(col)
+    val compacted = df.withColumn("__z", z)
+      .repartitionByRange(n, layout: _*)
+      .sortWithinPartitions(layout: _*)
+      .drop("__z")
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
     n
   }

@@ -236,6 +236,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 1)
   }
 
+  test("z-order compaction bounds file ranges on BOTH columns; single-key sort does not") {
+    val zdir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val sdir = java.nio.file.Files.createTempDirectory("graft-zsort").toString
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(8).write.mode("overwrite").parquet(zdir)
+    events.repartition(8).write.mode("overwrite").parquet(sdir)
+    val want = events.orderBy("event_id").collect().toSeq
+
+    // fine-grained byte target: the z-curve bounds per-file ranges only
+    // once there are enough files to cut the curve below quadrant size
+    Maintenance.zorderCompact(spark, zdir, Seq("event_id", "user_id"),
+      targetBytes = 2L << 10)
+    Maintenance.compact(spark, sdir, targetBytes = 2L << 10,
+      sortCols = Seq("event_id"))
+
+    // per-file (min,max) of a column; a point "hits" a file when it
+    // falls inside that file's range — the files parquet min/max stats
+    // CANNOT skip for an equality/range predicate at that point
+    def hits(dir: String, c: String, p: Long): (Int, Int) = {
+      val files = dataFiles(dir)
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).head()
+        r.getLong(0) <= p && p <= r.getLong(1)
+      }
+      (hit, files.size)
+    }
+    val eMid = events.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0).toLong
+    val uMid = events.agg(expr("percentile(user_id, 0.5)")).head().getDouble(0).toLong
+
+    val (ze, zn) = hits(zdir, "event_id", eMid)
+    val (zu, _) = hits(zdir, "user_id", uMid)
+    assert(zn > 2, s"need several files to prove skipping, got $zn")
+    assert(ze < zn, s"z-order must skip some files on event_id ($ze/$zn hit)")
+    assert(zu < zn, s"z-order must skip some files on user_id ($zu/$zn hit)")
+
+    // the single-key sorted layout skips perfectly on its key but a
+    // mid-range user_id point hits EVERY file — the gap z-order closes
+    val (se, sn) = hits(sdir, "event_id", eMid)
+    val (su, _) = hits(sdir, "user_id", uMid)
+    assert(se < sn)
+    assert(su == sn, s"single-key sort should not bound user_id ranges ($su/$sn)")
+
+    val got = spark.read.parquet(zdir).orderBy("event_id").collect().toSeq
+    assert(got == want, "z-order compaction must not change content")
+  }
+
   test("compaction of an unpartitioned table coalesces to the byte target") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact1").toString
     val nation = Tables(spark, sfDir, "nation")
