@@ -32,6 +32,19 @@ object Curation {
   def hashSample(df: DataFrame, idCol: String, keepBp: Int): DataFrame =
     df.filter(bucket(col(idCol)) < keepBp)
 
+  /** Per-ROW weighted Bernoulli sampling: keep each row with
+    * probability `weightBp`/10000, where the weight is any integer
+    * column/expression of the row itself (quality score, length tier,
+    * source trust) — the quality-weighted corpus downsampling move.
+    * The keep decision is a pure integer comparison of the id hash
+    * against the row's own weight: deterministic, replayable,
+    * join-free and shuffle-free (a narrow filter over the scan), and
+    * engine-exact — unlike rand()-based weighted sampling, identical
+    * row selection on any engine and any partitioning.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightBp: Column): DataFrame =
+    df.filter(bucket(col(idCol)) < weightBp)
+
   /** Per-stratum deterministic sampling (e.g. language quotas for a
     * training mix): strata listed in `quotasBp` keep that fraction,
     * everything else keeps `defaultBp`.

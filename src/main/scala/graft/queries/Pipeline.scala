@@ -394,6 +394,25 @@ object Pipeline {
           "doc_id", "lang", Map("en" -> 5000, "de" -> 2500), defaultBp = 1000)
     },
 
+    // ----- quality-weighted Bernoulli sampling ---------------------------
+    // P(keep) proportional to each doc's own word count (capped):
+    // longer documents survive downsampling more often. Pure integer
+    // hash-vs-weight comparison — deterministic and engine-exact where
+    // rand()-weighted sampling is neither.
+    Q("qc05_weighted_sample",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words FROM w)
+         |SELECT d.doc_id, d.lang, t.n_words FROM documents d
+         |JOIN t ON d.doc_id = t.doc_id
+         |WHERE ${Text.polyhashSql("CAST(d.doc_id AS VARCHAR)")} % 10000 <
+         |  LEAST(10000, 150 * t.n_words)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("n_words", size(expr(Text.wordsExpr("text"))).cast("long"))
+        .select("doc_id", "lang", "n_words")
+      Curation.weightedHashSample(docs, "doc_id",
+        least(lit(10000L), lit(150L) * col("n_words")))
+    },
+
     // ----- token-budget shard packing (per-source, id order) -------------
     Q("qc02_pack_budget",
       s"""WITH w AS ($wCte),

@@ -22,6 +22,21 @@ class CurationSpec extends SparkSpec {
       s"~25% expected, got ${s1.size}/$n")
   }
 
+  test("weighted sampling keeps rows in proportion to their own weight") {
+    import org.apache.spark.sql.functions.{least, lit, col => c}
+    val weighted = Curation.weightedHashSample(docs, "doc_id",
+      least(lit(10000L), c("doc_id") % 2 * 10000))
+    // weight is 0 for even ids, 10000 (certain) for odd ids
+    assert(weighted.filter(c("doc_id") % 2 === 0).count() == 0)
+    assert(weighted.count() == docs.filter(c("doc_id") % 2 === 1).count())
+    // deterministic: same weight expression selects the same rows
+    val w1 = Curation.weightedHashSample(docs, "doc_id", lit(3000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w2 = Curation.weightedHashSample(docs, "doc_id", lit(3000L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(w1 == w2)
+  }
+
   test("stratified sampling applies per-stratum quotas") {
     val kept = Curation.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 10000), defaultBp = 0)

@@ -42,6 +42,17 @@ class PlanChecksSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  private def withSQLConf[T](pairs: (String, String)*)(body: => T): T = {
+    val conf = spark.conf
+    val saved = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("filter pushdown reaches the parquet scan (q03)") {
     val s = planString(q("q03_filter_range"))
     assert(s.contains("PushedFilters:") &&
@@ -201,5 +212,30 @@ class PlanChecksSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
       !nodes.exists(_.toString.startsWith("CartesianProduct")),
       "contamination must be an equi-join on the shingle")
+  }
+
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // At 100 TB a shuffle join whose build side is selectively filtered
+    // should semi-join-reduce the probe side BEFORE the shuffle — Spark
+    // plants a BloomFilterMightContain runtime filter on the probe scan.
+    // Local tables sit under the size thresholds that gate the rewrite,
+    // so the test lowers them; the assertion is that the optimizer DOES
+    // inject the filter once sizes qualify — the lever a cluster relies
+    // on — not that it fires for toy data by default.
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val lineitem = Tables(spark, sfDir, "lineitem")
+      val orders = Tables(spark, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val s = planString(joined)
+      assert(s.contains("bloom") || s.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the probe side:\n${s.take(2000)}")
+    }
   }
 }
