@@ -576,5 +576,47 @@ object Extra {
         .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
     },
+
+    // ----- one-pass table profile (ANALYZE-style stats collection) --------
+    // Null rate, exact distinct, min/max/avg per column — ALL columns in
+    // ONE aggregate pass over the scan (one shuffle of partial-agg
+    // states, never one job per column). The avg goes through the
+    // decimal-exact pattern; the two COUNT(DISTINCT)s keep the plan an
+    // Expand over the single scan, still one pass over the data.
+    Q("q58_table_profile",
+      s"""SELECT COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT(l_returnflag) AS null_returnflag,
+         |  COUNT(DISTINCT l_returnflag) AS d_returnflag,
+         |  COUNT(DISTINCT l_suppkey) AS d_suppkey,
+         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+         |  ${davgSql("l_quantity")} AS avg_qty,
+         |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+         |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_returnflag"))).as("null_returnflag"),
+        countDistinct(col("l_returnflag")).as("d_returnflag"),
+        countDistinct(col("l_suppkey")).as("d_suppkey"),
+        min("l_quantity").as("min_qty"), max("l_quantity").as("max_qty"),
+        davg(col("l_quantity")).as("avg_qty"),
+        min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
+    },
+
+    // ----- fixed-width histogram (distribution profiling) -----------------
+    // Bucket index is FLOOR of the same IEEE double division in both
+    // engines — NOT a double→integer CAST, which Spark truncates and
+    // DuckDB rounds. One partial-agg shuffle on the bucket id; min/max
+    // per bucket are single-value aggregates (no accumulation order to
+    // diverge). The data-profiling companion to q58.
+    Q("q59_histogram",
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    },
   )
 }
