@@ -1,0 +1,128 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+
+/** Persisted per-file min/max statistics for driver-side scan planning —
+  * the manifest half of the lakehouse layout story (Delta/Iceberg keep
+  * the same shape in their metadata layers).
+  *
+  * Parquet footers already carry min/max, but the executor only consults
+  * them AFTER the driver has listed every file and scheduled a task per
+  * split: at 100 TB that is millions of footer opens for a query that
+  * touches one key range. A manifest beside the table lets the DRIVER
+  * drop non-intersecting files before the scan exists, which is what
+  * makes sorted/z-order compaction (`Maintenance.compact(sortCols)`,
+  * `Maintenance.zorderCompact`) pay off at planning time rather than
+  * task-skipping time.
+  *
+  * Format: `_stats_manifest` (underscore prefix — Spark data readers
+  * ignore it) holding one line per data file:
+  * `relativePath\tcol\tmin\tmax` with values in a compare-stable text
+  * encoding (numerics zero-padded via SQL `format_string`? no — see
+  * below: values are stored raw and compared TYPED at prune time).
+  *
+  * The manifest is rebuilt in ONE distributed pass (group-by on
+  * `input_file_name`), so refreshing it after compaction costs a scan
+  * of the rewritten files only if called per-partition; here it is a
+  * table-level refresh, bounded by one row per (file, column) at the
+  * driver — metadata-scale, like the listing itself.
+  */
+object StatsManifest {
+
+  private def manifestPath(table: String) = new Path(table, "_stats_manifest")
+
+  /** Rebuild the manifest for `cols` (numeric, string, or date — any
+    * orderable parquet type; values are stored as text and re-typed at
+    * prune time from the recorded type name).
+    */
+  def write(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
+    val df = spark.read.parquet(table)
+    val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per data FILE: driver metadata, like the listing
+    val root = new Path(table).toUri.getPath
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val uri = new java.net.URI(r.getAs[String]("__file")).getPath
+      val rel = uri.stripPrefix(root).stripPrefix("/")
+      cols.foreach { c =>
+        val lo = r.getAs[Any](s"min_$c")
+        val hi = r.getAs[Any](s"max_$c")
+        if (lo != null && hi != null)
+          sb.append(s"$rel\t$c\t${types(c)}\t$lo\t$hi\n")
+      }
+    }
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(table, "._stats_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(manifestPath(table), false)
+    if (!fs.rename(tmp, manifestPath(table)))
+      throw new java.io.IOException(s"manifest publish failed for $table")
+  }
+
+  private def cmp(typeName: String, a: String, b: String): Int = typeName match {
+    case "integer" | "long" | "short" | "byte" => java.lang.Long.compare(a.toLong, b.toLong)
+    case "double" | "float" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _ => a.compareTo(b) // string / date / timestamp: ISO text orders correctly
+  }
+
+  /** Files of `table` whose [min,max] for `column` intersects [lo,hi] —
+    * the driver-side prune. Files with no manifest row for the column
+    * (written after the last refresh, or all-NULL) are conservatively
+    * KEPT, so a stale manifest can only under-prune, never lose rows.
+    */
+  def candidateFiles(spark: SparkSession, table: String, column: String,
+                     lo: String, hi: String): Seq[String] = {
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = {
+      val it = fs.listFiles(new Path(table), true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val name = f.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          buf += f.toUri.getPath
+      }
+      buf.result()
+    }
+    if (!fs.exists(manifestPath(table))) return all
+    val in = fs.open(manifestPath(table))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    val root = new Path(table).toUri.getPath
+    val stats = lines.flatMap { l =>
+      l.split('\t') match {
+        case Array(rel, c, tn, mn, mx) if c == column => Some(rel -> (tn, mn, mx))
+        case _ => None
+      }
+    }.toMap
+    all.filter { f =>
+      val rel = f.stripPrefix(root).stripPrefix("/")
+      stats.get(rel) match {
+        case Some((tn, mn, mx)) => cmp(tn, mx, lo) >= 0 && cmp(tn, mn, hi) <= 0
+        case None => true // unknown file: keep (stale manifest is safe)
+      }
+    }
+  }
+
+  /** Manifest-pruned range read: scans ONLY intersecting files, then
+    * applies the exact predicate typed to the column (the manifest is a
+    * superset filter — results are identical to a full scan + filter by
+    * construction; the prune spec asserts both).
+    */
+  def rangeRead(spark: SparkSession, table: String, column: String,
+                lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val files = candidateFiles(spark, table, column, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(table).limit(0)
+      else spark.read.parquet(files: _*)
+    val t = base.schema(column).dataType
+    base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Maintenance
+import graft.sources.StatsManifest
+
+/** Driver-side scan planning from the persisted file-stats manifest:
+  * prunes non-intersecting files BEFORE the scan exists, returns
+  * exactly what a full scan + filter returns, and a stale manifest can
+  * only under-prune — never lose rows.
+  */
+class StatsManifestSpec extends SparkSpec {
+
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("range read prunes files on a sorted layout and matches the full scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val orders = Tables(spark, sfDir, "orders")
+    orders.repartition(8).write.mode("overwrite").parquet(dir)
+    Maintenance.compact(spark, dir, targetBytes = 8L << 10,
+      sortCols = Seq("o_orderkey"))
+    assert(dataFiles(dir).size > 1, "need several files to prove pruning")
+    StatsManifest.write(spark, dir, Seq("o_orderkey"))
+
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + (keys.getLong(1) - keys.getLong(0)) / 10)
+    val pruned = StatsManifest.rangeRead(spark, dir, "o_orderkey",
+      lo.toString, hi.toString)
+    val expected = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+
+    // fewer files enter the plan than exist on disk
+    assert(pruned.inputFiles.length < dataFiles(dir).size,
+      s"manifest must drop files: ${pruned.inputFiles.length} of ${dataFiles(dir).size}")
+    // and the result is exactly the full-scan answer
+    assert(pruned.orderBy("o_orderkey", "o_custkey").collect().toSeq ==
+      expected.orderBy("o_orderkey", "o_custkey").collect().toSeq)
+  }
+
+  test("a stale manifest keeps unknown files — under-prunes, never loses rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest2").toString
+    val nation = Tables(spark, sfDir, "nation")
+    nation.filter(col("n_nationkey") < 10).write.mode("overwrite").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("n_nationkey"))
+    // new data lands AFTER the manifest refresh
+    nation.filter(col("n_nationkey") >= 10).write.mode("append").parquet(dir)
+
+    val got = StatsManifest.rangeRead(spark, dir, "n_nationkey", "12", "20")
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val want = nation.filter(col("n_nationkey") >= 12 && col("n_nationkey") <= 20)
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    assert(got == want, "rows in unmanifested files must survive the prune")
+  }
+
+  test("manifest composes with z-order: both columns prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest3").toString
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    Maintenance.zorderCompact(spark, dir, Seq("event_id", "user_id"),
+      targetBytes = 2L << 10)
+    StatsManifest.write(spark, dir, Seq("event_id", "user_id"))
+    val total = dataFiles(dir).size
+    assert(total > 2)
+
+    val eMid = events.agg(expr("percentile(event_id, 0.5)")).head().getDouble(0).toLong
+    val uMid = events.agg(expr("percentile(user_id, 0.5)")).head().getDouble(0).toLong
+    val byEvent = StatsManifest.candidateFiles(spark, dir, "event_id",
+      eMid.toString, eMid.toString)
+    val byUser = StatsManifest.candidateFiles(spark, dir, "user_id",
+      uMid.toString, uMid.toString)
+    assert(byEvent.size < total, s"event_id point should prune (${byEvent.size}/$total)")
+    assert(byUser.size < total, s"user_id point should prune (${byUser.size}/$total)")
+  }
+}
