@@ -39,6 +39,19 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Rows dropped as too-late (behind the watermark) across a query's
+    * recent progress history, summed over its stateful operators — the
+    * operational counter a production pipeline alerts on. Watermarks
+    * make state bounded by SILENTLY discarding late rows; at 100 TB
+    * feed scale that loss must be observable (and alertable), not
+    * invisible: a growing drop count means the watermark horizon no
+    * longer covers the feed's real disorder.
+    */
+  def droppedLateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator.map(_.numRowsDroppedByWatermark))
+      .sum
+
   /** Streaming deduplication by event id: duplicates arriving within
     * the watermark horizon are dropped; state for ids older than the
     * watermark is evicted, so memory stays bounded at any scale. The

@@ -36,6 +36,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late rows behind the watermark are dropped AND the drop is observable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_obs")
+      .outputMode("update").start()
+    try {
+      // batch 1 advances the watermark to ts(100) - 30min = ts(70)
+      mem.addData(Event(1, ts(100), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(EventsStream.droppedLateRows(q) == 0)
+      // batch 2: a row at ts(5) is behind the watermark — silently
+      // dropped from the aggregate, but VISIBLE in the progress metrics
+      mem.addData(Event(2, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(EventsStream.droppedLateRows(q) == 1,
+        "the late-row drop must be observable in stateOperators metrics")
+      val hour0 = spark.table("late_obs")
+        .filter(col("window_start") === ts(0).toString.substring(0, 10) + " 00:00:00")
+      assert(hour0.isEmpty, "the late row must not resurrect hour 0")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
