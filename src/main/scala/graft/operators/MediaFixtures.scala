@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 3
+  val Version = 4
 
   val Count = 64
 
@@ -38,6 +38,8 @@ object MediaFixtures {
   def audioCsv: String = s"$root/expected_audio.csv"
 
   def videoCsv: String = s"$root/expected_video.csv"
+
+  def featuresCsv: String = s"$root/expected_features.csv"
 
   /** Generate (once) and return the fixture root. Thread-safe in-JVM. */
   def ensure(): String = synchronized {
@@ -54,17 +56,26 @@ object MediaFixtures {
   private def generate(): Unit = {
     Files.createDirectories(Paths.get(root))
     val sb = new StringBuilder("media_id,width,height,channels,n_bytes\n")
+    // per-channel pixel sums recorded AT GENERATION from the same pixels
+    // the encoder writes — PNG is lossless, so a real decode must
+    // reproduce these exact integers (the qm05 feature-extract oracle)
+    val fb = new StringBuilder("media_id,n_pixels,sum_r,sum_g,sum_b\n")
     (1 to Count).foreach { id =>
       val w = 16 + (id * 7) % 48
       val h = 16 + (id * 13) % 48
       val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
       var seed = id * 2654435761L
+      var (sumR, sumG, sumB) = (0L, 0L, 0L)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
           seed = seed * 6364136223846793005L + 1442695040888963407L
-          img.setRGB(x, y, ((seed >>> 24) & 0xffffff).toInt)
+          val rgb = ((seed >>> 24) & 0xffffff).toInt
+          sumR += (rgb >> 16) & 0xff
+          sumG += (rgb >> 8) & 0xff
+          sumB += rgb & 0xff
+          img.setRGB(x, y, rgb)
           x += 1
         }
         y += 1
@@ -74,8 +85,10 @@ object MediaFixtures {
       val bytes = bos.toByteArray
       Files.write(Paths.get(root, f"img_$id%04d.png"), bytes)
       sb.append(s"$id,$w,$h,3,${bytes.length}\n")
+      fb.append(s"$id,${w.toLong * h},$sumR,$sumG,$sumB\n")
     }
     Files.write(Paths.get(metaCsv), sb.toString.getBytes)
+    Files.write(Paths.get(featuresCsv), fb.toString.getBytes)
     generateAudio()
     generateVideo()
   }

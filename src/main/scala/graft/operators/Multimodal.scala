@@ -134,6 +134,57 @@ object Multimodal {
       col("channels"), col("n_bytes"))
   }
 
+  case class ImageFeatures(id: Long, n_pixels: Long, sum_r: Long,
+                           sum_g: Long, sum_b: Long)
+
+  /** REAL feature extraction from decoded pixels: per-channel integer
+    * sums (mean color = sum / n_pixels, but the gate keeps the exact
+    * integers — no float division to diverge). PNG is lossless, so
+    * these must equal the generation-time sums bit-for-bit; a decoder
+    * that subsamples, channel-swaps, or gamma-adjusts cannot pass.
+    */
+  def decodeImageFeatures(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    var (sumR, sumG, sumB) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sumR += (rgb >> 16) & 0xff
+        sumG += (rgb >> 8) & 0xff
+        sumB += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong * img.getHeight, sumR, sumG, sumB)
+  }
+
+  /** Feature-extract over a directory of PNGs — same binaryFile →
+    * batched mapPartitions shape as `imageMeta`, but the decode runs
+    * the per-pixel feature kernel (the "feature-extract" stage of a
+    * multimodal training pipeline, on real pixels).
+    */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (n, r, g, b) = decodeImageFeatures(bytes)
+        ImageFeatures(id, n, r, g, b)
+      }
+    }.select(col("id").as("media_id"), col("n_pixels"),
+      col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   case class AudioMeta(id: Long, n_bytes: Long, sample_rate: Long,
                        channels: Long, n_frames: Long)
 

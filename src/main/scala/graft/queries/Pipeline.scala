@@ -601,5 +601,19 @@ object Pipeline {
          |    'n_tracks': 'BIGINT', 'n_bytes': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.videoMeta(s, MediaFixtures.ensure())
     },
+
+    // ----- multimodal REAL feature extraction (per-pixel kernel) ---------
+    // The "feature-extract" pipeline stage on real pixels: per-channel
+    // integer sums over the DECODED image. PNG is lossless, so the sums
+    // must equal the generation-time sidecar bit-for-bit — a decoder
+    // that subsamples, channel-swaps, or gamma-adjusts cannot pass.
+    Q("qm05_image_features",
+      s"""SELECT media_id, n_pixels, sum_r, sum_g, sum_b
+         |FROM read_csv('${MediaFixtures.featuresCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'n_pixels': 'BIGINT',
+         |    'sum_r': 'BIGINT', 'sum_g': 'BIGINT',
+         |    'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.imageFeatures(s, MediaFixtures.ensure())
+    },
   )
 }

@@ -44,6 +44,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(bos.toByteArray) == (37L, 21L, 3L))
   }
 
+  test("decodeImageFeatures sums exact channel values from real pixels") {
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, 0x102030) // r=16 g=32 b=48
+    img.setRGB(1, 0, 0x010203) // r=1  g=2  b=3
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.decodeImageFeatures(bos.toByteArray) ==
+      (2L, 17L, 34L, 51L))
+  }
+
+  test("distributed feature extraction reproduces the generation-time sums") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.imageFeatures(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, n_pixels LONG, sum_r LONG, sum_g LONG, " +
+        "sum_b LONG")
+      .csv(MediaFixtures.featuresCsv)
+    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "decoded per-channel sums must equal the sidecar exactly")
+  }
+
   test("distributed PNG decode reproduces the generation-time sidecar") {
     val dir = MediaFixtures.ensure()
     val got = Multimodal.imageMeta(spark, dir)
