@@ -184,14 +184,6 @@ object Dedup {
     * all-pairs — and the exact popcount verify runs only on candidates.
     * Recall is 1 by construction (pigeonhole is a theorem, not a
     * probability), unlike minhash banding's probabilistic curve.
-    *
-    * Cache lifecycle (caller-owned, like the other cached spines): the
-    * signature table is cached so both join sides share one computation;
-    * the blocks stay pinned until the application ends or the caller
-    * runs `spark.catalog.clearCache()`. One bounded row per document —
-    * at real scale signatures would be a materialized table, and
-    * repeated invocations should go through such a table rather than
-    * re-entering this method.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bits: Int = 60,
@@ -200,22 +192,25 @@ object Dedup {
     require(bits % bands == 0, "bands must slice the hash evenly")
     val width = bits / bands
     val mask = (1L << width) - 1
-    // cached: both join sides read the SAME computed signatures instead
-    // of re-hashing the corpus twice (the qv03 cached-spine precedent —
-    // signatures are one row per doc, bounded, and at real scale they'd
-    // be a materialized table anyway)
+    // cached so both join sides read the SAME computed signatures
+    // instead of re-hashing the corpus twice; released after the result
+    // materializes (localCheckpoint), mirroring minhashLshPairs — no
+    // per-invocation executor-storage pinned for the app lifetime
     val sh = simhash(df, idCol, textCol, bits).cache()
     def banded(p: String) = sh
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col(idCol).as(s"${p}_id"), col("simhash").as(s"${p}_sh"),
         col("band"),
         expr(s"shiftright(simhash, band * $width) & ${mask}L").as("key"))
-    banded("a").join(banded("b"), Seq("band", "key"))
+    val result = banded("a").join(banded("b"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         expr("CAST(bit_count(a_sh ^ b_sh) AS BIGINT)").as("hamming"))
       .distinct() // a close pair can agree on several bands
       .filter(col("hamming") <= maxHamming)
+      .localCheckpoint()
+    sh.unpersist()
+    result
   }
 
   /** Connected components over an undirected pair graph (the output
