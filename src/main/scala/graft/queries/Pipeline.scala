@@ -47,6 +47,26 @@ object Pipeline {
         n = 3, threshold = 0.5)
     },
 
+    // ----- exact n-gram Jaccard, PPJoin prefix-filter formulation --------
+    // SAME oracle as qd02: the gate proves the prefix-filter lemma cut
+    // is exactness-preserving — identical pair sets from a candidate
+    // set built on ~half the index. See Dedup.ngramJaccardPairsPrefix
+    // for the measured corpus-dependent trade vs the inverted index.
+    Q("qd09_ngram_prefix",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairsPrefix(Tables(s, dir, "documents"), "doc_id",
+        "text", n = 3, threshold = 0.5)
+    },
+
     // ----- minhash signatures (16 perms, long format) -------------------
     Q("qd03_minhash_sig",
       s"""WITH w AS ($wCte), sh AS ($shCte),
