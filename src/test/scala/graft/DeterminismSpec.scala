@@ -1,0 +1,41 @@
+package graft
+
+/** Partition-count independence, CI-locked: every result the gate
+  * surface produces must be a pure function of the DATA, not of the
+  * parallelism it ran under — the property that makes results stable
+  * across cluster resizes, AQE re-plans, and speculative re-execution
+  * at 100 TB. The decimal-exact aggregate pattern (graft.functions
+  * .Exact), hash-based keep decisions, and partial-agg-friendly
+  * formulations are what buy it; this spec samples one query per risk
+  * family and re-runs it under a different shuffle-partition count.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // one per family: grouped decimal agg, windowed running decimal sum,
+  // banded minhash + exact verify, exploded decimal centroid mean,
+  // two-phase prefix-sum packing, weighted hash sampling, histogram
+  private val sampled = Seq(
+    "q05_groupby_agg", "q39_window_frames", "qd05_minhash_lsh",
+    "qs07_label_centroids", "qc02_pack_budget", "qc05_weighted_sample",
+    "q59_histogram")
+
+  private def rows(name: String): Seq[String] = {
+    val q = SparkEntry.allQueries.find(_.name == name).get
+    val df = q.build(spark, sfDir)
+    df.collect().map(_.toString).sorted.toSeq
+  }
+
+  sampled.foreach { name =>
+    test(s"$name is identical under a different shuffle-partition count") {
+      val conf = spark.conf
+      val key = "spark.sql.shuffle.partitions"
+      val saved = conf.get(key)
+      val base = rows(name)
+      try {
+        conf.set(key, "7")
+        assert(rows(name) == base,
+          s"$name changed results when parallelism changed")
+      } finally conf.set(key, saved)
+    }
+  }
+}
