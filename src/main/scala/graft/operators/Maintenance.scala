@@ -77,7 +77,14 @@ object Maintenance {
         val salt = pmod(xxhash64(df.columns.map(df.col): _*), lit(split))
         df.repartition(n, partitionCols.map(df.col) :+ salt: _*)
       }
+    // the swap replaces the whole directory, manifest included — if one
+    // was being maintained, refresh it for the same columns so the new
+    // layout's (tighter, sorted) per-file ranges are what the planner
+    // prunes with, instead of silently losing the manifest
+    val manifestCols = graft.sources.StatsManifest.columnsOf(spark, path)
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
+    if (manifestCols.nonEmpty)
+      graft.sources.StatsManifest.write(spark, path, manifestCols)
     n
   }
 
@@ -137,7 +144,11 @@ object Maintenance {
       .repartitionByRange(n, layout: _*)
       .sortWithinPartitions(layout: _*)
       .drop("__z")
+    // refresh a maintained manifest across the swap (see compact)
+    val manifestCols = graft.sources.StatsManifest.columnsOf(spark, path)
     AtomicSwap.rewrite(fs, path, compacted, partitionCols)
+    if (manifestCols.nonEmpty)
+      graft.sources.StatsManifest.write(spark, path, manifestCols)
     n
   }
 

@@ -65,6 +65,22 @@ object StatsManifest {
       throw new java.io.IOException(s"manifest publish failed for $table")
   }
 
+  /** Columns the table's manifest currently tracks (empty if none) —
+    * lets a rewrite (compaction) refresh the manifest for the same
+    * columns without the caller re-stating them.
+    */
+  def columnsOf(spark: SparkSession, table: String): Seq[String] = {
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath(table))) return Nil
+    val in = fs.open(manifestPath(table))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    lines.flatMap(_.split('\t') match {
+      case Array(_, c, _, _, _) => Some(c)
+      case _ => None
+    }).distinct
+  }
+
   private def cmp(typeName: String, a: String, b: String): Int = typeName match {
     case "integer" | "long" | "short" | "byte" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" | "float" => java.lang.Double.compare(a.toDouble, b.toDouble)

@@ -58,6 +58,24 @@ class StatsManifestSpec extends SparkSpec {
     assert(got == want, "rows in unmanifested files must survive the prune")
   }
 
+  test("compaction refreshes a maintained manifest across the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest4").toString
+    val orders = Tables(spark, sfDir, "orders")
+    orders.repartition(8).write.mode("overwrite").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("o_orderkey"))
+    // the rewrite replaces every file; the manifest must follow it
+    Maintenance.compact(spark, dir, targetBytes = 8L << 10,
+      sortCols = Seq("o_orderkey"))
+    assert(new java.io.File(dir, "_stats_manifest").exists(),
+      "compaction must refresh, not destroy, the manifest")
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val lo = keys.getLong(0)
+    val hit = StatsManifest.candidateFiles(spark, dir, "o_orderkey",
+      lo.toString, lo.toString)
+    assert(hit.size < dataFiles(dir).size,
+      "the refreshed manifest must prune the new sorted layout")
+  }
+
   test("manifest composes with z-order: both columns prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest3").toString
     val events = Tables(spark, sfDir, "events")
