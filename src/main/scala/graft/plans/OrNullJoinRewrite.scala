@@ -61,8 +61,34 @@ object OrNullJoinRewrite extends Rule[LogicalPlan] {
 
 /** Session extensions entry point: install with
   * `SparkSession.builder().withExtensions(GraftExtensions.apply)`.
+  *
+  * Injects the optimizer rule AND registers the custom expressions as
+  * SQL functions (`graft_polyhash`, `graft_dot`), so the pure-SQL
+  * surface — the way the reference's users work — reaches the same
+  * codegen'd kernels the DataFrame API uses, with identical semantics
+  * to the DuckDB oracle fragments in graft.functions.Text.
   */
 object GraftExtensions {
-  def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => OrNullJoinRewrite)
+    e.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[graft.expressions.PolyHash].getName,
+        "graft_polyhash"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_polyhash(str)")
+        graft.expressions.PolyHash(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[graft.expressions.DotProduct].getName,
+        "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_dot(array, array)")
+        graft.expressions.DotProduct(args(0), args(1))
+      }))
+  }
 }

@@ -60,4 +60,21 @@ class OrNullJoinRewriteSpec extends SparkSpec {
       assert(rows == naiveRows)
     }
   }
+
+  test("custom expressions are callable from pure SQL via the extensions") {
+    withExtendedSession { s =>
+      // graft_polyhash: same value the Column API produces
+      val sqlHash = s.sql("SELECT graft_polyhash('table hash part')").head().getLong(0)
+      import org.apache.spark.sql.functions.lit
+      val colHash = s.range(1)
+        .select(graft.functions.Text.polyhash(lit("table hash part")))
+        .head().getLong(0)
+      assert(sqlHash == colHash)
+      // graft_dot over array literals, fused-loop kernel
+      val d = s.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
+        .head().getDouble(0)
+      assert(d == 32.0)
+    }
+  }
 }
