@@ -602,6 +602,49 @@ object Extra {
         min("l_shipdate").as("min_ship"), max("l_shipdate").as("max_ship"))
     },
 
+    // ----- distribution-position window functions -------------------------
+    // percent_rank / cume_dist / first_value / last_value — the window
+    // battery's remaining members. The in-partition order is made total
+    // by (rev DESC, s_name): rev comes from the decimal-exact sum so
+    // ties are engine-identical, and s_name breaks them. percent_rank
+    // and cume_dist are small-integer ratios in double — the same IEEE
+    // division in both engines. last_value needs the full frame
+    // (UNBOUNDED FOLLOWING); the default frame would peg it to the
+    // current row.
+    Q("q60_rank_distribution",
+      s"""WITH sup_rev AS (
+         |  SELECT n_name, s_name,
+         |    ${dsumSql("l_extendedprice * (1 - l_discount)")} AS rev
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation   ON s_nationkey = n_nationkey
+         |  GROUP BY n_name, s_name)
+         |SELECT n_name, s_name, rev,
+         |  percent_rank() OVER w AS pr,
+         |  cume_dist() OVER w AS cd,
+         |  first_value(s_name) OVER w AS top_supplier,
+         |  last_value(s_name) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+         |    AND UNBOUNDED FOLLOWING) AS bottom_supplier
+         |FROM sup_rev
+         |WINDOW w AS (PARTITION BY n_name ORDER BY rev DESC, s_name)""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        val supRev = Tables(s, dir, "lineitem")
+          .join(Tables(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "s_name")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        val w = Window.partitionBy("n_name").orderBy(col("rev").desc, col("s_name"))
+        supRev.select(col("n_name"), col("s_name"), col("rev"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("s_name")).over(w).as("top_supplier"),
+          last_value(col("s_name")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("bottom_supplier"))
+    },
+
     // ----- fixed-width histogram (distribution profiling) -----------------
     // Bucket index is FLOOR of the same IEEE double division in both
     // engines — NOT a double→integer CAST, which Spark truncates and
