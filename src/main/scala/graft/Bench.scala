@@ -51,10 +51,21 @@ object Bench {
           -1.0
       }
     }
+    // PASS-MAJOR ordering: run the whole suite, then repeat it. Round 8
+    // ran each query's passes back-to-back, so a single multi-second
+    // CPU-steal episode on this host covered ALL of one query's passes
+    // and produced tightly-clustered slow minima that min-of-N cannot
+    // reject (qs01 read 13x slow in r8; the same code in full-bench
+    // context re-measures at its r7 time). Interleaving separates one
+    // query's samples by the whole-suite wall (~60 s), so a steal
+    // episode shorter than a pass inflates at most one sample per query.
+    val queryList = SparkEntry.allQueries
+    val passMatrix: Seq[Seq[Double]] =
+      (1 to passes).map(_ => queryList.map(timeOne))
     val results: Seq[(String, Seq[Double])] =
       ("warehouse_build" -> Seq(warehouseSec)) +:
-        SparkEntry.allQueries.map { q =>
-          q.name -> (1 to passes).map(_ => timeOne(q))
+        queryList.zipWithIndex.map { case (q, i) =>
+          q.name -> passMatrix.map(_(i))
         }
     val qs = results
       .map { case (k, v) => "\"" + k + f"\":${v.min}%.3f" }
@@ -65,6 +76,19 @@ object Bench {
     val pj = results
       .map { case (k, v) => "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // per-query spread (max/min over successful passes): spread > 3x
+    // means the samples disagree wildly — steal noise, not signal; the
+    // digest's `noisy` counter makes those machine-separable from real
+    // regressions without hand-parsing the pass arrays
+    def spreadOf(v: Seq[Double]): Double = {
+      val ok = v.filter(_ >= 0)
+      if (ok.isEmpty || ok.min <= 0) 0.0 else ok.max / ok.min
+    }
+    val spreads = results.map { case (k, v) => k -> spreadOf(v) }
+    val sj = spreads
+      .map { case (k, s) => "\"" + k + f"\":$s%.2f" }
+      .mkString("{", ",", "}")
+    val noisy = spreads.count(_._2 > 3.0)
     val failed = results.filter(_._2.min < 0).map(_._1)
     val total = results.map(_._2.min).filter(_ >= 0).sum
     // stdout gets a DIGEST line (<200 bytes): three rounds of driver
@@ -73,10 +97,10 @@ object Bench {
     // retains. The per-query minima and per-pass arrays land in the
     // bench_out.json file instead.
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"warehouse_build":$warehouseSec%.3f,"failed":${failed.length},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"warehouse_build":$warehouseSec%.3f,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$pj,"failed":${failed.length},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"passes":$pj,"spread":$sj,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out: $e") }
