@@ -103,14 +103,20 @@ object Maintenance {
       org.apache.spark.sql.functions.min(col(cols.head)).cast("double"),
       (cols.tail.map(c => org.apache.spark.sql.functions.min(col(c)).cast("double")) ++
         cols.map(c => org.apache.spark.sql.functions.max(col(c)).cast("double"))): _*).head()
-    val mins = cols.indices.map(i => stats.getDouble(i))
-    val maxs = cols.indices.map(i => stats.getDouble(cols.length + i))
     val maxVal = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val span = math.max(maxs(i) - mins(i), java.lang.Double.MIN_NORMAL)
-      val s = ((col(c).cast("double") - lit(mins(i))) / lit(span) * lit(maxVal.toDouble))
-        .cast("long")
-      when(s < 0, lit(0L)).when(s > maxVal, lit(maxVal)).otherwise(s)
+      // an empty table or an all-NULL column has no range: its bits carry
+      // no information, so contribute 0 and let the remaining columns
+      // (or plain compaction) define the layout instead of NPE-ing
+      if (stats.isNullAt(i) || stats.isNullAt(cols.length + i)) lit(0L)
+      else {
+        val mn = stats.getDouble(i)
+        val mx = stats.getDouble(cols.length + i)
+        val span = math.max(mx - mn, java.lang.Double.MIN_NORMAL)
+        val s = ((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) / lit(span) *
+          lit(maxVal.toDouble)).cast("long")
+        when(s < 0, lit(0L)).when(s > maxVal, lit(maxVal)).otherwise(s)
+      }
     }
     val ncols = cols.length
     (0 until bits).flatMap { i =>
@@ -183,7 +189,10 @@ object Maintenance {
     val needEscape = "\"#%'*/:=?\\{[]^"
     val sb = new StringBuilder
     v.toString.foreach { c =>
-      if (c < ' ' || needEscape.contains(c)) sb.append(f"%%${c.toInt}%02X")
+      // \u007F (DEL) is in Spark/Hive's escape set alongside the
+      // C0 controls — missing it here would compose a DROP path that
+      // never matches the directory Spark wrote
+      if (c < ' ' || c == '\u007F' || needEscape.contains(c)) sb.append(f"%%${c.toInt}%02X")
       else sb.append(c)
     }
     s"$colName=${sb.toString}"

@@ -33,6 +33,50 @@ object StatsManifest {
 
   private def manifestPath(table: String) = new Path(table, "_stats_manifest")
 
+  /** Orderable types the manifest supports. Anything else is rejected at
+    * write() time — a type cmp() can't order (boolean, binary, array,
+    * struct, map) must never enter the manifest, where it would fall
+    * back to text comparison and prune files whose true range
+    * intersects (silent row loss).
+    */
+  private def supportedType(typeName: String): Boolean = typeName match {
+    case "integer" | "long" | "short" | "byte" => true
+    case "double" | "float" => true
+    case "string" | "date" | "timestamp" | "timestamp_ntz" => true
+    case t if t.startsWith("decimal(") => true
+    case _ => false
+  }
+
+  /** Percent-encode the manifest's field/record delimiters. A string
+    * column whose min/max contains a tab or newline would otherwise
+    * corrupt its line — worse, an embedded newline could fabricate a
+    * well-formed stats row for an arbitrary path and cause WRONG
+    * pruning (row loss) instead of the documented conservative keep.
+    */
+  private def enc(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    v.foreach {
+      case '%' => sb.append("%25")
+      case '\t' => sb.append("%09")
+      case '\n' => sb.append("%0A")
+      case '\r' => sb.append("%0D")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def dec(v: String): String = {
+    val sb = new StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      if (v.charAt(i) == '%' && i + 3 <= v.length) {
+        sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(v.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rebuild the manifest for `cols` (numeric, string, or date — any
     * orderable parquet type; values are stored as text and re-typed at
     * prune time from the recorded type name).
@@ -40,6 +84,11 @@ object StatsManifest {
   def write(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
     val df = spark.read.parquet(table)
     val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val bad = cols.filterNot(c => supportedType(types(c)))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"StatsManifest: unsupported (un-orderable) column types: " +
+          bad.map(c => s"$c:${types(c)}").mkString(", "))
     val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val rows = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -53,7 +102,7 @@ object StatsManifest {
         val lo = r.getAs[Any](s"min_$c")
         val hi = r.getAs[Any](s"max_$c")
         if (lo != null && hi != null)
-          sb.append(s"$rel\t$c\t${types(c)}\t$lo\t$hi\n")
+          sb.append(s"${enc(rel)}\t$c\t${types(c)}\t${enc(lo.toString)}\t${enc(hi.toString)}\n")
       }
     }
     val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,6 +133,8 @@ object StatsManifest {
   private def cmp(typeName: String, a: String, b: String): Int = typeName match {
     case "integer" | "long" | "short" | "byte" => java.lang.Long.compare(a.toLong, b.toLong)
     case "double" | "float" => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case t if t.startsWith("decimal(") => // '9.5' vs '12.0' compares wrong as text
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
     case _ => a.compareTo(b) // string / date / timestamp: ISO text orders correctly
   }
 
@@ -113,7 +164,8 @@ object StatsManifest {
     val root = new Path(table).toUri.getPath
     val stats = lines.flatMap { l =>
       l.split('\t') match {
-        case Array(rel, c, tn, mn, mx) if c == column => Some(rel -> (tn, mn, mx))
+        case Array(rel, c, tn, mn, mx) if c == column =>
+          Some(dec(rel) -> (tn, dec(mn), dec(mx)))
         case _ => None
       }
     }.toMap
@@ -135,9 +187,13 @@ object StatsManifest {
                 lo: String, hi: String): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val files = candidateFiles(spark, table, column, lo, hi)
+    // basePath keeps directory-partition columns in the schema when the
+    // scan is built from explicit leaf files — without it a partitioned
+    // table's pruned read would drop (or fail to resolve) those columns
+    // and break the documented full-scan+filter equivalence
     val base =
       if (files.isEmpty) spark.read.parquet(table).limit(0)
-      else spark.read.parquet(files: _*)
+      else spark.read.option("basePath", table).parquet(files: _*)
     val t = base.schema(column).dataType
     base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
   }

@@ -183,6 +183,46 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter(col("year") === "2025").count() == 2)
   }
 
+  test("deleteWhere reaches a partition whose value contains DEL (full Hive escape set)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-deldel").toString
+    import spark.implicits._
+    //  (DEL) is escaped by Spark's partition-path writer; a
+    // composed DROP path missing it never matches the directory Spark
+    // wrote and the emptied partition's rows would silently survive
+    val weird = "xy"
+    val df = Seq((weird, "alice", 1), (weird, "bob", 2), ("ok", "bob", 3))
+      .toDF("region", "user", "amount")
+    df.write.partitionBy("region").mode("overwrite").parquet(dir)
+    val n = Maintenance.deleteWhere(spark, dir, Seq("region"),
+      col("region") === weird)
+    assert(n == 1, "exactly the DEL-valued partition is affected")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.contains("%7F")),
+      "the emptied DEL-valued partition directory must be dropped")
+  }
+
+  test("zorderCompact survives an all-NULL z column and an empty table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-znull").toString
+    import spark.implicits._
+    // all-NULL second column: its range is undefined, so it contributes
+    // nothing to the curve — but the rewrite must not NPE
+    Seq((1L, Option.empty[Long], "a"), (2L, None, "b"), (3L, None, "c"))
+      .toDF("k", "v", "s")
+      .write.mode("overwrite").parquet(dir)
+    Maintenance.zorderCompact(spark, dir, Seq("k", "v"), targetBytes = 1L << 20)
+    assert(spark.read.parquet(dir).count() == 3)
+    assert(spark.read.parquet(dir).agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) == 6L)
+
+    val empty = java.nio.file.Files.createTempDirectory("graft-zempty").toString
+    Seq((1L, 2L)).toDF("k", "v").filter(col("k") < 0)
+      .write.mode("overwrite").parquet(empty)
+    Maintenance.zorderCompact(spark, empty, Seq("k", "v"), targetBytes = 1L << 20)
+    assert(spark.read.parquet(empty).count() == 0)
+  }
+
   test("deleteWhere reaches rows in a NULL partition value") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delnullpart").toString
     import spark.implicits._

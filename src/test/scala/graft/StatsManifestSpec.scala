@@ -76,6 +76,74 @@ class StatsManifestSpec extends SparkSpec {
       "the refreshed manifest must prune the new sorted layout")
   }
 
+  test("decimal stats compare numerically, not as text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest5").toString
+    import spark.implicits._
+    // file A holds [9.5, 9.9], file B holds [12.0, 15.0]: under TEXT
+    // comparison '9.5' > '12.0', so a [12, 15] range probe would prune
+    // file B (the one that actually intersects) and lose its rows
+    Seq("9.5", "9.9").toDF("s")
+      .select($"s".cast("decimal(10,2)").as("d")).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    Seq("12.0", "15.0").toDF("s")
+      .select($"s".cast("decimal(10,2)").as("d")).coalesce(1)
+      .write.mode("append").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("d"))
+    val got = StatsManifest.rangeRead(spark, dir, "d", "12", "15")
+      .collect().map(_.getDecimal(0).doubleValue).toSet
+    assert(got == Set(12.0, 15.0), s"decimal prune lost rows: $got")
+  }
+
+  test("un-orderable column types are rejected at write time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest6").toString
+    import spark.implicits._
+    Seq((1L, true), (2L, false)).toDF("k", "flag")
+      .write.mode("overwrite").parquet(dir)
+    intercept[IllegalArgumentException] {
+      StatsManifest.write(spark, dir, Seq("flag"))
+    }
+  }
+
+  test("delimiter characters in string stats round-trip without corrupting the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest7").toString
+    import spark.implicits._
+    // min contains a tab, max contains a newline that LOOKS like a
+    // well-formed stats row for a fabricated path — unescaped, that row
+    // would enter the map and mis-prune
+    Seq("a\tmiddle", "z\nfake.parquet\tv\tstring\tzz\tzz").toDF("v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq("mmm", "nnn").toDF("v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("v"))
+    val got = StatsManifest.rangeRead(spark, dir, "v", "a", "zzz")
+      .collect().map(_.getString(0)).toSet
+    val want = spark.read.parquet(dir).collect().map(_.getString(0)).toSet
+    assert(got == want, "escaped stats must reproduce the full scan")
+    // and a probe beyond both files' (decoded) maxima prunes everything:
+    // "z\nfake..." < "zz" only under CORRECT decoding — a corrupted
+    // manifest line would instead be kept conservatively
+    val pruned = StatsManifest.candidateFiles(spark, dir, "v", "zz", "zzz")
+    assert(pruned.isEmpty, s"probe past both maxima must prune all files: $pruned")
+  }
+
+  test("rangeRead keeps directory-partition columns in the schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest8").toString
+    val orders = Tables(spark, sfDir, "orders")
+      .withColumn("yr", year(col("o_orderdate")))
+    orders.write.mode("overwrite").partitionBy("yr").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("o_orderkey"))
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).head()
+    val (lo, hi) = (keys.getLong(0), keys.getLong(0) + 50)
+    val pruned = StatsManifest.rangeRead(spark, dir, "o_orderkey",
+      lo.toString, hi.toString)
+    assert(pruned.columns.contains("yr"),
+      "partition column must survive the leaf-file read (basePath)")
+    val expected = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= lo && col("o_orderkey") <= hi)
+    assert(pruned.orderBy("o_orderkey").select("o_orderkey", "yr").collect().toSeq ==
+      expected.orderBy("o_orderkey").select("o_orderkey", "yr").collect().toSeq)
+  }
+
   test("manifest composes with z-order: both columns prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest3").toString
     val events = Tables(spark, sfDir, "events")
