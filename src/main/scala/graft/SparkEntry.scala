@@ -49,6 +49,36 @@ object SparkEntry {
       sources.Orc.read(s, dir).select(col("doc_id"), col("lang"),
         col("source"), col("n_chars"),
         length(col("text")).cast("long").as("text_len"))
+    },
+
+    // Manifest-pruned range read, END TO END: lay orders out sorted by
+    // key (compact), persist per-file min/max (StatsManifest), then
+    // serve a key band through rangeRead — which drops
+    // non-intersecting files at the DRIVER, before the scan exists.
+    // The builder REQUIRES that fewer files entered the plan than live
+    // on disk, so if pruning ever stops working this row goes red, not
+    // just slow. The oracle is the plain full-scan predicate over the
+    // same source rows: rangeRead's contract is exact equivalence.
+    Q("qj03_manifest_range_read",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin) { (s, dir) =>
+      val table = s"/tmp/graft_rangeread_${Integer.toHexString(dir.hashCode)}"
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .repartition(8)
+        .write.mode("overwrite").parquet(table)
+      operators.Maintenance.compact(s, table, targetBytes = 64L << 10,
+        sortCols = Seq("o_orderkey"))
+      sources.StatsManifest.write(s, table, Seq("o_orderkey"))
+      val pruned = sources.StatsManifest.rangeRead(
+        s, table, "o_orderkey", "1000", "5000")
+      val onDisk = new java.io.File(table).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val planned = pruned.inputFiles.length
+      require(planned < onDisk,
+        s"manifest prune had no effect: $planned of $onDisk files planned")
+      pruned
     }
   )
 
