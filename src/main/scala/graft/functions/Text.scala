@@ -54,6 +54,43 @@ object Text {
   def permSqlB(i: String): String =
     s"(list_value(${PermBs.mkString(",")}))[CAST($i AS INTEGER) + 1]"
 
+  /** Simhash bit-source constants: simhash bit j votes on bit
+    * (j mod `SimChunkWidth`) of the PERMUTED word hash
+    * `(SimA_t*h + SimB_t) mod Mod` with t = j div `SimChunkWidth`.
+    *
+    * Raw polyhash values live below Mod ≈ 2^30, so a 60-bit simhash fed
+    * bits of h directly has its top 30+ bits structurally constant —
+    * round 9's degenerate-bucket guard caught the whole corpus sharing
+    * one banding bucket because two of four bands carried zero entropy.
+    * Permuted 20-bit chunks (bits 0..19 of each image are uniform:
+    * Mod/2^20 ≈ 954 full cycles) fill all 60 bits with real entropy.
+    * The constants come from the same mixer stream discipline as the
+    * minhash perms (disjoint seeds: 2·(256+t)), and the affine images
+    * stay overflow-free in BOTH engines: a*h < 2^60.
+    */
+  val SimChunkWidth = 20
+  val SimAs: IndexedSeq[Long] = (0 until 4).map(t =>
+    java.lang.Long.remainderUnsigned(mix64(2L * (256 + t)), Mod - 1) + 1)
+  val SimBs: IndexedSeq[Long] = (0 until 4).map(t =>
+    java.lang.Long.remainderUnsigned(mix64(2L * (256 + t) + 1), Mod))
+
+  /** Spark SQL text of the ±1 vote of word hash `h` on simhash bit `j`. */
+  def simVoteExpr(h: String, j: String): String = {
+    val aArr = s"array(${SimAs.map(_ + "L").mkString(",")})"
+    val bArr = s"array(${SimBs.map(_ + "L").mkString(",")})"
+    val t = s"CAST($j div $SimChunkWidth AS INT) + 1"
+    s"(CAST(shiftright((element_at($aArr, $t) * $h + element_at($bArr, $t)) % ${Mod}L, " +
+      s"CAST($j % $SimChunkWidth AS INT)) & 1 AS BIGINT) * 2 - 1)"
+  }
+
+  /** DuckDB mirror of [[simVoteExpr]] — same affine image, shift, vote. */
+  def simVoteSql(h: String, j: String): String = {
+    val aArr = s"list_value(${SimAs.mkString(",")})"
+    val bArr = s"list_value(${SimBs.mkString(",")})"
+    val t = s"CAST($j // $SimChunkWidth AS INTEGER) + 1"
+    s"((((($aArr)[$t] * $h + ($bArr)[$t]) % $Mod) >> ($j % $SimChunkWidth)) & 1) * 2 - 1"
+  }
+
   /** Rolling polynomial hash (custom codegen'd Catalyst expression). */
   def polyhash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))

@@ -157,19 +157,48 @@ object Dedup {
     * threshold filter. At 100 TB every step is an equi-shuffle — no
     * pairwise blowup outside genuinely-similar buckets.
     */
+  /** Loud guard against the classic 100 TB corpus pathology: a
+    * mass-duplicated document (boilerplate page copied 10^6 times) puts
+    * every copy in ONE (band, key) bucket, and the candidate self-join
+    * goes quadratic INSIDE it — m copies emit m^2/2 pairs before any
+    * verify can filter. Banding's cost model assumes buckets hold
+    * genuinely-similar small groups; when a bucket blows past
+    * `maxBucket` the right move is exact dedup FIRST (qd01 → LSH, the
+    * qp01/nearDupClusters composition), which collapses identical
+    * copies to one representative per bucket. Failing loudly (the
+    * connectedComponents maxRounds precedent) beats silently attempting
+    * the quadratic join on a cluster.
+    */
+  private def requireBoundedBuckets(buckets: DataFrame, keyCols: Seq[String],
+                                    maxBucket: Int, op: String): Unit = {
+    val worst = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
+    if (biggest > maxBucket)
+      throw new IllegalStateException(
+        s"$op: degenerate bucket of $biggest members exceeds maxBucket=" +
+          s"$maxBucket — the corpus has a mass-duplicated document; run " +
+          "exact dedup first (Dedup.exact, the qp01 composition) " +
+          "or raise maxBucket if the quadratic candidate join is intended")
+  }
+
   def minhashLshPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     // band keys sliced straight out of the signature array — the only
     // shuffle before the candidate join is the signature group-by itself
+    // (cached: the bucket guard, then both self-join sides, read it)
     val bandKeys = minhashSignatureArray(df, idCol, textCol, k, n)
       .withColumn("band", explode(sequence(lit(0L), lit((bands - 1).toLong))))
       .withColumn("bkey",
         concat_ws(",", slice(col("sigs"), (col("band") * r + 1).cast(IntegerType), lit(r))))
       .select(col(idCol), col("band"), col("bkey"))
+      .cache()
+    requireBoundedBuckets(bandKeys, Seq("band", "bkey"), maxBucket,
+      "minhashLshPairs")
     val cand = bandKeys.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -186,52 +215,102 @@ object Dedup {
         col("i") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("i")))
     val result = pairs.filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // materialize, then release the shingle cache
+      .localCheckpoint() // materialize, then release the caches
     sh.unpersist()
+    bandKeys.unpersist()
     result
   }
 
   /** Simhash (word-frequency weighted, `bits` low bits, default 60 to
     * stay in a positive BIGINT): explode word hashes x bit positions,
-    * majority vote per bit, reassemble.
+    * majority vote per bit, reassemble. Bit j votes on a PERMUTED hash
+    * chunk (Text.simVoteExpr) rather than bit j of the raw polyhash:
+    * polyhash values sit below 2^30, so raw bits 30+ are structurally
+    * constant and banding over them degenerates (see
+    * simhashNearDupPairs).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame =
-    df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+  def simhash(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val chunkW = Text.SimChunkWidth
+    val chunks = (bits + chunkW - 1) / chunkW
+    require(chunks <= Text.SimAs.size,
+      s"bits=$bits exceeds the provisioned simhash chunk constants")
+    // one affine image per chunk, computed ONCE per word occurrence;
+    // then the per-bit votes are 60 map-side-combined sums in a single
+    // doc-keyed shuffle — no bits-fold row explosion, no second shuffle
+    val withH = df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
       .select(col(idCol), explode(col("__ws")).as("__w"))
       .withColumn("__h", Text.polyhash(col("__w")))
-      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(expr("(shiftright(__h, j) & 1) * 2 - 1")).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("simhash"))
+    val withChunks = (0 until chunks).foldLeft(withH) { (d, t) =>
+      d.withColumn(s"__h$t",
+        expr(s"(${Text.SimAs(t)}L * __h + ${Text.SimBs(t)}L) % ${Text.Mod}L"))
+    }
+    val votes = (0 until bits).map { j =>
+      sum(expr(s"CAST(shiftright(__h${j / chunkW}, ${j % chunkW}) & 1 AS BIGINT) * 2 - 1")
+      ).as(s"__s$j")
+    }
+    withChunks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(j =>
+          when(col(s"__s$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
 
   /** Near-duplicate pairs by simhash Hamming distance — the classic
-    * web-scale near-dup detector: band the `bits`-bit simhash into
-    * `bands` equal slices; by pigeonhole, any pair within `maxHamming`
-    * (< bands) differing bits agrees EXACTLY on at least one slice, so
-    * candidates come from equi-joins on (band, slice-key) — never
-    * all-pairs — and the exact popcount verify runs only on candidates.
-    * Recall is 1 by construction (pigeonhole is a theorem, not a
-    * probability), unlike minhash banding's probabilistic curve.
+    * web-scale near-dup detector: partition the `bits` bit POSITIONS
+    * into `bands` disjoint groups; by pigeonhole, any pair within
+    * `maxHamming` (< bands) differing bits agrees EXACTLY on at least
+    * one group, so candidates come from equi-joins on (band, group-key)
+    * — never all-pairs — and the exact popcount verify runs only on
+    * candidates. Recall is 1 by construction (pigeonhole is a theorem,
+    * not a probability), unlike minhash banding's probabilistic curve —
+    * and it holds for ANY partition of the positions, which this
+    * implementation exploits:
+    *
+    * Simhash bits are corpus-biased — each bit is the majority vote of
+    * word-hash bits over a shared vocabulary, so homogeneous corpora
+    * agree on many bits (and bits above the word-hash's effective width
+    * are structurally constant). CONTIGUOUS slices then hand whole
+    * bands of near-constant bits to the join and the entire corpus
+    * lands in one bucket (the round-9 guard caught exactly this: a
+    * 5000-doc corpus, one 15-bit band all-zero, a silent near-all-pairs
+    * join). Instead, measure per-bit balance with one 60-column agg
+    * over the cached signatures and DEAL positions round-robin in
+    * balance order, so every band receives its share of the corpus's
+    * actual bit entropy. The measurement is an exact integer aggregate
+    * — deterministic under any partitioning — and the deal is
+    * tie-broken by position, so the layout is a pure function of the
+    * corpus.
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3, bits: Int = 60,
-                          bands: Int = 4): DataFrame = {
+                          bands: Int = 4, maxBucket: Int = 4096): DataFrame = {
     require(bands > maxHamming, "pigeonhole needs bands > maxHamming")
-    require(bits % bands == 0, "bands must slice the hash evenly")
-    val width = bits / bands
-    val mask = (1L << width) - 1
     // cached so both join sides read the SAME computed signatures
     // instead of re-hashing the corpus twice; released after the result
     // materializes (localCheckpoint), mirroring minhashLshPairs — no
     // per-invocation executor-storage pinned for the app lifetime
     val sh = simhash(df, idCol, textCol, bits).cache()
+    val stats = sh.select(
+      (0 until bits).map(j =>
+        sum(expr(s"CAST(shiftright(simhash, $j) & 1 AS BIGINT)")).as(s"b$j")) :+
+        count(lit(1)).as("n"): _*).head()
+    val n = stats.getLong(bits)
+    def onesAt(j: Int) = if (stats.isNullAt(j)) 0L else stats.getLong(j)
+    val byBalance = (0 until bits).sortBy(j => (math.abs(2 * onesAt(j) - n), j))
+    val groups = Array.fill(bands)(Seq.newBuilder[Int])
+    byBalance.zipWithIndex.foreach { case (b, i) => groups(i % bands) += b }
+    val keyExprs = groups.toSeq.map { g =>
+      g.result().zipWithIndex.map { case (b, i) =>
+        expr(s"shiftleft(shiftright(simhash, $b) & 1, $i)")
+      }.reduce(_ + _)
+    }
     def banded(p: String) = sh
       .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
       .select(col(idCol).as(s"${p}_id"), col("simhash").as(s"${p}_sh"),
         col("band"),
-        expr(s"shiftright(simhash, band * $width) & ${mask}L").as("key"))
+        element_at(array(keyExprs: _*), col("band") + 1).as("key"))
+    requireBoundedBuckets(banded("a"), Seq("band", "key"), maxBucket,
+      "simhashNearDupPairs")
     val result = banded("a").join(banded("b"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),

@@ -85,7 +85,7 @@ object Pipeline {
          |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
          |h AS (SELECT doc_id, ${Text.polyhashSql("word")} AS h FROM wd),
          |b AS (
-         |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+         |  SELECT doc_id, j, SUM(${Text.simVoteSql("h", "j")}) AS s
          |  FROM h, (SELECT CAST(range AS INTEGER) AS j FROM range(0, 60))
          |  GROUP BY doc_id, j)
          |SELECT doc_id,
@@ -100,7 +100,7 @@ object Pipeline {
          |wd AS (SELECT doc_id, unnest(ws) AS word FROM w),
          |h AS (SELECT doc_id, ${Text.polyhashSql("word")} AS h FROM wd),
          |b AS (
-         |  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS s
+         |  SELECT doc_id, j, SUM(${Text.simVoteSql("h", "j")}) AS s
          |  FROM h, (SELECT CAST(range AS INTEGER) AS j FROM range(0, 60))
          |  GROUP BY doc_id, j),
          |sh AS (SELECT doc_id,

@@ -23,6 +23,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("a mass-duplicated document trips the degenerate-bucket guard; " +
+    "exact-dedup-first composes past it") {
+    import spark.implicits._
+    // the classic corpus pathology: one boilerplate page copied 10k
+    // times — every copy lands in the SAME (band, key) bucket and the
+    // candidate self-join would emit ~5e7 pairs from that bucket alone
+    val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val copies = (1L to 10000L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val err = intercept[IllegalStateException] {
+      Dedup.minhashLshPairs(copies, "doc_id", "text", k = 32, bands = 8)
+    }
+    assert(err.getMessage.contains("degenerate bucket"))
+    val err2 = intercept[IllegalStateException] {
+      Dedup.simhashNearDupPairs(copies, "doc_id", "text")
+    }
+    assert(err2.getMessage.contains("degenerate bucket"))
+
+    // the documented remedy: collapse exact copies first (qp01's shape);
+    // one representative per distinct text sails through the guard
+    val deduped = Dedup.exact(copies, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), col("text"))
+    assert(Dedup.minhashLshPairs(deduped, "doc_id", "text",
+      k = 32, bands = 8).count() == 0L)
+  }
+
   test("connected components label transitively: a path graph collapses " +
     "to its minimum node") {
     import spark.implicits._
