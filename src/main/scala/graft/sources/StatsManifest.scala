@@ -77,12 +77,10 @@ object StatsManifest {
     sb.toString
   }
 
-  /** Rebuild the manifest for `cols` (numeric, string, or date — any
-    * orderable parquet type; values are stored as text and re-typed at
-    * prune time from the recorded type name).
+  /** One manifest line per (file, column) of `df`, which must read from
+    * under `table` (stats grouped by `input_file_name`).
     */
-  def write(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
-    val df = spark.read.parquet(table)
+  private def statsLines(table: String, df: DataFrame, cols: Seq[String]): String = {
     val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
     val bad = cols.filterNot(c => supportedType(types(c)))
     if (bad.nonEmpty)
@@ -105,13 +103,60 @@ object StatsManifest {
           sb.append(s"${enc(rel)}\t$c\t${types(c)}\t${enc(lo.toString)}\t${enc(hi.toString)}\n")
       }
     }
+    sb.toString
+  }
+
+  /** Atomic write-then-rename publish (readers see old or new, whole). */
+  private def publish(spark: SparkSession, table: String, content: String): Unit = {
     val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(table, "._stats_manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write(sb.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     fs.delete(manifestPath(table), false)
     if (!fs.rename(tmp, manifestPath(table)))
       throw new java.io.IOException(s"manifest publish failed for $table")
+  }
+
+  /** Rebuild the manifest for `cols` (numeric, string, or date — any
+    * orderable parquet type; values are stored as text and re-typed at
+    * prune time from the recorded type name).
+    */
+  def write(spark: SparkSession, table: String, cols: Seq[String]): Unit =
+    publish(spark, table, statsLines(table, spark.read.parquet(table), cols))
+
+  /** Extend the manifest to files it doesn't cover yet — the streaming
+    * companion to [[write]]: a continuous ingest appends files every
+    * micro-batch, and without maintenance the (stale-SAFE) prune decays
+    * toward keep-everything. Reads ONLY the uncovered files, merges
+    * their stats under the existing lines, and republishes atomically.
+    * Idempotent by construction — covered files are skipped — so a
+    * crash-replay (listener refire, restarted query) is a no-op.
+    * Returns the number of newly covered files.
+    */
+  def appendMissing(spark: SparkSession, table: String,
+                    colsIfNew: Seq[String] = Nil): Int = {
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cols = columnsOf(spark, table) match {
+      case Nil => colsIfNew
+      case cs => cs
+    }
+    if (cols.isEmpty) return 0
+    val existing =
+      if (!fs.exists(manifestPath(table))) ""
+      else {
+        val in = fs.open(manifestPath(table))
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+    val covered = existing.linesIterator.flatMap(_.split('\t') match {
+      case Array(rel, _, _, _, _) => Some(dec(rel))
+      case _ => None
+    }).toSet
+    val missing = listDataFiles(fs, table)
+      .filterNot(f => covered.contains(relOf(table, f)))
+    if (missing.isEmpty) return 0
+    val df = spark.read.option("basePath", table).parquet(missing: _*)
+    publish(spark, table, existing + statsLines(table, df, cols))
+    missing.size
   }
 
   /** Columns the table's manifest currently tracks (empty if none) —
@@ -143,20 +188,31 @@ object StatsManifest {
     * (written after the last refresh, or all-NULL) are conservatively
     * KEPT, so a stale manifest can only under-prune, never lose rows.
     */
+  private def relOf(table: String, file: String): String =
+    file.stripPrefix(new Path(table).toUri.getPath).stripPrefix("/")
+
+  /** Data files under `table`: skips any path with a hidden SEGMENT —
+    * a streaming sink's `_spark_metadata/0` has a plain file name but
+    * lives under a metadata directory Spark readers ignore.
+    */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                            table: String): Seq[String] = {
+    val it = fs.listFiles(new Path(table), true)
+    val buf = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val rel = relOf(table, f.toUri.getPath)
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) buf += f.toUri.getPath
+    }
+    buf.result()
+  }
+
   def candidateFiles(spark: SparkSession, table: String, column: String,
                      lo: String, hi: String): Seq[String] = {
     val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = {
-      val it = fs.listFiles(new Path(table), true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val name = f.getName
-        if (!name.startsWith("_") && !name.startsWith("."))
-          buf += f.toUri.getPath
-      }
-      buf.result()
-    }
+    val all = listDataFiles(fs, table)
     if (!fs.exists(manifestPath(table))) return all
     val in = fs.open(manifestPath(table))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList

@@ -49,10 +49,21 @@ object FactIngest {
     * the batch build (Warehouse.FactYearCol) and a later
     * `Maintenance.compact` preserves the layout. The checkpoint gives
     * exactly-once file commits across restarts.
+    *
+    * `manifestCols` non-empty additionally maintains a
+    * [[graft.sources.StatsManifest]] over the sink: after every
+    * micro-batch a query-scoped listener appends stats rows for the
+    * files that batch committed (`appendMissing` — covered files are
+    * skipped, so a replayed batch or restarted query re-appends
+    * nothing). Without this, sustained ingest decays the (stale-SAFE)
+    * prune toward keep-everything: new files are unknown to the
+    * manifest and always conservatively kept. The listener is
+    * deregistered when the query terminates.
     */
   def start(spark: SparkSession, raw: DataFrame, path: String,
-            checkpoint: String): StreamingQuery =
-    resolved(spark, raw)
+            checkpoint: String,
+            manifestCols: Seq[String] = Nil): StreamingQuery = {
+    val query = resolved(spark, raw)
       .withColumn(Warehouse.FactYearCol,
         org.apache.spark.sql.functions.floor(
           org.apache.spark.sql.functions.col("DimSaleDateID") / 10000L)
@@ -64,4 +75,19 @@ object FactIngest {
       .partitionBy(Warehouse.FactYearCol)
       .outputMode("append")
       .start()
+    if (manifestCols.nonEmpty) {
+      val qid = query.id
+      val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (e.progress.id == qid)
+            graft.sources.StatsManifest.appendMissing(spark, path, manifestCols)
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+          if (e.id == qid) spark.streams.removeListener(this)
+      }
+      spark.streams.addListener(listener)
+    }
+    query
+  }
 }

@@ -86,6 +86,40 @@ class FactIngestSpec extends SparkSpec {
       "restarted stream output must equal the batch-built fact rows")
   }
 
+  test("streaming ingest maintains the stats manifest per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fact-manifest").toString
+    val mem = MemoryStream[RawSale]
+    val q = FactIngest.start(spark, mem.toDF(), s"$tmp/fact", s"$tmp/ckpt",
+      manifestCols = Seq("SalesDetailID"))
+    try {
+      mem.addData(rawRows(Seq(30L, 31L)): _*)
+      q.processAllAvailable()
+      mem.addData(rawRows(Seq(32L)): _*)
+      q.processAllAvailable()
+      // the maintenance listener fires asynchronously after each batch;
+      // poll the manifest READ-ONLY so a dead listener cannot be masked
+      val manifest = java.nio.file.Paths.get(s"$tmp/fact", "_stats_manifest")
+      def coveredFiles(): Int =
+        if (!java.nio.file.Files.exists(manifest)) 0
+        else java.nio.file.Files.readAllLines(manifest).toArray
+          .map(_.toString.split('\t')(0)).distinct.length
+      def sinkFiles(): Int = spark.read.parquet(s"$tmp/fact").inputFiles.length
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (coveredFiles() < sinkFiles() && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(coveredFiles() == sinkFiles(),
+        "the listener must cover every committed file without help")
+      val hit = graft.sources.StatsManifest.candidateFiles(
+        spark, s"$tmp/fact", "SalesDetailID", "30", "30")
+      val all = spark.read.parquet(s"$tmp/fact").inputFiles.length
+      assert(all >= 2, "two micro-batches must have appended at least two files")
+      assert(hit.size < all,
+        s"a point probe must prune streamed files (${hit.size} of $all kept)")
+    } finally q.stop()
+  }
+
   test("parquet sink appends resolved fact rows under a checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -144,6 +144,41 @@ class StatsManifestSpec extends SparkSpec {
       expected.orderBy("o_orderkey").select("o_orderkey", "yr").collect().toSeq)
   }
 
+  test("appendMissing keeps the prune tight under appends and replays as a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest9").toString
+    val nation = Tables(spark, sfDir, "nation")
+    nation.filter(col("n_nationkey") < 10).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    StatsManifest.write(spark, dir, Seq("n_nationkey"))
+    // new data lands after the refresh (the streaming-append shape)
+    nation.filter(col("n_nationkey") >= 10).coalesce(1)
+      .write.mode("append").parquet(dir)
+
+    // stale-safe but LOOSE: the unknown file is conservatively kept even
+    // for a probe that can't intersect it
+    assert(StatsManifest.candidateFiles(spark, dir, "n_nationkey", "0", "5")
+      .size == 2, "pre-maintenance: unknown file is kept by default")
+
+    assert(StatsManifest.appendMissing(spark, dir) == 1,
+      "exactly the one uncovered file gets stats rows")
+    assert(StatsManifest.candidateFiles(spark, dir, "n_nationkey", "0", "5")
+      .size == 1, "post-maintenance: the appended file is listed and pruned")
+    // rows are still exactly right through the pruned read
+    val got = StatsManifest.rangeRead(spark, dir, "n_nationkey", "12", "20")
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val want = nation.filter(col("n_nationkey") >= 12 && col("n_nationkey") <= 20)
+      .select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+    assert(got == want)
+
+    // crash-replay discipline: re-running the maintenance is a no-op
+    val before = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_stats_manifest"))
+    assert(StatsManifest.appendMissing(spark, dir) == 0, "replay must cover 0 files")
+    val after = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "_stats_manifest"))
+    assert(before == after, "replay must leave the manifest byte-identical")
+  }
+
   test("manifest composes with z-order: both columns prune") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest3").toString
     val events = Tables(spark, sfDir, "events")
