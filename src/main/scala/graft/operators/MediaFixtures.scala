@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 4
+  val Version = 5
 
   val Count = 64
 
@@ -38,6 +38,8 @@ object MediaFixtures {
   def audioCsv: String = s"$root/expected_audio.csv"
 
   def videoCsv: String = s"$root/expected_video.csv"
+
+  def videoTracksCsv: String = s"$root/expected_video_tracks.csv"
 
   def featuresCsv: String = s"$root/expected_features.csv"
 
@@ -141,13 +143,19 @@ object MediaFixtures {
     * + mdat, with per-id brand / timescale / duration / track count and
     * LCG noise in mdat. Every fifth asset uses a VERSION-1 mvhd (64-bit
     * times) so the parser's version branch is exercised, and the `free`
-    * box forces unknown-box skipping. The metadata is only recoverable
-    * by actually walking the box tree — not from names or sizes.
+    * box forces unknown-box skipping. Each trak carries the full sample
+    * description subtree (tkhd + mdia/mdhd/hdlr/minf/stbl/stsd) with a
+    * real VisualSampleEntry (codec fourcc, coded width/height) or
+    * AudioSampleEntry — per-track metadata only recoverable by walking
+    * five levels of the box tree (the tkhd presentation size is a FIXED
+    * 640x360 decoy, so reading it instead of stsd fails the gate).
     */
   private def generateVideo(): Unit = {
     val brands = Array("isom", "mp42", "avc1")
     val timescales = Array(600, 1000, 90000, 44100, 12288)
+    val vcodecs = Array("avc1", "hev1", "mp4v")
     val sb = new StringBuilder("media_id,brand,timescale,duration,n_tracks,n_bytes\n")
+    val tb = new StringBuilder("media_id,track_id,codec,width,height\n")
     (1 to Count).foreach { id =>
       val brand = brands(id % brands.length)
       val timescale = timescales(id % timescales.length)
@@ -176,17 +184,70 @@ object MediaFixtures {
       }
 
       val traks = (1 to nTracks).map { t =>
-        val bb = java.nio.ByteBuffer.allocate(84)
-        bb.put(0.toByte).put(Array[Byte](0, 0, 7)) // v0, enabled|movie|preview
-        bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
-        bb.putInt(t) // track_ID
-        bb.putInt(0) // reserved
-        bb.putInt(duration.toInt)
-        bb.put(new Array[Byte](8)) // reserved
-        bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/vol/res
-        UnityMatrix.foreach(bb.putInt)
-        bb.putInt(640 << 16).putInt(360 << 16) // fixed-point width/height
-        box("trak", bb.array())
+        val tkhd = {
+          val bb = java.nio.ByteBuffer.allocate(84)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 7)) // v0, enabled|movie|preview
+          bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+          bb.putInt(t) // track_ID
+          bb.putInt(0) // reserved
+          bb.putInt(duration.toInt)
+          bb.put(new Array[Byte](8)) // reserved
+          bb.putShort(0).putShort(0).putShort(0).putShort(0) // layer/group/vol/res
+          UnityMatrix.foreach(bb.putInt)
+          bb.putInt(640 << 16).putInt(360 << 16) // fixed-point decoy size
+          box("tkhd", bb.array())
+        }
+        // track 2 of three-track assets is audio; the rest are video
+        val isAudio = t == 2 && nTracks == 3
+        val codec = if (isAudio) "mp4a" else vcodecs((id + t) % vcodecs.length)
+        val w = if (isAudio) 0 else 160 + ((id * 7 + t * 31) % 16) * 8
+        val h = if (isAudio) 0 else 90 + ((id * 13 + t * 17) % 16) * 8
+        val sampleEntry = {
+          val body =
+            if (isAudio) {
+              val bb = java.nio.ByteBuffer.allocate(28)
+              bb.put(new Array[Byte](6)).putShort(1) // reserved, data_ref_index
+              bb.put(new Array[Byte](8)) // reserved
+              bb.putShort((1 + id % 2).toShort).putShort(16) // channels, bits
+              bb.putShort(0).putShort(0) // pre_defined, reserved
+              bb.putInt(44100 << 16) // fixed-point sample rate
+              bb.array()
+            } else {
+              val bb = java.nio.ByteBuffer.allocate(78)
+              bb.put(new Array[Byte](6)).putShort(1) // reserved, data_ref_index
+              bb.putShort(0).putShort(0) // pre_defined, reserved
+              bb.put(new Array[Byte](12)) // pre_defined
+              bb.putShort(w.toShort).putShort(h.toShort) // CODED size
+              bb.putInt(0x00480000).putInt(0x00480000) // 72 dpi h/v
+              bb.putInt(0) // reserved
+              bb.putShort(1) // frame_count
+              bb.put(new Array[Byte](32)) // compressorname
+              bb.putShort(24) // depth
+              bb.putShort(-1) // pre_defined
+              bb.array()
+            }
+          box(codec, body)
+        }
+        val stsd = box("stsd",
+          Array[Byte](0, 0, 0, 0), // version/flags
+          java.nio.ByteBuffer.allocate(4).putInt(1).array(), // entry_count
+          sampleEntry)
+        val mdhd = {
+          val bb = java.nio.ByteBuffer.allocate(24)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 0)) // v0/flags
+          bb.putInt(0).putInt(0) // ctime/mtime
+          bb.putInt(timescale).putInt(duration.toInt)
+          bb.putShort(0x55C4.toShort).putShort(0) // language 'und', pre_defined
+          box("mdhd", bb.array())
+        }
+        val hdlr = box("hdlr",
+          new Array[Byte](8), // version/flags, pre_defined
+          (if (isAudio) "soun" else "vide").getBytes("ISO-8859-1"),
+          new Array[Byte](13)) // reserved x3 + empty name
+        val mdia = box("mdia", mdhd, hdlr,
+          box("minf", box("stbl", stsd)))
+        tb.append(s"$id,$t,$codec,$w,$h\n")
+        box("trak", tkhd, mdia)
       }
 
       val mdat = {
@@ -207,5 +268,6 @@ object MediaFixtures {
       sb.append(s"$id,$brand,$timescale,$duration,$nTracks,${bytes.length}\n")
     }
     Files.write(Paths.get(videoCsv), sb.toString.getBytes)
+    Files.write(Paths.get(videoTracksCsv), tb.toString.getBytes)
   }
 }

@@ -284,6 +284,103 @@ object Multimodal {
     (brand, timescale, duration, tracks)
   }
 
+  case class TrackMeta(id: Long, track_id: Long, codec: String,
+                       width: Long, height: Long)
+
+  /** Per-track sample-description metadata: walks
+    * trak → tkhd (track id) and trak → mdia → (hdlr, minf → stbl →
+    * stsd) and reads the first sample entry's codec fourcc plus, for
+    * `vide` handlers, the CODED width/height from the
+    * VisualSampleEntry (ISO 14496-12 §12.1.3: 16-bit fields at payload
+    * offsets 24/26, after reserved/pre_defined). Audio tracks report
+    * 0x0 — their entry carries channel/rate fields instead. The tkhd
+    * presentation size is deliberately NOT consulted (the fixture
+    * plants a decoy there). Assumes hdlr precedes minf within mdia, as
+    * 14496-12 specifies for the file layouts in the wild.
+    */
+  def decodeTracks(bytes: Array[Byte]): Seq[(Long, String, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def u16(off: Int): Long = (bb.getShort(off) & 0xffff).toLong
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        var hdr = 8
+        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 }
+        else if (size == 0) size = (end - off).toLong
+        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
+        f(typ, off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+    }
+    val out = Seq.newBuilder[(Long, String, Long, Long)]
+    walk(0, bytes.length) {
+      case ("moov", ms, me) => walk(ms, me) {
+        case ("trak", ts, te) =>
+          var trackId = -1L
+          var handler = ""
+          var codec = ""
+          var w = 0L
+          var h = 0L
+          walk(ts, te) {
+            case ("tkhd", cs, _) =>
+              // v0: id at +12 after ver/flags+ctime+mtime; v1: at +20
+              trackId = if ((bytes(cs) & 0xff) == 1) u32(cs + 20) else u32(cs + 12)
+            case ("mdia", ds, de) => walk(ds, de) {
+              case ("hdlr", cs, _) =>
+                handler = new String(bytes, cs + 8, 4, "ISO-8859-1")
+              case ("minf", fs, fe) => walk(fs, fe) {
+                case ("stbl", bs, be) => walk(bs, be) {
+                  case ("stsd", cs, _) =>
+                    require(u32(cs + 4) >= 1, "stsd with no sample entries")
+                    val entry = cs + 8 // first entry's box header
+                    codec = new String(bytes, entry + 4, 4, "ISO-8859-1")
+                    if (handler == "vide") {
+                      w = u16(entry + 8 + 24)
+                      h = u16(entry + 8 + 26)
+                    }
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          require(trackId >= 0 && codec.nonEmpty, "trak without tkhd/stsd")
+          out += ((trackId, codec, w, h))
+        case _ => ()
+      }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** Per-track metadata for a directory of MP4 files (one row per
+    * (media, track)), same binaryFile + per-partition walk shape as
+    * `videoMeta`. Gated against the generation-time per-track sidecar
+    * (qm06).
+    */
+  def videoTrackMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mp4").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.mp4$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeTracks(bytes).map { case (tid, codec, w, h) =>
+          TrackMeta(id, tid, codec, w, h)
+        }
+      }
+      .select(col("id").as("media_id"), col("track_id"), col("codec"),
+        col("width"), col("height"))
+  }
+
   /** Container metadata for a directory of MP4 files — the video twin
     * of `imageMeta`/`audioMeta`: `binaryFile` source, per-partition box
     * walk, no collect. Gated against the generation-time sidecar (qm04).

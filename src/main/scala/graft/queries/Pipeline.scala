@@ -622,6 +622,21 @@ object Pipeline {
       Multimodal.videoMeta(s, MediaFixtures.ensure())
     },
 
+    // ----- multimodal per-track sample descriptions (stsd walk) ----------
+    // One row per (media, track): the walker must descend
+    // trak -> tkhd + mdia/hdlr/minf/stbl/stsd and read the sample
+    // entry's codec fourcc and CODED width/height — the tkhd
+    // presentation size is a planted 640x360 decoy, so shortcutting the
+    // descent fails the hash.
+    Q("qm06_mp4_tracks",
+      s"""SELECT media_id, track_id, codec, width, height
+         |FROM read_csv('${MediaFixtures.videoTracksCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'track_id': 'BIGINT',
+         |    'codec': 'VARCHAR', 'width': 'BIGINT',
+         |    'height': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.videoTrackMeta(s, MediaFixtures.ensure())
+    },
+
     // ----- multimodal REAL feature extraction (per-pixel kernel) ---------
     // The "feature-extract" pipeline stage on real pixels: per-channel
     // integer sums over the DECODED image. PNG is lossless, so the sums
