@@ -169,17 +169,26 @@ object Dedup {
     * connectedComponents maxRounds precedent) beats silently attempting
     * the quadratic join on a cluster.
     */
-  private def requireBoundedBuckets(buckets: DataFrame, keyCols: Seq[String],
-                                    maxBucket: Int, op: String): Unit = {
-    val worst = buckets.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
-    val biggest = if (worst.isNullAt(0)) 0L else worst.getLong(0)
-    if (biggest > maxBucket)
-      throw new IllegalStateException(
-        s"$op: degenerate bucket of $biggest members exceeds maxBucket=" +
-          s"$maxBucket — the corpus has a mass-duplicated document; run " +
-          "exact dedup first (Dedup.exact, the qp01 composition) " +
-          "or raise maxBucket if the quadratic candidate join is intended")
+  /** In-plan variant of the guard: joins the buckets against their own
+    * per-key counts and asserts the bound INSIDE the plan, so the check
+    * adds no separate job — the bucket-key exchange is shared with the
+    * candidate self-join — and an oversized bucket throws on its first
+    * probe row, before the self-join can emit its quadratic output.
+    * Returns the guarded bucket rows (columns unchanged).
+    */
+  private def boundedBuckets(buckets: DataFrame, keyCols: Seq[String],
+                             maxBucket: Int, op: String): DataFrame = {
+    val counts = buckets.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val msg =
+      s"$op: degenerate bucket exceeds maxBucket=$maxBucket — the corpus " +
+        "has a mass-duplicated document; run exact dedup first " +
+        "(Dedup.exact, the qp01 composition) or raise maxBucket if the " +
+        "quadratic candidate join is intended"
+    buckets.join(counts, keyCols)
+      .withColumn("__guard", assert_true(col("__n") <= maxBucket, lit(msg)))
+      .filter(col("__guard").isNull) // NULL on success; keeps the assert alive
+      .drop("__n", "__guard")
   }
 
   def minhashLshPairs(
@@ -190,16 +199,16 @@ object Dedup {
     val r = k / bands
     // band keys sliced straight out of the signature array — the only
     // shuffle before the candidate join is the signature group-by itself
-    // (cached: the bucket guard, then both self-join sides, read it)
+    // (the signature exchange is REUSED by the guard's counts and both
+    // self-join sides: one computation, one shuffle, no cache pinned)
     val bandKeys = minhashSignatureArray(df, idCol, textCol, k, n)
       .withColumn("band", explode(sequence(lit(0L), lit((bands - 1).toLong))))
       .withColumn("bkey",
         concat_ws(",", slice(col("sigs"), (col("band") * r + 1).cast(IntegerType), lit(r))))
       .select(col(idCol), col("band"), col("bkey"))
-      .cache()
-    requireBoundedBuckets(bandKeys, Seq("band", "bkey"), maxBucket,
+    val guarded = boundedBuckets(bandKeys, Seq("band", "bkey"), maxBucket,
       "minhashLshPairs")
-    val cand = bandKeys.as("a")
+    val cand = guarded.as("a")
       .join(bandKeys.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -215,9 +224,8 @@ object Dedup {
         col("i") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("i")))
     val result = pairs.filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // materialize, then release the caches
+      .localCheckpoint() // materialize, then release the shingle cache
     sh.unpersist()
-    bandKeys.unpersist()
     result
   }
 
@@ -309,9 +317,9 @@ object Dedup {
       .select(col(idCol).as(s"${p}_id"), col("simhash").as(s"${p}_sh"),
         col("band"),
         element_at(array(keyExprs: _*), col("band") + 1).as("key"))
-    requireBoundedBuckets(banded("a"), Seq("band", "key"), maxBucket,
+    val guarded = boundedBuckets(banded("a"), Seq("band", "key"), maxBucket,
       "simhashNearDupPairs")
-    val result = banded("a").join(banded("b"), Seq("band", "key"))
+    val result = guarded.join(banded("b"), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         expr("CAST(bit_count(a_sh ^ b_sh) AS BIGINT)").as("hamming"))

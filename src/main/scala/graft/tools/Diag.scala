@@ -21,9 +21,12 @@ object Diag {
     spark.sparkContext.setLogLevel("WARN")
 
     val byName = graft.SparkEntry.allQueries.map(q => q.name -> q).toMap
-    def run(df: DataFrame): Double = {
+    // time build + execute together: several operators materialize
+    // eagerly inside build (localCheckpoint, guards), so timing only
+    // the final write under-reports them
+    def run(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     // warm-up
@@ -31,7 +34,7 @@ object Diag {
 
     args.foreach { name =>
       val q = byName(name)
-      val times = (1 to 3).map(_ => run(q.build(spark, sfDir)))
+      val times = (1 to 3).map(_ => run(q))
       println(f"[diag] $name%-24s ${times.map(t => f"$t%.3f").mkString(" ")}")
       if (sys.env.contains("SPARK_GRAFT_DIAG_EXPLAIN"))
         q.build(spark, sfDir).explain("formatted")

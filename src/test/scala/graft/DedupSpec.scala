@@ -32,14 +32,20 @@ class DedupSpec extends SparkSpec {
     val boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
       "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
     val copies = (1L to 10000L).map(i => (i, boiler)).toDF("doc_id", "text")
-    val err = intercept[IllegalStateException] {
+    // the guard lives INSIDE the plan (assert_true on the bucket-count
+    // join), so it surfaces as a Spark execution failure whose cause
+    // chain carries the message
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+    val err = intercept[Exception] {
       Dedup.minhashLshPairs(copies, "doc_id", "text", k = 32, bands = 8)
     }
-    assert(err.getMessage.contains("degenerate bucket"))
-    val err2 = intercept[IllegalStateException] {
+    assert(messages(err).contains("degenerate bucket"))
+    val err2 = intercept[Exception] {
       Dedup.simhashNearDupPairs(copies, "doc_id", "text")
     }
-    assert(err2.getMessage.contains("degenerate bucket"))
+    assert(messages(err2).contains("degenerate bucket"))
 
     // the documented remedy: collapse exact copies first (qp01's shape);
     // one representative per distinct text sails through the guard
