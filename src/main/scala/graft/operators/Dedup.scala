@@ -74,16 +74,30 @@ object Dedup {
     * both sides is therefore NECESSARY for every qualifying pair (the
     * prefix-filter lemma); candidates then get the full array verify.
     *
+    * On top of the prefix cut, the candidate join applies PPJoin's two
+    * other exactness-preserving lemmas, both cheap row-local
+    * arithmetic on (length, position) carried with each prefix token:
+    *  - LENGTH filter: J(A,B) <= min/max of the sizes, so
+    *    min(|A|,|B|) >= t*max(|A|,|B|) is necessary.
+    *  - POSITION filter: a common prefix token at 0-based positions
+    *    (pa, pb) bounds the achievable overlap by
+    *    min(|A|-pa, |B|-pb), which must reach the required overlap
+    *    alpha = ceil(t/(1+t)*(|A|+|B|)) (J >= t iff i >= alpha).
+    *    Comparisons subtract 1e-6 before ceil/scale so floating-point
+    *    jitter can only KEEP a borderline candidate, never drop one.
+    *
     * Which formulation wins is a property of the CORPUS, measured here
     * so the trade is explicit: on the synthetic tiny-vocabulary corpus
-    * the inverted-index count wins at sf0.1 (2.1 s vs 4.8 s — every
-    * prefix token is hot, and the verify ships arrays where the count
-    * rides map-side partial aggs) while prefix filtering wins at sf1
-    * (26 s vs 31 s) and increasingly beyond, because it cuts the
-    * quadratic index blowup that grows with duplicate density; on
-    * Zipfian web corpora the prefix cut is the standard
-    * order-of-magnitude lever. Keeping both, gated against one oracle,
-    * is the honest engineering position.
+    * the inverted-index count wins at sf0.1 (every prefix token is hot
+    * — the matched-row set, which no row-local filter can shrink,
+    * dominates — and the verify ships arrays where the count rides
+    * map-side partial aggs) while prefix+position filtering wins at
+    * sf1 (~26 s before the position/length lemmas, ~20 s with them,
+    * vs ~31 s inverted) and increasingly beyond, because it cuts the
+    * candidate blowup that grows with duplicate density; on Zipfian
+    * web corpora the prefix cut is the standard order-of-magnitude
+    * lever. Keeping both, gated against one oracle, is the honest
+    * engineering position.
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
@@ -96,10 +110,22 @@ object Dedup {
       .cache()
     val plen = (size(col("__sh"))
       - ceil(lit(threshold) * size(col("__sh"))) + 1).cast(IntegerType)
-    val e = sh.select(col(idCol).as("doc"),
-      explode(slice(col("__sh"), lit(1), plen)).as("s"))
+    // per-row precomputes keep the O(matched-rows) join condition to
+    // compares + one multiply: tlen = t*len for the length filter,
+    // rem = len - pos (achievable-overlap budget) for the position test
+    val e = sh.select(col(idCol).as("doc"), size(col("__sh")).as("len"),
+      posexplode(slice(col("__sh"), lit(1), plen)).as(Seq("pos", "s")))
+      .withColumn("tlen", lit(threshold) * col("len") - lit(1e-6))
+      .withColumn("rem", col("len") - col("pos"))
     val cand = e.as("a")
-      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+        // length filter: min >= t*max
+        col("a.len") >= col("b.tlen") && col("b.len") >= col("a.tlen") &&
+        // position filter: the remaining suffixes must still reach the
+        // required overlap alpha = t/(1+t)*(la+lb); cross-multiplied so
+        // the hot path is one multiply, no division, no ceil
+        least(col("a.rem"), col("b.rem")) * lit(1 + threshold) + lit(1e-6) >=
+          lit(threshold) * (col("a.len") + col("b.len")))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     val jac = cand
