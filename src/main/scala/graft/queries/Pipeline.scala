@@ -271,6 +271,26 @@ object Pipeline {
       Similarity.recallHits(exact, ann)
         .select(col("query_id"), (col("hits") >= 5).cast("long").as("recall_ok"))
     },
+    // PQ completes the ANN ladder (brute qs01 → LSH qs05 → IVF qs06 →
+    // PQ): 16x4-dim codebooks, ADC shortlist 128, exact rerank. The
+    // floor sits below the measured per-query minima (9 at sf0.001/
+    // sf0.01, 6 at sf0.1, 3 at sf1 where the fixed shortlist is a
+    // smaller corpus fraction) — deterministic, so any recall
+    // regression below it breaks the hash.
+    Q("qs09_pq_recall",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val model = graft.operators.Pq.train(s, emb, "vec_id", "embedding",
+        m = 16, k = 16)
+      val ann = graft.operators.Pq.search(s, emb, q, model, "vec_id",
+        "embedding", k = 10, shortlist = 128)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
+    },
+
     Q("qs06_ivf_recall",
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
