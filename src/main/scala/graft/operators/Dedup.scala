@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.functions.Text
 
@@ -74,6 +74,18 @@ object Dedup {
     * both sides is therefore NECESSARY for every qualifying pair (the
     * prefix-filter lemma); candidates then get the full array verify.
     *
+    * The canonical order is PPJoin's: ascending global document
+    * frequency, ties by shingle. The lemma holds for ANY one agreed
+    * total order, but frequency order makes each prefix hold the doc's
+    * RAREST shingles — prefix posting lists are the corpus's shortest,
+    * so the candidate matched set collapses (measured here: hash order
+    * left every prefix token hot and the matched set dominated the
+    * join; df order cut qd09 several-fold at sf0.1). At 100 TB the df
+    * map is one extra count aggregate over the shingle set; since any
+    * total order preserves exactness, a SAMPLED or stale df (ties by
+    * shingle keep it total) works as long as both sides use the same
+    * one — the frequency pass can be amortized across runs.
+    *
     * On top of the prefix cut, the candidate join applies PPJoin's two
     * other exactness-preserving lemmas, both cheap row-local
     * arithmetic on (length, position) carried with each prefix token:
@@ -102,30 +114,38 @@ object Dedup {
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n)
-      .withColumn("__hs", array_sort(transform(col("__sh"),
-        s => struct(Text.polyhash(s).as("h"), s.as("s")))))
+    val ex = withShingles(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).cast(IntegerType).as("df"))
+    // ascending-df canonical order; collect order is partition-dependent
+    // but array_sort on (df, s) makes the result a pure function of the
+    // shingle SET, so the prefix — and the gate hash — are deterministic
+    val sh = ex.join(freq, "s")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("__hs"))
       .select(col(idCol),
         transform(col("__hs"), x => x.getField("s")).as("__sh"))
       .cache()
     val plen = (size(col("__sh"))
       - ceil(lit(threshold) * size(col("__sh"))) + 1).cast(IntegerType)
     // per-row precomputes keep the O(matched-rows) join condition to
-    // compares + one multiply: tlen = t*len for the length filter,
-    // rem = len - pos (achievable-overlap budget) for the position test
+    // integer compares + one double add: ctl = ceil(t*len) for the
+    // length filter, w = t/(1+t)*len and rem = len - pos for the
+    // position test — no per-pair multiplies or int→double casts
     val e = sh.select(col(idCol).as("doc"), size(col("__sh")).as("len"),
       posexplode(slice(col("__sh"), lit(1), plen)).as(Seq("pos", "s")))
-      .withColumn("tlen", lit(threshold) * col("len") - lit(1e-6))
-      .withColumn("rem", col("len") - col("pos"))
+      .withColumn("ctl",
+        ceil(lit(threshold) * col("len") - lit(1e-6)).cast(IntegerType))
+      .withColumn("w", lit(threshold / (1 + threshold)) * col("len"))
+      .withColumn("rem", (col("len") - col("pos")).cast(DoubleType))
     val cand = e.as("a")
       .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
-        // length filter: min >= t*max
-        col("a.len") >= col("b.tlen") && col("b.len") >= col("a.tlen") &&
+        // length filter: min(|A|,|B|) >= ceil(t*max) — epsilon folded
+        // into the per-row ceil so FP jitter only ever KEEPS a candidate
+        col("a.len") >= col("b.ctl") && col("b.len") >= col("a.ctl") &&
         // position filter: the remaining suffixes must still reach the
-        // required overlap alpha = t/(1+t)*(la+lb); cross-multiplied so
-        // the hot path is one multiply, no division, no ceil
-        least(col("a.rem"), col("b.rem")) * lit(1 + threshold) + lit(1e-6) >=
-          lit(threshold) * (col("a.len") + col("b.len")))
+        // required overlap alpha = t/(1+t)*(la+lb) = a.w + b.w
+        least(col("a.rem"), col("b.rem")) + lit(1e-6) >= col("a.w") + col("b.w"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .distinct()
     val jac = cand
