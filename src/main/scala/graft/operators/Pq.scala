@@ -50,7 +50,10 @@ object Pq {
     def k: Int = codebooks.head.length
   }
 
-  private def unit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  /** Unit-normalized vectors (vid, v) — shared with the semantic-dedup
+    * clustering, which reuses `train(m = 1)` as plain Lloyd k-means.
+    */
+  private[operators] def unit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v0"))
       .withColumn("nrm", sqrt(Text.dot(col("v0"), col("v0"))))
       .withColumn("v", transform(col("v0"), x => x / col("nrm")))
