@@ -558,4 +558,45 @@ object Dedup {
         least(col("vid_a"), col("vid_b")).as("vec_a"),
         greatest(col("vid_a"), col("vid_b")).as("vec_b"))
   }
+
+  /** SemDeDup-style semantic near-dup pairs: a k-means coarse
+    * clustering partitions the corpus, and exact cosine runs only
+    * WITHIN clusters — O(sum of cluster-size²) instead of O(n²), the
+    * standard embedding-dedup recipe for web-scale corpora (cluster
+    * first, compare within cells). Pairs split across clusters are the
+    * price of linearity; `embeddingNearDupPairs` stays the exact
+    * baseline.
+    *
+    * The clustering IS `Pq.train(m = 1)` — one subspace makes the
+    * per-slice Lloyd exactly full-vector k-means — so it inherits
+    * Pq's determinism (first-k-by-id init, decimal-exact means,
+    * lowest-code ties): assignments are a pure function of the corpus,
+    * which is what lets qp03's oracle replay the whole clustering in
+    * SQL and hash-compare the pair set exactly.
+    *
+    * Scale shape: training is `iters` linear scans (codebook is k
+    * vectors, broadcast); the within-cluster join shuffles once by
+    * cluster id. A mass-duplicated embedding makes one cluster
+    * degenerate — the same pathology as a hot LSH bucket — so the
+    * self-join rides the same in-plan `boundedBuckets` guard.
+    */
+  def semanticNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iters: Int = 2, threshold: Double = 0.4,
+      maxCluster: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val model = Pq.train(spark, df, idCol, vecCol, m = 1, k = k, iters = iters)
+    val codes = Pq.encode(spark, df, model, idCol, vecCol)
+      .select(col("vid"), col("ci"))
+    val t = Pq.unit(df, idCol, vecCol).join(codes, "vid")
+    val guarded = boundedBuckets(t, Seq("ci"), maxCluster,
+      "semanticNearDupPairs")
+    guarded.as("a")
+      .join(t.as("b"),
+        col("a.ci") === col("b.ci") && col("a.vid") < col("b.vid"))
+      // unit vectors: cosine = dot
+      .withColumn("sim", Text.dot(col("a.v"), col("b.v")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+  }
 }

@@ -23,6 +23,35 @@ object Pipeline {
   private def shCte =
     s"SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w"
 
+  /** qp03 oracle: nearest-centroid assignment against centroid CTE
+    * `cte` — the d expression mirrors Pq.assign term-for-term
+    * ((sn2 - 2*dot) + cn2, same association) so both engines compare
+    * identical doubles; ties break to the lowest cid like Pq's
+    * min(struct(d, ci)).
+    */
+  private def assignSql(cte: String): String =
+    s"""SELECT vec_id, u, cid, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY list_dot_product(u, u) - 2 * list_dot_product(u, cv)
+       |      + list_dot_product(cv, cv), cid) AS rn
+       |  FROM n CROSS JOIN $cte""".stripMargin
+
+  /** qp03 oracle: one Lloyd iteration c{i} → c{i+1} — assignment, then
+    * per-(cluster, position) means through DECIMAL(25,6) exactly like
+    * Pq.train's, with empty clusters keeping their previous centroid
+    * (the per-position getOrElse; a cluster is empty iff every position
+    * is missing, so the whole-vector COALESCE is equivalent).
+    */
+  private def lloydIterSql(i: Int): String =
+    s"""a$i AS (${assignSql(s"c$i")}),
+       |s$i AS (SELECT vec_id, u, cid FROM a$i WHERE rn = 1),
+       |x$i AS (SELECT cid, generate_subscripts(u, 1) AS pos, unnest(u) AS x FROM s$i),
+       |m$i AS (SELECT cid, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM x$i GROUP BY cid, pos),
+       |mc$i AS (SELECT cid, list(m ORDER BY pos) AS mv FROM m$i GROUP BY cid),
+       |c${i + 1} AS (SELECT p.cid, COALESCE(c.mv, p.cv) AS cv
+       |  FROM c$i p LEFT JOIN mc$i c ON p.cid = c.cid),""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- exact dedup: hash group-by on content ------------------------
@@ -213,6 +242,31 @@ object Pipeline {
         .groupBy("lang").agg(count(lit(1)).as("n_survivors"))
     },
 
+    // ----- semantic (embedding-cluster) near-dup pairs -------------------
+    // SemDeDup shape: k-means clusters (Pq.train with m=1 IS Lloyd's),
+    // exact cosine only within clusters. The clustering is fully
+    // deterministic, so the oracle replays ALL of it in SQL — init from
+    // the first k ids, two decimal-exact Lloyd iterations, final
+    // assignment — and the pair set hash-compares exactly; a clustering
+    // change (init, tie-break, arithmetic) breaks the gate, not just a
+    // recall bound.
+    Q("qp03_semantic_neardup",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM e),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u AS cv
+         |       FROM (SELECT vec_id, u FROM n ORDER BY vec_id LIMIT 8)),
+         |${lloydIterSql(0)}
+         |${lloydIterSql(1)}
+         |af AS (${assignSql("c2")}),
+         |sf AS (SELECT vec_id, u, cid FROM af WHERE rn = 1),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        list_dot_product(a.u, b.u) AS sim
+         |      FROM sf a JOIN sf b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b FROM p WHERE sim >= 0.4""".stripMargin) { (s, dir) =>
+      Dedup.semanticNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.4)
+    },
+
     // ----- embedding near-dup pairs (exact cosine) ----------------------
     Q("qs02_embedding_neardup",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -276,7 +330,9 @@ object Pipeline {
     // floor sits below the measured per-query minima (9 at sf0.001/
     // sf0.01, 6 at sf0.1, 3 at sf1 where the fixed shortlist is a
     // smaller corpus fraction) — deterministic, so any recall
-    // regression below it breaks the hash.
+    // regression below it breaks the hash. Two Lloyd passes: the
+    // measured floors are identical at iters 1/2/3 on this corpus, so
+    // the gate keeps one refinement pass and stops paying for more.
     Q("qs09_pq_recall",
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
@@ -284,7 +340,7 @@ object Pipeline {
       val q = emb.filter(col("vec_id") % 100 === 0)
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
       val model = graft.operators.Pq.train(s, emb, "vec_id", "embedding",
-        m = 16, k = 16)
+        m = 16, k = 16, iters = 2)
       val ann = graft.operators.Pq.search(s, emb, q, model, "vec_id",
         "embedding", k = 10, shortlist = 128)
       Similarity.recallHits(exact, ann)

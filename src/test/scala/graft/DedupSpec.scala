@@ -171,4 +171,34 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4)
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
+
+  test("semantic near-dup pairs are an exact subset, stable across partitionings") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = pairSet(Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.4))
+    val exact = pairSet(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.4))
+    // within-cluster pairs pass the same exact cosine filter, so every
+    // semantic pair is a true near-dup pair; cross-cluster pairs are
+    // the documented price of linearity
+    assert(sem.subsetOf(exact), "semantic pairs must all be exact near-dups")
+    // the qp03 oracle replays the clustering, so the pair set must be a
+    // pure function of the corpus at any physical layout
+    val repart = pairSet(Dedup.semanticNearDupPairs(
+      emb.repartition(7, col("vec_id")), "vec_id", "embedding",
+      k = 4, iters = 2, threshold = 0.4))
+    assert(repart == sem)
+  }
+
+  test("a degenerate cluster trips the in-plan guard") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val e = intercept[Exception] {
+      Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        k = 4, iters = 1, threshold = 0.4, maxCluster = 3).count()
+    }
+    assert(Option(e.getMessage).exists(_.contains("semanticNearDupPairs")) ||
+      Option(e.getCause).exists(c =>
+        Option(c.getMessage).exists(_.contains("semanticNearDupPairs"))))
+  }
 }
