@@ -24,14 +24,14 @@ object Ivf {
 
   case class Model(centroids: Array[Array[Double]])
 
-  private def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def normalized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(Text.dot(col("v"), col("v"))))
 
   /** Nearest-centroid id for a vector column given driver-side
     * centroids (centroid id by maximum cosine = minimum angle).
     */
-  private def assignExpr(vec: String, nrm: String,
+  private[operators] def assignExpr(vec: String, nrm: String,
                          centroids: Array[Array[Double]]) = {
     val sims = centroids.zipWithIndex.map { case (c, i) =>
       val cn = math.sqrt(c.map(x => x * x).sum)

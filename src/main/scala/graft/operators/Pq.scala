@@ -63,14 +63,14 @@ object Pq {
     * squared norm (precomputed once; the assignment join reuses it
     * against every codebook row).
     */
-  private def sliced(u: DataFrame, m: Int, subDim: Int): DataFrame =
+  private[operators] def sliced(u: DataFrame, m: Int, subDim: Int): DataFrame =
     u.select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("mi"), col("v"))
       .withColumn("sub", slice(col("v"), col("mi") * subDim + 1, lit(subDim)))
       .withColumn("sn2", Text.dot(col("sub"), col("sub")))
       .select("vid", "mi", "sub", "sn2")
 
   /** The model as a broadcastable DataFrame: (mi, ci, cvec, cn2). */
-  private def centroidDf(spark: SparkSession, books: Array[Array[Array[Double]]]): DataFrame = {
+  private[operators] def centroidDf(spark: SparkSession, books: Array[Array[Array[Double]]]): DataFrame = {
     import spark.implicits._
     books.zipWithIndex.flatMap { case (b, mi) =>
       b.zipWithIndex.map { case (c, ci) => (mi, ci.toLong, c.toSeq) }

