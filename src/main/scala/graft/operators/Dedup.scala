@@ -99,17 +99,15 @@ object Dedup {
     *    jitter can only KEEP a borderline candidate, never drop one.
     *
     * Which formulation wins is a property of the CORPUS, measured here
-    * so the trade is explicit: on the synthetic tiny-vocabulary corpus
-    * the inverted-index count wins at sf0.1 (every prefix token is hot
-    * — the matched-row set, which no row-local filter can shrink,
-    * dominates — and the verify ships arrays where the count rides
-    * map-side partial aggs) while prefix+position filtering wins at
-    * sf1 (~26 s before the position/length lemmas, ~20 s with them,
-    * vs ~31 s inverted) and increasingly beyond, because it cuts the
-    * candidate blowup that grows with duplicate density; on Zipfian
-    * web corpora the prefix cut is the standard order-of-magnitude
-    * lever. Keeping both, gated against one oracle, is the honest
-    * engineering position.
+    * so the trade is explicit. Under the earlier hash order the
+    * inverted-index count won at sf0.1 (every prefix token hot, 9 s vs
+    * 2.6 s) and prefix+position only edged ahead at sf1 (~20 s vs
+    * ~31 s). Under ascending-df order the prefix formulation is
+    * competitive at sf0.1 (3.9 s vs 2.6 s steady-state) and wins ~2.5×
+    * at sf1 (14.8 s vs 36.8 s), growing with duplicate density —
+    * on Zipfian web corpora the df-ordered prefix cut is the standard
+    * order-of-magnitude lever. Keeping both, gated against one oracle,
+    * is the honest engineering position.
     */
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,

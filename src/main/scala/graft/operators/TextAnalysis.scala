@@ -197,32 +197,4 @@ object TextAnalysis {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
   }
-
-  /** Benchmark decontamination: for each corpus document, how many of
-    * its DISTINCT word `n`-grams appear anywhere in the (small)
-    * benchmark set — the standard train/eval overlap check run before
-    * training (flag or drop any training document sharing a long
-    * n-gram with an eval benchmark; reference pipelines use n≈8–13
-    * where a match is vanishingly unlikely by chance).
-    *
-    * Shape at 100 TB: the benchmark n-gram set is O(eval suite) —
-    * megabytes — so it broadcasts, the corpus side is one explode +
-    * broadcast left join with NO corpus shuffle of text, and the only
-    * exchange is the per-doc count whose partial (map-side) aggregate
-    * reduces each task to ~one row per document before it moves.
-    * Output: (idCol, hit_ngrams, contaminated).
-    */
-  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame =
-      df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
-        .select(col(idCol), explode(expr(Text.shinglesExpr("__ws", n))).as("__ng"))
-    val benchNg = grams(bench).select(col("__ng")).distinct()
-      .withColumn("__hit", lit(1L))
-    grams(corpus)
-      .join(broadcast(benchNg), Seq("__ng"), "left")
-      .groupBy(col(idCol))
-      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hit_ngrams"))
-      .withColumn("contaminated", col("hit_ngrams") > 0)
-  }
 }

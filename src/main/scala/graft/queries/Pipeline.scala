@@ -705,28 +705,6 @@ object Pipeline {
         vocabSize = 1000)
     },
 
-    // ----- benchmark decontamination (train/eval n-gram overlap) ---------
-    // eval set = doc_id % 50 == 7 (10 docs at sf0.01); corpus = the rest.
-    // n=8 makes a chance match negligible, so hits are the planted
-    // near-dup replicas of eval docs — exactly what the check exists to
-    // catch before training.
-    Q("qt10_decontamination",
-      s"""WITH w AS ($wCte),
-         |g AS (SELECT doc_id, ${Text.shinglesSql("ws", 8)} AS ngs FROM w),
-         |bg AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE doc_id % 50 = 7),
-         |cg AS (SELECT doc_id, unnest(ngs) AS ng FROM g WHERE doc_id % 50 <> 7),
-         |j AS (SELECT cg.doc_id, CASE WHEN bg.ng IS NULL THEN 0 ELSE 1 END AS hit
-         |      FROM cg LEFT JOIN bg ON cg.ng = bg.ng)
-         |SELECT doc_id, CAST(SUM(hit) AS BIGINT) AS hit_ngrams,
-         |  SUM(hit) > 0 AS contaminated
-         |FROM j GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      TextAnalysis.contamination(
-        docs.filter(col("doc_id") % 50 =!= 7),
-        docs.filter(col("doc_id") % 50 === 7),
-        "doc_id", "text", n = 8)
-    },
-
     // ----- scalar quantization reconstruction bound ----------------------
     Q("qs08_quantization_bound",
       "SELECT vec_id, TRUE AS within_bound FROM embeddings") { (s, dir) =>
