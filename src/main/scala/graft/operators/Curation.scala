@@ -173,4 +173,37 @@ object Curation {
       .filter(col("__rn") <= cap)
       .select(col(idCol), col(stratumCol))
   }
+
+  /** Temperature-based source mixing: per stratum (source, language),
+    * the sampling weight w_s ∝ n_s^α with α = 2^-`halvings` — the
+    * standard move for rebalancing a skewed multilingual/multi-source
+    * corpus (α=1 keeps natural proportions, α→0 approaches uniform;
+    * α=0.5 is the common compromise). `alloc` is each stratum's
+    * floor(w_s * budget) document allocation, the input
+    * `weightedHashSample`/`stratumCap` then execute.
+    *
+    * Exactness across engines: α is restricted to 1/2^k because
+    * n^(2^-k) is k IEEE-correctly-rounded sqrts — bit-identical in any
+    * engine — while a general pow routes through exp/ln whose last ulp
+    * is library-specific. The tempered weights are quantized to
+    * DECIMAL(25,6) so the normalizing sum is addition-order-independent,
+    * then the ratio is one double division. Shape: one partial-agg
+    * group-by; the single-row total broadcasts back (a scalar join,
+    * not a shuffle).
+    */
+  def mixingWeights(df: DataFrame, stratumCol: String, budget: Long,
+                    halvings: Int = 1): DataFrame = {
+    require(halvings >= 0 && halvings <= 6, "alpha = 2^-halvings in (0, 1]")
+    val tempered = (1 to halvings)
+      .foldLeft(col("n_docs").cast("double")) { (c, _) => sqrt(c) }
+    val c = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sq", tempered.cast(graft.functions.Exact.Dec))
+    val tot = c.agg(sum(col("sq")).as("__tot"))
+    c.join(broadcast(tot))
+      .withColumn("weight",
+        col("sq").cast("double") / col("__tot").cast("double"))
+      .withColumn("alloc", floor(col("weight") * lit(budget)).cast("long"))
+      .select(col(stratumCol), col("n_docs"), col("weight"), col("alloc"))
+  }
 }

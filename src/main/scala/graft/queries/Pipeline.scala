@@ -688,6 +688,24 @@ object Pipeline {
           "text", cap = 200)
     },
 
+    // ----- temperature-based source mixing weights (alpha = 0.5) ---------
+    // w_s ∝ sqrt(n_s): the standard rebalancing for skewed multi-source
+    // corpora. sqrt is IEEE-correctly-rounded in both engines and the
+    // normalizing sum runs over DECIMAL(25,6) quantizations, so the
+    // weights hash-compare exactly.
+    Q("qc06_mixing_weights",
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |q AS (SELECT source, n_docs,
+        |        CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(25,6)) AS sq FROM c),
+        |t AS (SELECT SUM(sq) AS tot FROM q)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) AS weight,
+        |  CAST(FLOOR(CAST(sq AS DOUBLE) / CAST(tot AS DOUBLE) * 100000) AS BIGINT) AS alloc
+        |FROM q, t""".stripMargin) { (s, dir) =>
+      Curation.mixingWeights(Tables(s, dir, "documents"), "source",
+        budget = 100000L, halvings = 1)
+    },
+
     // ----- OOV rate vs a corpus-derived top-1000 vocabulary --------------
     Q("qt09_oov_rate",
       s"""WITH w AS ($wCte),

@@ -149,4 +149,30 @@ class CurationSpec extends SparkSpec {
     assert(got(2L) == ((3L, 0L)))
     assert(got(3L) == ((3L, 1L)))
   }
+
+  test("mixing weights: alpha=1 keeps natural proportions, alpha=0.5 " +
+    "compresses the skew, weights normalize, allocs fit the budget") {
+    import spark.implicits._
+    val skewed = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val df = skewed.toDF("doc_id", "source")
+    def bySource(halvings: Int): Map[String, (Long, Double, Long)] =
+      Curation.mixingWeights(df, "source", budget = 10000L, halvings = halvings)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+        .toMap
+    val natural = bySource(0)
+    assert(math.abs(natural("big")._2 - 0.9) < 1e-9)
+    val tempered = bySource(1)
+    // sqrt temper: 900/100 docs -> 30/10 weight units -> 0.75/0.25
+    assert(math.abs(tempered("big")._2 - 0.75) < 1e-6)
+    assert(math.abs(tempered.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(tempered.values.map(_._3).sum <= 10000L)
+    // partition-count independence: the decimal-quantized sum makes the
+    // weights a pure function of the counts
+    val repart = Curation.mixingWeights(df.repartition(7), "source",
+      budget = 10000L, halvings = 1).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(repart == tempered.map { case (k, v) => k -> v._2 })
+  }
 }
