@@ -109,6 +109,32 @@ class PlanChecksSpec extends SparkSpec {
       "blocked all-pairs must not produce a cartesian product")
   }
 
+  test("semantic near-dup and IVF-PQ search stay equi-join shaped: no " +
+    "BNLJ, no cartesian, codebooks broadcast (qp03/qs10 ANN paths)") {
+    // the qs10 GATE also runs the exact-topk twin, whose small-query
+    // cross join is the documented baseline — assert on the ANN
+    // operators' own plans, which must never fall back to all-pairs
+    import graft.operators.{Dedup, IvfPq}
+    val emb = Tables(spark, sfDir, "embeddings")
+    val sem = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+      k = 4, iters = 1, threshold = 0.4)
+    val model = IvfPq.train(spark, emb, "vec_id", "embedding",
+      cells = 4, m = 8, k = 8, iters = 1)
+    val ann = IvfPq.search(spark, emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0),
+      model, "vec_id", "embedding", k = 5, nprobe = 2, shortlist = 32)
+    for ((name, df) <- Seq("semanticNearDupPairs" -> sem, "IvfPq.search" -> ann)) {
+      val nodes = collectAll(executed(df))
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+        s"$name: clustered ANN must not produce a BNLJ")
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+        s"$name: clustered ANN must not produce a cartesian product")
+      assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"$name: the codebook/centroid side must broadcast")
+    }
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort (q23)") {
     val s = planString(q("q23_topk"))
     assert(s.contains("TakeOrderedAndProject"), s.take(2000))
