@@ -394,8 +394,10 @@ object Pipeline {
     // ----- IVF-PQ composed ANN (the billion-scale layout) ---------------
     // coarse cells (qs06's model) x PQ codes (qs09's): probe nprobe/8
     // of the corpus, ADC-scan only those cells' codes, exact-rerank the
-    // shortlist. Measured min hits@10: 8 (sf0.001), 6 (sf0.01),
-    // 4 (sf0.1), 3 (sf1) — floor 2, deterministic.
+    // shortlist. Measured min hits@10 at iters=1: 6 (sf0.001),
+    // 6 (sf0.01), 4 (sf0.1), 3 (sf1) — identical to iters=2 except
+    // sf0.001 (8→6), so the gate trains one Lloyd pass per model and
+    // stops paying for more. Floor 2, deterministic.
     Q("qs10_ivfpq_recall",
       """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
@@ -403,7 +405,7 @@ object Pipeline {
       val q = emb.filter(col("vec_id") % 100 === 0)
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
       val model = graft.operators.IvfPq.train(s, emb, "vec_id", "embedding",
-        cells = 8, m = 16, k = 16, iters = 2)
+        cells = 8, m = 16, k = 16, iters = 1)
       val ann = graft.operators.IvfPq.search(s, emb, q, model, "vec_id",
         "embedding", k = 10, nprobe = 4, shortlist = 128)
       Similarity.recallHits(exact, ann)
