@@ -181,6 +181,61 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(j => col(s"__m$j")): _*).as("sigs"))
   }
 
+  /** Incremental near-dup: the pairs a NEW batch introduces against an
+    * EXISTING corpus (and within itself) — the 100 TB ingest shape,
+    * where re-pairing the whole corpus per batch is O(corpus) but
+    * probing the standing band index with the batch is O(batch): the
+    * existing side's band keys are a persisted artifact (signatures
+    * are content hashes — append-only under ingest), the incoming side
+    * recomputes only its own, and the candidate joins touch only
+    * buckets the batch collides with. Pair semantics: every J >= t
+    * pair with at least one incoming member, `doc_a < doc_b`
+    * normalized. Candidates are the SAME (band, key) collisions the
+    * self-join formulation would produce, filtered to pairs touching
+    * the batch — so `minhashLshPairs`' measured recall transfers
+    * verbatim, and the same exact verify + degenerate-bucket guard
+    * apply (the guard watches the EXISTING side, where a hot bucket
+    * would make every future batch quadratic).
+    */
+  def incrementalNearDupPairs(
+      existing: DataFrame, incoming: DataFrame, idCol: String,
+      textCol: String, k: Int = 32, bands: Int = 8, n: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    def bandKeys(df: DataFrame): DataFrame =
+      minhashSignatureArray(df, idCol, textCol, k, n)
+        .withColumn("band", explode(sequence(lit(0L), lit((bands - 1).toLong))))
+        .withColumn("bkey",
+          concat_ws(",", slice(col("sigs"), (col("band") * r + 1).cast(IntegerType), lit(r))))
+        .select(col(idCol), col("band"), col("bkey"))
+    val eb = boundedBuckets(bandKeys(existing), Seq("band", "bkey"), maxBucket,
+      "incrementalNearDupPairs(existing)")
+    val ib = bandKeys(incoming)
+    val cross = ib.as("a").join(eb.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(least(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_a"),
+        greatest(col(s"a.$idCol"), col(s"b.$idCol")).as("doc_b"))
+    val within = ib.as("a").join(ib.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val cand = cross.union(within).distinct()
+    val sh = withShingles(existing.unionByName(incoming), idCol, textCol, n)
+      .cache()
+    val pairs = cand
+      .join(sh.withColumnRenamed(idCol, "doc_a").withColumnRenamed("__sh", "sa"), "doc_a")
+      .join(sh.withColumnRenamed(idCol, "doc_b").withColumnRenamed("__sh", "sb"), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("i") * lit(1.0) / (size(col("sa")) + size(col("sb")) - col("i")))
+    val result = pairs.filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint()
+    sh.unpersist()
+    result
+  }
+
   /** Minhash signatures in long format: (id, perm_id, sig). Same values
     * as the array form (perm_j(h) = (a_j*h + b_j) mod M with the
     * mixer-derived a_j/b_j of graft.functions.Text.PermAs/PermBs),

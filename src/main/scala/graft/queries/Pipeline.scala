@@ -176,6 +176,31 @@ object Pipeline {
         k = 48, bands = 24, threshold = 0.5)
     },
 
+    // ----- incremental near-dup: a new batch vs the standing corpus ------
+    // existing = even doc ids, incoming = odd: the pairs the batch
+    // introduces (cross + within-batch), probed against the band index
+    // instead of re-pairing the corpus. Same banding params as qd05, so
+    // its measured recall transfers; oracle = exact pairs with at least
+    // one incoming member.
+    Q("qd10_incremental_neardup",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, i * 1.0 / (x.n + y.n - i) AS jaccard
+         |FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5
+         |  AND NOT (doc_a % 2 = 0 AND doc_b % 2 = 0)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalNearDupPairs(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 48, bands = 24, threshold = 0.5)
+    },
+
     // ----- near-dup clusters: LSH pairs closed under transitivity --------
     // Spark runs iterative min-label propagation (one shuffle per round,
     // <= diameter rounds); the oracle computes the same component-min

@@ -172,6 +172,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(col("vec_a") >= col("vec_b")).count() == 0)
   }
 
+  test("incremental near-dup equals the full pair set restricted to the batch") {
+    val docs = Tables(spark, sfDir, "documents")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairSet(Dedup.incrementalNearDupPairs(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 48, bands = 24, threshold = 0.5))
+    val full = pairSet(Dedup.minhashLshPairs(docs, "doc_id", "text",
+      k = 48, bands = 24, threshold = 0.5))
+    val expected = full.filterNot { case (a, b) => a % 2 == 0 && b % 2 == 0 }
+    assert(inc == expected,
+      "bipartite probe must find exactly the full formulation's batch-touching pairs")
+  }
+
   test("semantic near-dup pairs are an exact subset, stable across partitionings") {
     val emb = Tables(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
