@@ -196,12 +196,22 @@ object Dedup {
     * verbatim, and the same exact verify + degenerate-bucket guard
     * apply (the guard watches the EXISTING side, where a hot bucket
     * would make every future batch quadratic).
+    *
+    * Re-ingest semantics: an incoming id already present in `existing`
+    * is DROPPED before pairing (one anti-join equi-shuffle). Without
+    * this the doc would meet its own band keys on the existing side —
+    * a bogus self-pair at J=1 — and the verify joins would pick up two
+    * shingle rows per id, duplicating every candidate it touches. The
+    * pair set is therefore exactly "what do the genuinely-new docs
+    * introduce", and replaying a batch is a no-op.
     */
   def incrementalNearDupPairs(
-      existing: DataFrame, incoming: DataFrame, idCol: String,
+      existing: DataFrame, incomingRaw: DataFrame, idCol: String,
       textCol: String, k: Int = 32, bands: Int = 8, n: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    val incoming = incomingRaw.join(
+      existing.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
     val r = k / bands
     def bandKeys(df: DataFrame): DataFrame =
       minhashSignatureArray(df, idCol, textCol, k, n)

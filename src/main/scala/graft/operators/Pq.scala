@@ -104,6 +104,12 @@ object Pq {
     var books: Array[Array[Array[Double]]] = {
       val first = s.filter(col("mi") === 0).orderBy("vid").limit(k)
         .select("vid").collect().map(_.getLong(0))
+      // A corpus smaller than k would seed short codebooks and the
+      // Lloyd rebuild's Array.tabulate(k) fallback would index past
+      // them (AIOOBE) — fail loud with the actual counts instead.
+      require(first.length >= k,
+        s"Pq.train: corpus has only ${first.length} vectors; k=$k " +
+          "centroids per subspace need at least k vectors")
       val init = s.filter(col("vid").isin(first.toIndexedSeq: _*))
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
       Array.tabulate(m) { mi =>

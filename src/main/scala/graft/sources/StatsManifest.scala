@@ -151,7 +151,7 @@ object StatsManifest {
       case Array(rel, _, _, _, _) => Some(dec(rel))
       case _ => None
     }).toSet
-    val missing = listDataFiles(fs, table)
+    val missing = listDataFiles(spark, fs, table)
       .filterNot(f => covered.contains(relOf(table, f)))
     if (missing.isEmpty) return 0
     val df = spark.read.option("basePath", table).parquet(missing: _*)
@@ -194,25 +194,42 @@ object StatsManifest {
   /** Data files under `table`: skips any path with a hidden SEGMENT —
     * a streaming sink's `_spark_metadata/0` has a plain file name but
     * lives under a metadata directory Spark readers ignore.
+    *
+    * When `_spark_metadata` EXISTS the raw listing is wrong, not just
+    * noisy: a FileStreamSink leaves orphaned files from aborted
+    * micro-batch attempts on disk, and readers honoring the commit log
+    * skip them. Listing those orphans here would hand them stats rows
+    * (via `appendMissing`) and serve them through `rangeRead`,
+    * returning duplicate rows a plain `spark.read.parquet(table)` —
+    * which plans through `MetadataLogFileIndex` on a sink root —
+    * excludes, breaking the documented full-scan equivalence. So for a
+    * sink root we enumerate COMMITTED files the same way a reader
+    * does: plan a read of the table and take its `inputFiles`.
     */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private def listDataFiles(spark: SparkSession,
+                            fs: org.apache.hadoop.fs.FileSystem,
                             table: String): Seq[String] = {
-    val it = fs.listFiles(new Path(table), true)
-    val buf = Seq.newBuilder[String]
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = relOf(table, f.toUri.getPath)
-      val hidden = rel.split('/')
-        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) buf += f.toUri.getPath
+    if (fs.exists(new Path(table, "_spark_metadata"))) {
+      spark.read.parquet(table).inputFiles.toSeq
+        .map(f => new java.net.URI(f).getPath)
+    } else {
+      val it = fs.listFiles(new Path(table), true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = relOf(table, f.toUri.getPath)
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+        if (!hidden) buf += f.toUri.getPath
+      }
+      buf.result()
     }
-    buf.result()
   }
 
   def candidateFiles(spark: SparkSession, table: String, column: String,
                      lo: String, hi: String): Seq[String] = {
     val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = listDataFiles(fs, table)
+    val all = listDataFiles(spark, fs, table)
     if (!fs.exists(manifestPath(table))) return all
     val in = fs.open(manifestPath(table))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList

@@ -187,6 +187,26 @@ class DedupSpec extends SparkSpec {
       "bipartite probe must find exactly the full formulation's batch-touching pairs")
   }
 
+  test("re-ingested ids are dropped: overlap adds nothing, replay is a no-op") {
+    val docs = Tables(spark, sfDir, "documents")
+    val existing = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val clean = pairSet(Dedup.incrementalNearDupPairs(
+      existing, batch, "doc_id", "text", k = 48, bands = 24, threshold = 0.5))
+    // a batch that re-delivers part of the standing corpus must yield
+    // the same pairs — no J=1 self-pairs, no duplicated verify rows
+    val overlapped = pairSet(Dedup.incrementalNearDupPairs(existing,
+      batch.unionByName(existing.filter(col("doc_id") % 4 === 0)),
+      "doc_id", "text", k = 48, bands = 24, threshold = 0.5))
+    assert(overlapped == clean, "re-delivered existing docs must be inert")
+    // full replay: every incoming id is already known → empty pair set
+    assert(Dedup.incrementalNearDupPairs(existing, existing,
+      "doc_id", "text", k = 48, bands = 24, threshold = 0.5).count() == 0L)
+  }
+
   test("semantic near-dup pairs are an exact subset, stable across partitionings") {
     val emb = Tables(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

@@ -43,4 +43,11 @@ class PqSpec extends SparkSpec {
     // the spec corpus is sf0.001 with denser queries
     assert(hits.nonEmpty && hits.min >= 6, s"min hits ${hits.min}")
   }
+
+  test("train fails loud on a corpus smaller than k") {
+    val ex = intercept[IllegalArgumentException] {
+      Pq.train(spark, emb.limit(4), "vec_id", "embedding", m = 8, k = 8)
+    }
+    assert(ex.getMessage.contains("at least k vectors"), ex.getMessage)
+  }
 }

@@ -199,4 +199,43 @@ class StatsManifestSpec extends SparkSpec {
     assert(byEvent.size < total, s"event_id point should prune (${byEvent.size}/$total)")
     assert(byUser.size < total, s"user_id point should prune (${byUser.size}/$total)")
   }
+
+  test("a streaming sink's orphaned files never enter the manifest or rangeRead") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-manifest-ckpt").toString
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().select(col("value").as("k"))
+      .writeStream.format("parquet")
+      .option("path", dir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try { mem.addData(1L to 20L: _*); q.processAllAvailable() } finally q.stop()
+
+    // fake an aborted micro-batch attempt: a well-formed, NON-hidden
+    // data file in the sink dir that the commit log never admitted —
+    // exactly what FileStreamSink leaves behind on task failure
+    val scratch = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    spark.range(100, 110).select(col("id").as("k"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(dir, "part-99999-orphan.snappy.parquet"))
+    // sanity: the committed read (MetadataLogFileIndex) skips the orphan
+    assert(spark.read.parquet(dir).count() == 20L)
+    val committed = spark.read.parquet(dir).inputFiles.length
+
+    // the manifest's file universe must be the COMMITTED set, so the
+    // orphan is neither "missing" to appendMissing nor served by reads
+    assert(StatsManifest.appendMissing(spark, dir, Seq("k")) == committed,
+      "only committed files get stats rows")
+    assert(StatsManifest.appendMissing(spark, dir) == 0,
+      "the on-disk orphan must not look like an uncovered file")
+    val got = StatsManifest.rangeRead(spark, dir, "k", "1", "200")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 20L).toSet,
+      "rangeRead must equal the committed read — no orphan rows")
+  }
 }
