@@ -79,7 +79,13 @@ object SparkEntry {
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
           .repartition(8)
           .write.mode("overwrite").parquet(t)
-        operators.Maintenance.compact(s, t, targetBytes = 64L << 10,
+        // size the compaction target off the actual table so the sorted
+        // layout always lands in ~6 files — a fixed byte target collapses
+        // a tiny SF into ONE file and leaves the prune nothing to drop
+        val total = new java.io.File(t).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        operators.Maintenance.compact(s, t,
+          targetBytes = math.max(8L << 10, total / 6),
           sortCols = Seq("o_orderkey"))
         sources.StatsManifest.write(s, t, Seq("o_orderkey"))
         t

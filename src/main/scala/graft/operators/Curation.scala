@@ -45,6 +45,28 @@ object Curation {
   def weightedHashSample(df: DataFrame, idCol: String, weightBp: Column): DataFrame =
     df.filter(bucket(col(idCol)) < weightBp)
 
+  /** Deterministic train/val/test assignment: the id's hash bucket in
+    * [0, 10000) maps to a split label — train below, then `valBp` basis
+    * points of validation, then `testBp` of test. The assignment is a
+    * pure row-local function of the id (no shuffle, no rand(), no
+    * global ordering), so it is stable under re-runs, repartitioning,
+    * engine changes, AND corpus growth: a document keeps its split
+    * forever as new data arrives — the property that prevents
+    * train/test leakage across pipeline versions at 100 TB.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                valBp: Int = 100, testBp: Int = 100): DataFrame = {
+    require(valBp >= 0 && testBp >= 0 && valBp + testBp <= 10000,
+      s"split basis points out of range: val=$valBp test=$testBp")
+    val trainLim = 10000 - valBp - testBp
+    df.withColumn("bucket", bucket(col(idCol)))
+      .withColumn("split",
+        when(col("bucket") < trainLim, "train")
+          .when(col("bucket") < trainLim + valBp, "val")
+          .otherwise("test"))
+      .select(col(idCol), col("bucket"), col("split"))
+  }
+
   /** Per-stratum deterministic sampling (e.g. language quotas for a
     * training mix): strata listed in `quotasBp` keep that fraction,
     * everything else keeps `defaultBp`.
@@ -152,6 +174,46 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+  }
+
+  /** [[contamination]] with a broadcast Bloom-filter prefilter — the
+    * 100 TB formulation. The plain version joins EVERY train shingle
+    * against the eval set: at corpus scale that shuffles (or at least
+    * probes) trillions of rows of which almost none hit. Here the eval
+    * set's distinct shingles (the small, bounded side — a benchmark
+    * suite, not the corpus) build one driver-side Bloom filter, tasks
+    * probe it row-locally, and only the hits — true contamination plus
+    * an `fpp` sliver of false positives — reach the broadcast verify
+    * join that discards those false positives. Bloom filters have no
+    * false negatives, so the result is EXACTLY [[contamination]]'s
+    * (the gate runs both against the same oracle). The membership probe
+    * is a Scala UDF by necessity: Spark's bloom-filter expressions are
+    * internal to its runtime join filters, and the alternatives (array
+    * broadcast, join) are exactly what the bloom exists to avoid.
+    */
+  def bloomContamination(train: DataFrame, evalSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    def sh(df: DataFrame, cols: Column*): DataFrame =
+      df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+        .select(cols :+ explode(expr(Text.shinglesExpr("__ws", n)))
+          .as("shingle"): _*)
+    val trainSh = sh(train, col(idCol))
+    val evalSh = sh(evalSet).distinct()
+    // driver-side artifact, like IVF's k centroids: sized by the EVAL
+    // suite's distinct shingles, never by the corpus
+    val bf = evalSh.stat.bloomFilter("shingle",
+      math.max(evalSh.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContainString(s))
+    val base = trainSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = trainSh.filter(mightContain(col("shingle")))
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__nc"))
+    base.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"))
   }
 
   /** Deterministic per-stratum cap — corpus balancing: keep at most

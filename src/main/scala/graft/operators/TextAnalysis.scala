@@ -197,4 +197,33 @@ object TextAnalysis {
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_tokens"))
   }
+
+  /** PII patterns shared by the operator and its oracle: the regex
+    * subset Java (Spark) and RE2 (DuckDB) interpret identically —
+    * character classes, bounded/unbounded repetition, ASCII `\b`. No
+    * lookarounds, no backreferences (RE2 has neither).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\b\\d{7,}\\b"
+
+  /** PII redaction — the pre-training scrub pass: emails, IPv4
+    * addresses, and long digit runs (phone/account numbers) replaced by
+    * typed placeholders, with per-type match counts for audit. Order
+    * matters and is fixed (email → ip → number) so a digit inside an
+    * address is never double-redacted; counts are taken on the ORIGINAL
+    * text so they are independent of that order. Per-row, codegen'd
+    * regex — a narrow map over the scan, no shuffle, trivially
+    * partition-parallel at 100 TB.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          Ipv4Re, "<IP>"),
+        LongNumRe, "<NUM>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(col(textCol), lit(LongNumRe)).cast("long").as("n_numbers"))
 }

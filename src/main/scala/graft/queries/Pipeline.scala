@@ -656,6 +656,32 @@ object Pipeline {
       Curation.contamination(train, evalSet, "doc_id", "text", n = 8)
     },
 
+    // ----- decontamination, Bloom-prefiltered (same oracle as qd07) -----
+    // The scale path: a driver-built Bloom filter over the eval suite's
+    // shingles screens train shingles ROW-LOCALLY, so only true hits
+    // plus an fpp sliver reach the verify join — instead of every
+    // shingle of a 100 TB corpus. No false negatives → exactly qd07's
+    // answer, proven by gating both against the IDENTICAL oracle.
+    Q("qd11_bloom_decontaminate",
+      s"""WITH w AS ($wCte),
+         |ev AS (SELECT doc_id FROM documents
+         |  WHERE ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 < 500),
+         |tsh AS (SELECT doc_id, UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |esh AS (SELECT DISTINCT UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE doc_id IN (SELECT doc_id FROM ev))
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_contaminated
+         |FROM tsh t LEFT JOIN esh e ON t.shingle = e.shingle
+         |GROUP BY t.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val evalSet = Curation.hashSample(docs, "doc_id", 500)
+      val train = docs.join(evalSet.select(col("doc_id").as("__eid")),
+        col("doc_id") === col("__eid"), "left_anti")
+      Curation.bloomContamination(train, evalSet, "doc_id", "text", n = 8)
+    },
+
     // ----- per-label embedding centroids (element-wise exact mean) -------
     Q("qs07_label_centroids",
       """WITH e AS (SELECT label, unnest(embedding) AS x,
@@ -733,6 +759,23 @@ object Pipeline {
         budget = 100000L, halvings = 1)
     },
 
+    // ----- deterministic train/val/test split ---------------------------
+    // Row-local hash assignment (98/1/1): no rand(), no shuffle, stable
+    // under re-runs, repartitioning and corpus growth — a doc keeps its
+    // split forever, which is what prevents train/test leakage across
+    // pipeline versions.
+    Q("qc07_hash_split",
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 9800 THEN 'train'
+         |       WHEN bucket < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |  ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM documents)""".stripMargin) { (s, dir) =>
+      Curation.hashSplit(Tables(s, dir, "documents"), "doc_id",
+        valBp = 100, testBp = 100)
+    },
+
     // ----- OOV rate vs a corpus-derived top-1000 vocabulary --------------
     Q("qt09_oov_rate",
       s"""WITH w AS ($wCte),
@@ -748,6 +791,37 @@ object Pipeline {
          |FROM j GROUP BY doc_id""".stripMargin) { (s, dir) =>
       TextAnalysis.oovRate(Tables(s, dir, "documents"), "doc_id", "text",
         vocabSize = 1000)
+    },
+
+    // ----- PII redaction -------------------------------------------------
+    // The synthetic corpus contains no PII, so BOTH engines append the
+    // same deterministic doc_id-derived email/IP/number tail before
+    // redacting — the gate then proves the redaction regexes (the
+    // Java∩RE2 subset) rewrite and count identically cross-engine on
+    // text where every pattern actually fires.
+    Q("qt11_pii_redact",
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         |  '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR) ||
+         |  '.0.7 ref ' || CAST(900000000 + doc_id * 7 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |    '${TextAnalysis.LongNumRe}', '<NUM>', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.LongNumRe}')) AS BIGINT) AS n_numbers
+         |FROM p""".stripMargin) { (s, dir) =>
+      val withPii = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."),
+          pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".0.7 ref "),
+          (col("doc_id") * 7 + 900000000L).cast("string")).as("text"))
+      TextAnalysis.redactPii(withPii, "doc_id", "text")
     },
 
     // ----- scalar quantization reconstruction bound ----------------------

@@ -175,4 +175,40 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(repart == tempered.map { case (k, v) => k -> v._2 })
   }
+
+  test("hash split: exhaustive, stable under repartitioning, near-target") {
+    val docs = Tables(spark, sfDir, "documents")
+    def splits(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
+      Curation.hashSplit(df, "doc_id", valBp = 1000, testBp = 1000)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val a = splits(docs)
+    assert(a.size.toLong == docs.count(), "every doc gets exactly one split")
+    assert(splits(docs.repartition(13)) == a, "assignment is partition-independent")
+    val byLabel = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // 80/10/10 bp targets on a hash: expect rough proportionality, not
+    // exactness (the corpus is only 50 docs per bp at sf0.001)
+    assert(byLabel("train") > byLabel("val") && byLabel("train") > byLabel("test"))
+    a.foreach { case (_, (b, s)) =>
+      val want = if (b < 8000) "train" else if (b < 9000) "val" else "test"
+      assert(s == want, s"bucket $b labeled $s")
+    }
+  }
+
+  test("bloom-prefiltered contamination equals the exact join formulation") {
+    val docs = Tables(spark, sfDir, "documents")
+    val evalSet = Curation.hashSample(docs, "doc_id", 500)
+    val train = docs.join(evalSet.select(col("doc_id").as("__eid")),
+      col("doc_id") === col("__eid"), "left_anti")
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = asMap(Curation.contamination(train, evalSet, "doc_id", "text"))
+    val bloom = asMap(Curation.bloomContamination(train, evalSet, "doc_id", "text"))
+    assert(bloom == exact, "bloom prefilter must not change the answer")
+    // and under an aggressive false-positive rate the verify join still
+    // discards every false positive
+    val loose = asMap(Curation.bloomContamination(train, evalSet, "doc_id",
+      "text", fpp = 0.5))
+    assert(loose == exact, "false positives must die in the verify join")
+  }
 }

@@ -240,6 +240,18 @@ class PlanChecksSpec extends SparkSpec {
       "contamination must be an equi-join on the shingle")
   }
 
+  test("bloom decontamination: row-local prefilter, broadcast verify (qd11)") {
+    val nodes = collectAll(executed(q("qd11_bloom_decontaminate")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes.exists(_.toString.startsWith("CartesianProduct")),
+      "bloom contamination must stay equi-join shaped")
+    // the verify join's eval side must be BROADCAST: after the bloom
+    // prefilter the probe side is tiny, and a shuffle there would give
+    // back the win the bloom bought
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the false-positive verify join must be a broadcast hash join")
+  }
+
   test("runtime bloom-filter pruning injects on a selective shuffle join") {
     // At 100 TB a shuffle join whose build side is selectively filtered
     // should semi-join-reduce the probe side BEFORE the shuffle — Spark

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.TextAnalysis
+
+/** Unit coverage for the PII scrub's ordering and boundary edges — the
+  * cross-engine regex semantics themselves are gated by qt11 against
+  * the DuckDB oracle.
+  */
+class TextAnalysisSpec extends SparkSpec {
+
+  private def redactOne(text: String): (String, Long, Long, Long) = {
+    import spark.implicits._
+    val r = TextAnalysis.redactPii(
+      Seq((1L, text)).toDF("id", "text"), "id", "text").head()
+    (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  test("each pattern redacts independently with the right placeholder") {
+    val (red, e, i, n) = redactOne(
+      "mail a.user+tag@sub.example.org at 192.168.0.1 acct 123456789 done")
+    assert(red == "mail <EMAIL> at <IP> acct <NUM> done")
+    assert((e, i, n) == ((1L, 1L, 1L)))
+  }
+
+  test("digits embedded in words or emails never match the number rule") {
+    // 'user123' has no word boundary before the digits; the email is
+    // redacted FIRST so its digits can't be re-matched either way
+    val (red, e, i, n) = redactOne("ping user123456789@example.com now")
+    assert(red == "ping <EMAIL> now")
+    assert((e, i, n) == ((1L, 0L, 0L)))
+  }
+
+  test("short digit runs and dotted short groups are left alone") {
+    val (red, e, i, n) = redactOne("v2.3.4 build 123456 of 10.1")
+    assert(red == "v2.3.4 build 123456 of 10.1")
+    assert((e, i, n) == ((0L, 0L, 0L)))
+  }
+}
