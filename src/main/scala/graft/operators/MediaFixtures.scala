@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 5
+  val Version = 6
 
   val Count = 64
 
@@ -42,6 +42,8 @@ object MediaFixtures {
   def videoTracksCsv: String = s"$root/expected_video_tracks.csv"
 
   def featuresCsv: String = s"$root/expected_features.csv"
+
+  def audioFeaturesCsv: String = s"$root/expected_audio_features.csv"
 
   /** Generate (once) and return the fixture root. Thread-safe in-JVM. */
   def ensure(): String = synchronized {
@@ -102,6 +104,10 @@ object MediaFixtures {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     val rates = Array(8000, 11025, 16000, 22050, 44100)
     val sb = new StringBuilder("media_id,sample_rate,channels,n_frames,n_bytes\n")
+    // per-channel SAMPLE sums + global peak recorded at generation from
+    // the exact PCM words the encoder writes — WAV is lossless PCM, so
+    // a real decode must reproduce these integers (qm07's oracle)
+    val fb = new StringBuilder("media_id,n_frames,sum_ch0,sum_ch1,peak\n")
     (1 to Count).foreach { id =>
       val rate = rates(id % rates.length)
       val channels = 1 + id % 2
@@ -114,6 +120,15 @@ object MediaFixtures {
         data(i) = (seed >>> 32).toByte
         i += 1
       }
+      // 16-bit signed little-endian, channel-interleaved per frame
+      var (sum0, sum1, peak) = (0L, 0L, 0L)
+      var sIdx = 0
+      while (sIdx < frames * channels) {
+        val s = (((data(2 * sIdx + 1) << 8) | (data(2 * sIdx) & 0xff))).toShort.toLong
+        if (sIdx % channels == 0) sum0 += s else sum1 += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        sIdx += 1
+      }
       val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
       val ais = new AudioInputStream(
         new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
@@ -122,8 +137,10 @@ object MediaFixtures {
       val bytes = bos.toByteArray
       Files.write(Paths.get(root, f"aud_$id%04d.wav"), bytes)
       sb.append(s"$id,$rate,$channels,$frames,${bytes.length}\n")
+      fb.append(s"$id,$frames,$sum0,$sum1,$peak\n")
     }
     Files.write(Paths.get(audioCsv), sb.toString.getBytes)
+    Files.write(Paths.get(audioFeaturesCsv), fb.toString.getBytes)
   }
 
   // ----- ISO-BMFF (MP4) containers ------------------------------------

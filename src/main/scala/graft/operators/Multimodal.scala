@@ -225,6 +225,66 @@ object Multimodal {
       col("n_frames"), col("n_bytes"))
   }
 
+  case class AudioFeatures(id: Long, n_frames: Long, sum_ch0: Long,
+                           sum_ch1: Long, peak: Long)
+
+  /** REAL audio feature extraction from decoded PCM: per-channel sample
+    * sums (DC offset = sum / frames — the gate keeps the exact
+    * integers) and the global peak amplitude (the clipping/loudness
+    * audit signal). WAV PCM is lossless, so these must equal the
+    * generation-time values bit-for-bit; a decoder that resamples,
+    * byte-swaps, or drops a channel cannot pass. Requires 16-bit signed
+    * PCM — the pipeline's canonical ingest format.
+    */
+  def decodeAudioFeatures(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 &&
+        f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit signed PCM, got $f")
+      val channels = f.getChannels
+      val big = f.isBigEndian
+      val data = in.readAllBytes()
+      var (sum0, sum1, peak) = (0L, 0L, 0L)
+      var sIdx = 0
+      val nSamples = data.length / 2
+      while (sIdx < nSamples) {
+        val (b0, b1) = (data(2 * sIdx), data(2 * sIdx + 1))
+        val s = (if (big) (b0 << 8) | (b1 & 0xff)
+                 else (b1 << 8) | (b0 & 0xff)).toShort.toLong
+        if (sIdx % channels == 0) sum0 += s else sum1 += s
+        if (math.abs(s) > peak) peak = math.abs(s)
+        sIdx += 1
+      }
+      (nSamples.toLong / channels, sum0, sum1, peak)
+    } finally in.close()
+  }
+
+  /** Feature-extract over a directory of WAVs — the audio twin of
+    * [[imageFeatures]]: `binaryFile` source, per-partition decode with
+    * the per-sample kernel, no collect. Gated against the
+    * generation-time sidecar (qm07).
+    */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (frames, s0, s1, pk) = decodeAudioFeatures(bytes)
+        AudioFeatures(id, frames, s0, s1, pk)
+      }
+    }.select(col("id").as("media_id"), col("n_frames"),
+      col("sum_ch0"), col("sum_ch1"), col("peak"))
+  }
+
   case class VideoMeta(id: Long, n_bytes: Long, brand: String,
                        timescale: Long, duration: Long, n_tracks: Long)
 

@@ -900,6 +900,14 @@ object Pipeline {
     // integer sums over the DECODED image. PNG is lossless, so the sums
     // must equal the generation-time sidecar bit-for-bit — a decoder
     // that subsamples, channel-swaps, or gamma-adjusts cannot pass.
+    Q("qm07_audio_features",
+      s"""SELECT media_id, n_frames, sum_ch0, sum_ch1, peak
+         |FROM read_csv('${MediaFixtures.audioFeaturesCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'n_frames': 'BIGINT',
+         |    'sum_ch0': 'BIGINT', 'sum_ch1': 'BIGINT',
+         |    'peak': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.audioFeatures(s, MediaFixtures.ensure())
+    },
     Q("qm05_image_features",
       s"""SELECT media_id, n_pixels, sum_r, sum_g, sum_b
          |FROM read_csv('${MediaFixtures.featuresCsv}', header=true,

@@ -90,6 +90,36 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(bos.toByteArray) == (16000L, 2L, 300L))
   }
 
+  test("decodeAudioFeatures sums exact channel values from known PCM") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 3 stereo frames with hand-picked samples: ch0 = 100, -200, 32767;
+    // ch1 = -1, 0, -32768 (the abs(Short.MinValue) peak edge)
+    val samples = Array[Short](100, -1, -200, 0, 32767, -32768)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 3L)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.decodeAudioFeatures(bos.toByteArray) ==
+      (3L, (100 - 200 + 32767).toLong, (-1 + 0 - 32768).toLong, 32768L))
+  }
+
+  test("distributed audio feature extraction reproduces the generation-time sums") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.audioFeatures(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, n_frames LONG, sum_ch0 LONG, " +
+        "sum_ch1 LONG, peak LONG")
+      .csv(MediaFixtures.audioFeaturesCsv)
+    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "decoded audio features must equal the sidecar exactly")
+  }
+
   test("distributed WAV decode reproduces the generation-time sidecar") {
     val dir = MediaFixtures.ensure()
     val got = Multimodal.audioMeta(spark, dir)
