@@ -98,6 +98,27 @@ object SparkEntry {
       require(planned < onDisk,
         s"manifest prune had no effect: $planned of $onDisk files planned")
       pruned
+    },
+
+    // Salted join ≡ plain join, oracle-gated: the manual skew
+    // mitigation for a key known hot in ADVANCE (one mega-customer,
+    // the null bucket) — the large side salts each row into one of 8
+    // sub-keys, the small side explodes 8×, and the hot key's rows
+    // spread over 8 shuffle partitions instead of one straggler task.
+    // The oracle is the UNSALTED join: salting must never change the
+    // result, only the distribution.
+    Q("qj04_salted_join",
+      s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  ${functions.Exact.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      operators.SkewJoin.saltedJoin(li, ord, Seq("l_orderkey"), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          functions.Exact.dsum(col("l_quantity")).as("sum_qty"))
     }
   )
 
