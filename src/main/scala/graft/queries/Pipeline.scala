@@ -729,6 +729,57 @@ object Pipeline {
       Curation.packByBudget(sampled, "doc_id", "tokens", "lang", budget = 2048L)
     },
 
+    // ----- END-TO-END decontaminated training corpus ---------------------
+    // The other flagship composition: quality floor → exact dedup →
+    // EXCLUDE the eval suite → drop every doc sharing an 8-gram with it
+    // (through the Bloom-prefiltered path — the composition proves the
+    // prefilter composes, not just passes alone) → deterministic
+    // train/val/test assignment. One oracle over the whole chain: the
+    // releasable corpus manifest with split labels.
+    Q("qp05_decontaminated_corpus",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS tokens
+         |      FROM w WHERE len(ws) >= 20),
+         |k AS (SELECT min(doc_id) AS doc_id FROM t GROUP BY text),
+         |r AS (SELECT t.doc_id, d.lang, t.tokens
+         |      FROM t JOIN k USING (doc_id) JOIN documents d USING (doc_id)),
+         |ev AS (SELECT doc_id FROM documents
+         |  WHERE ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 < 500),
+         |tr AS (SELECT * FROM r WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |tsh AS (SELECT w.doc_id, UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE w.doc_id IN (SELECT doc_id FROM tr)),
+         |esh AS (SELECT DISTINCT UNNEST(${Text.shinglesSql("ws", 8)}) AS shingle
+         |        FROM w WHERE doc_id IN (SELECT doc_id FROM ev)),
+         |bad AS (SELECT DISTINCT t.doc_id FROM tsh t
+         |        JOIN esh e ON t.shingle = e.shingle),
+         |clean AS (SELECT * FROM tr
+         |          WHERE doc_id NOT IN (SELECT doc_id FROM bad))
+         |SELECT doc_id, lang, tokens, bucket,
+         |  CASE WHEN bucket < 9800 THEN 'train'
+         |       WHEN bucket < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, tokens,
+         |  ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 AS bucket
+         |  FROM clean)""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val withTok = docs
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      val quality = withTok.filter(col("tokens") >= 20L)
+      val keep = Dedup.exact(quality, "doc_id", "text").select(col("keep_id"))
+      val reps = quality.join(keep, col("doc_id") === col("keep_id"))
+        .select("doc_id", "lang", "tokens", "text")
+      val evalSet = Curation.hashSample(docs, "doc_id", 500)
+      val train = reps.join(evalSet.select(col("doc_id").as("__eid")),
+        col("doc_id") === col("__eid"), "left_anti")
+      val contaminated = Curation
+        .bloomContamination(train, evalSet, "doc_id", "text", n = 8)
+        .filter(col("n_contaminated") > 0L).select("doc_id")
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      Curation.hashSplit(clean, "doc_id", valBp = 100, testBp = 100)
+        .join(clean.select("doc_id", "lang", "tokens"), Seq("doc_id"))
+        .select("doc_id", "lang", "tokens", "bucket", "split")
+    },
+
     // ----- per-stratum cap (corpus balancing) ----------------------------
     Q("qc04_stratum_cap",
       s"""WITH r AS (SELECT doc_id, source,
