@@ -661,5 +661,58 @@ object Extra {
         .agg(count(lit(1)).as("n"),
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     },
+
+    // ----- unpivot / melt (wide → long) ----------------------------------
+    // The inverse of q46's pivot: per-year measures melt into
+    // (yr, measure, value) rows via Dataset.unpivot — a narrow
+    // generate over the aggregated rows, no extra shuffle. Counts ride
+    // as doubles (exact to 2^53, far above any count here) so the
+    // value column is single-typed, like SQL UNPIVOT requires.
+    Q("q61_unpivot",
+      s"""WITH wide AS (SELECT year(o_orderdate) AS yr,
+         |  CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  MAX(o_totalprice) AS max_price
+         |FROM orders GROUP BY 1)
+         |SELECT yr, 'n_orders' AS measure, n_orders AS value FROM wide
+         |UNION ALL
+         |SELECT yr, 'sum_price', sum_price FROM wide
+         |UNION ALL
+         |SELECT yr, 'max_price', max_price FROM wide""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).cast(LongType).as("yr"))
+          .agg(count(lit(1)).cast("double").as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .unpivot(Array(col("yr")),
+            Array(col("n_orders"), col("sum_price"), col("max_price")),
+            "measure", "value")
+    },
+
+    // ----- hopping (sliding) window aggregation --------------------------
+    // 1 h windows every 30 min over event time — the batch twin of a
+    // sliding streaming window (each event lands in exactly 2 windows).
+    // Spark's window() generates the window structs row-locally, then
+    // one partial-agg shuffle on (window, type); the oracle derives the
+    // same two epoch-aligned starts arithmetically.
+    Q("q62_hopping_window",
+      s"""WITH e AS (SELECT event_type, value,
+         |  CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS s1
+         |  FROM events),
+         |x AS (SELECT make_timestamp(s1 * 1000000) AS win_start,
+         |        event_type, value FROM e
+         |      UNION ALL
+         |      SELECT make_timestamp((s1 - 1800) * 1000000),
+         |        event_type, value FROM e)
+         |SELECT win_start, event_type, COUNT(*) AS n_events,
+         |  ${dsumSql("value")} AS total_value
+         |FROM x GROUP BY win_start, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+    },
   )
 }
