@@ -39,6 +39,20 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Hopping (sliding) window counts with a watermark: the streaming
+    * twin of q62 — 1 h windows every 30 min, each event feeding exactly
+    * two windows. Same bounded-state story as [[hourlyCounts]]: closed
+    * windows evict once the watermark passes their end, so the 2×
+    * window fan-out costs a constant factor of state, never growth.
+    */
+  def hoppingCounts(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Rows dropped as too-late (behind the watermark) across a query's
     * recent progress history, summed over its stateful operators — the
     * operational counter a production pipeline alerts on. Watermarks

@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hopping windows: each event lands in exactly two sliding windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.hoppingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hopping")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),   // windows [-0:30, 0:00]
+        Event(2, ts(40), 1, "click", 2.0))  // windows [0:00, 0:30]
+      q.processAllAvailable()
+      val rows = spark.table("hopping")
+        .select("win_start", "event_type", "n_events")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set(
+        ("2023-12-31 23:30:00.0", "click", 1L),
+        ("2024-01-01 00:00:00.0", "click", 2L),
+        ("2024-01-01 00:30:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark are dropped AND the drop is observable") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
