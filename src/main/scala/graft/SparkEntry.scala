@@ -119,8 +119,35 @@ object SparkEntry {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),
           functions.Exact.dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    // Snapshot time travel, end to end: v0 = the full customer
+    // projection, v1 = a "delete" (the same rows minus a key band).
+    // The gate reads v0 AFTER v1 committed, against the plain full
+    // oracle — the pre-delete snapshot must survive the delete
+    // bit-for-bit, which is exactly the guarantee a reader pinned to
+    // v0 relies on while a writer churns the table.
+    Q("qj05_snapshot_time_travel",
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |FROM customer""".stripMargin) { (s, dir) =>
+      val table = snapshotTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_snap_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        val cust = Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        sources.Snapshots.commit(s, t, cust) // v0
+        sources.Snapshots.commit(s, t, // v1: "delete" a key band
+          cust.filter(col("c_custkey") % 10 =!= 3L))
+        t
+      })
+      require(sources.Snapshots.latestVersion(s, table).contains(1))
+      sources.Snapshots.read(s, table, version = Some(0))
     }
   )
+
+  /** qj05's snapshot table per sfDir — see the query for why. */
+  private val snapshotTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -1,0 +1,177 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned table snapshots — the time-travel half of the lakehouse
+  * layout story (Delta/Iceberg keep the same shape in their logs):
+  * every commit writes NEW data files plus one immutable manifest
+  * listing exactly the files that make up that version, and readers
+  * plan from a manifest, never from the directory listing.
+  *
+  * Why this matters at 100 TB: a reader that plans from a listing
+  * races every writer — a compaction or ingest that swaps files mid
+  * query makes the scan see half-old half-new state (or fail on a
+  * deleted split). Pinning the file set at plan time gives every
+  * reader a consistent snapshot for the query's whole lifetime, lets
+  * writers commit freely (files are immutable; old versions remain
+  * readable until vacuumed), and makes "what did the table contain
+  * when that model trained?" a first-class query instead of an
+  * archaeology project.
+  *
+  * Layout under the table root:
+  * `_snapshots/v00000000.manifest` … one line per data file (relative
+  * path, percent-encoded like StatsManifest); data files live in
+  * per-commit `snap-v{N}-{token}/` directories and are NEVER rewritten
+  * — only vacuum deletes, and only files no kept manifest references.
+  * Like Delta/Iceberg, the manifest is the source of truth: a plain
+  * recursive parquet read of a snapshot table root is undefined (it
+  * would union every live version).
+  *
+  * Concurrency: manifests publish by write-to-temp + rename, so
+  * readers see an old or new manifest, never a torn one. Two racing
+  * writers to the SAME next version are detected (the loser's rename
+  * lands on an existing manifest and fails) — single-writer-per-table
+  * is the supported discipline, matching a driver-coordinated
+  * pipeline; a crashed commit leaves an unreferenced data directory
+  * that is invisible to readers and reclaimed by vacuum.
+  */
+object Snapshots {
+
+  private def snapDir(table: String) = new Path(table, "_snapshots")
+
+  private def manifestPath(table: String, v: Int) =
+    new Path(snapDir(table), f"v$v%08d.manifest")
+
+  private def enc(s: String): String =
+    s.flatMap {
+      case '%' => "%25"
+      case '\n' => "%0A"
+      case '\r' => "%0D"
+      case c => c.toString
+    }
+
+  private def dec(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def fsOf(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All committed versions, ascending (empty for a fresh table). */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
+    val fs = fsOf(spark, table)
+    if (!fs.exists(snapDir(table))) return Nil
+    fs.listStatus(snapDir(table)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, table: String): Option[Int] =
+    versions(spark, table).lastOption
+
+  /** Relative data-file paths of `version` (latest when None). */
+  def files(spark: SparkSession, table: String,
+            version: Option[Int] = None): Seq[String] = {
+    val fs = fsOf(spark, table)
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $table"))
+    val p = manifestPath(table, v)
+    require(fs.exists(p), s"snapshot v$v does not exist under $table")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    lines.filter(_.nonEmpty).map(dec)
+  }
+
+  /** Commit `df` as the next version. `overwrite` replaces the table's
+    * contents; `append` carries the previous version's files forward
+    * unchanged (an append commit rewrites ZERO existing bytes — the
+    * new manifest just references them). Returns the committed
+    * version number.
+    */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+             mode: String = "overwrite"): Int = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val fs = fsOf(spark, table)
+    val prev = latestVersion(spark, table)
+    val next = prev.map(_ + 1).getOrElse(0)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = f"snap-v$next%08d-$token"
+    df.write.parquet(s"$table/$dataDir")
+    val newFiles = fs.listStatus(new Path(table, dataDir)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(n => s"$dataDir/$n")
+    require(newFiles.nonEmpty, "refusing to commit an empty snapshot")
+    val carried =
+      if (mode == "append" && prev.nonEmpty) files(spark, table, prev) else Nil
+    val content = (carried ++ newFiles).map(enc).mkString("", "\n", "\n")
+    val tmp = new Path(snapDir(table), f".v$next%08d.tmp-$token")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    // rename onto a FRESH path: if a racing writer already published
+    // this version, the rename fails instead of clobbering history
+    if (fs.exists(manifestPath(table, next)) ||
+        !fs.rename(tmp, manifestPath(table, next))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"snapshot v$next already committed under $table (concurrent writer)")
+    }
+    next
+  }
+
+  /** Read `version` (latest when None) as a DataFrame whose file set is
+    * pinned NOW — concurrent later commits or vacuums of OTHER
+    * versions cannot change what this plan reads.
+    */
+  def read(spark: SparkSession, table: String,
+           version: Option[Int] = None): DataFrame = {
+    val abs = files(spark, table, version).map(f => s"$table/$f")
+    spark.read.parquet(abs: _*)
+  }
+
+  /** Delete all but the last `keepLast` versions and every data file no
+    * kept manifest references (including orphans from crashed
+    * commits). Readers of kept versions are unaffected — their files
+    * are all referenced.
+    */
+  def vacuum(spark: SparkSession, table: String, keepLast: Int = 2): Int = {
+    require(keepLast >= 1, "must keep at least one version")
+    val fs = fsOf(spark, table)
+    val vs = versions(spark, table)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val referenced = keep.flatMap(v => files(spark, table, Some(v))).toSet
+    var removed = 0
+    // data dirs are the unit of deletion: a dir with no referenced file
+    // (crashed commit, or only-dropped-version data) goes entirely
+    fs.listStatus(new Path(table)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-v"))
+      .foreach { d =>
+        val dir = d.getPath.getName
+        val live = referenced.exists(_.startsWith(dir + "/"))
+        if (!live) {
+          removed += fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+          fs.delete(d.getPath, true)
+        } else {
+          // referenced dirs may still hold individually-dead files
+          fs.listStatus(d.getPath).toSeq
+            .filter(f => f.getPath.getName.endsWith(".parquet") &&
+              !referenced.contains(s"$dir/${f.getPath.getName}"))
+            .foreach { f => fs.delete(f.getPath, false); removed += 1 }
+        }
+      }
+    drop.foreach(v => fs.delete(manifestPath(table, v), false))
+    removed
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Snapshot semantics: versioned commits, pinned reads, append as a
+  * zero-rewrite manifest extension, crash-orphan invisibility, and
+  * vacuum that reclaims without disturbing kept versions.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("n_nationkey").collect().map(_.getAs[Number](0).longValue).toSet
+
+  test("every committed version stays readable bit-for-bit") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    assert(Snapshots.commit(spark, dir, nation) == 0)
+    assert(Snapshots.commit(spark, dir,
+      nation.filter(col("n_nationkey") < 10)) == 1)
+    assert(Snapshots.commit(spark, dir,
+      nation.filter(col("n_nationkey") >= 20)) == 2)
+    assert(Snapshots.versions(spark, dir) == Seq(0, 1, 2))
+    assert(keys(Snapshots.read(spark, dir, Some(0))) == keys(nation))
+    assert(keys(Snapshots.read(spark, dir, Some(1))) ==
+      keys(nation.filter(col("n_nationkey") < 10)))
+    // latest = v2
+    assert(keys(Snapshots.read(spark, dir)) ==
+      keys(nation.filter(col("n_nationkey") >= 20)))
+  }
+
+  test("append commits reference prior files instead of rewriting them") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, dir, nation.filter(col("n_nationkey") < 10))
+    val v0Files = Snapshots.files(spark, dir, Some(0))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtimes0 = v0Files.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, f)).getModificationTime).toMap
+    Snapshots.commit(spark, dir,
+      nation.filter(col("n_nationkey") >= 10), mode = "append")
+    val v1Files = Snapshots.files(spark, dir, Some(1))
+    assert(v0Files.toSet.subsetOf(v1Files.toSet),
+      "append must carry every prior file forward")
+    v0Files.foreach { f =>
+      assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dir, f))
+        .getModificationTime == mtimes0(f), s"append must not rewrite $f")
+    }
+    assert(keys(Snapshots.read(spark, dir)) == keys(nation))
+  }
+
+  test("a reader's file set is pinned: later commits don't change it") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, dir, nation.filter(col("n_nationkey") < 5))
+    val pinned = Snapshots.read(spark, dir) // plans v0's files NOW
+    Snapshots.commit(spark, dir, nation) // v1 = everything
+    assert(keys(pinned) == keys(nation.filter(col("n_nationkey") < 5)),
+      "the already-planned read must still see v0")
+    assert(keys(Snapshots.read(spark, dir)) == keys(nation))
+  }
+
+  test("a crashed commit's orphan data is invisible and vacuum reclaims it") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, dir, nation.filter(col("n_nationkey") < 10))
+    // fake a crash: data directory written, manifest never published
+    nation.filter(col("n_nationkey") >= 10)
+      .write.parquet(s"$dir/snap-v99999999-deadbeef")
+    assert(keys(Snapshots.read(spark, dir)) ==
+      keys(nation.filter(col("n_nationkey") < 10)),
+      "orphan files must be invisible to readers")
+    val removed = Snapshots.vacuum(spark, dir, keepLast = 1)
+    assert(removed >= 1, "vacuum must reclaim the orphan's files")
+    assert(!new java.io.File(s"$dir/snap-v99999999-deadbeef").exists)
+    assert(keys(Snapshots.read(spark, dir)) ==
+      keys(nation.filter(col("n_nationkey") < 10)),
+      "the kept version survives vacuum intact")
+  }
+
+  test("vacuum drops old versions but never files kept versions share") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, dir, nation.filter(col("n_nationkey") < 10))
+    Snapshots.commit(spark, dir,
+      nation.filter(col("n_nationkey").between(10, 19)), mode = "append")
+    Snapshots.commit(spark, dir,
+      nation.filter(col("n_nationkey") >= 20), mode = "append")
+    // keep v1 and v2; v1's files are shared INTO v2's manifest
+    Snapshots.vacuum(spark, dir, keepLast = 2)
+    assert(Snapshots.versions(spark, dir) == Seq(1, 2))
+    assert(keys(Snapshots.read(spark, dir, Some(1))) ==
+      keys(nation.filter(col("n_nationkey") < 20)))
+    assert(keys(Snapshots.read(spark, dir, Some(2))) == keys(nation))
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.read(spark, dir, Some(0)).collect()
+    }
+    assert(ex.getMessage.contains("v0"))
+  }
+
+  test("concurrent commits yield distinct versions and uncorrupted history") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    // four writers race; a loser that picked an already-taken version
+    // must FAIL (IOException), never clobber — so the surviving
+    // manifests are distinct versions and every one reads cleanly
+    val attempts = (0 until 4).map { i =>
+      Future(scala.util.Try(Snapshots.commit(spark, dir,
+        nation.filter(col("n_nationkey") % 4 === i))))
+    }
+    val done = Await.result(Future.sequence(attempts), 180.seconds)
+    val won = done.collect { case scala.util.Success(v) => v }
+    assert(won.nonEmpty, "at least one writer must win")
+    assert(won.distinct.size == won.size, "no two winners share a version")
+    done.collect { case scala.util.Failure(e) => e }.foreach { e =>
+      assert(e.isInstanceOf[java.io.IOException] &&
+        e.getMessage.contains("concurrent writer"), s"unexpected: $e")
+    }
+    val vs = Snapshots.versions(spark, dir)
+    assert(vs.toSet == won.toSet, "manifests on disk = exactly the winners")
+    vs.foreach(v => Snapshots.read(spark, dir, Some(v)).collect())
+  }
+}
