@@ -141,6 +141,25 @@ object Snapshots {
     spark.read.parquet(abs: _*)
   }
 
+  /** Compact the LATEST version into ~`targetBytes` files, committed as
+    * a new version — maintenance composed with time travel: the
+    * rewrite reads the pinned old file set and writes a brand-new data
+    * directory, so readers of every prior version (including the one
+    * being compacted) are untouched; the old layout stays readable
+    * until vacuumed. This is how small-file cleanup runs CONTINUOUSLY
+    * against a table under live readers at 100 TB — the non-snapshot
+    * `Maintenance.compact` swap, by contrast, requires a quiesced
+    * table. Returns the new version.
+    */
+  def compact(spark: SparkSession, table: String,
+              targetBytes: Long): Int = {
+    val fs = fsOf(spark, table)
+    val fsz = files(spark, table, None)
+      .map(f => fs.getFileStatus(new Path(table, f)).getLen).sum
+    val n = math.max(1, math.ceil(fsz.toDouble / targetBytes).toInt)
+    commit(spark, table, read(spark, table).repartition(n), "overwrite")
+  }
+
   /** Delete all but the last `keepLast` versions and every data file no
     * kept manifest references (including orphans from crashed
     * commits). Readers of kept versions are unaffected — their files

@@ -103,6 +103,22 @@ class SnapshotsSpec extends SparkSpec {
     assert(ex.getMessage.contains("v0"))
   }
 
+  test("snapshot compaction: fewer files, same rows, old layout intact") {
+    val dir = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, dir, nation.repartition(8)) // small-file mess
+    val before = Snapshots.files(spark, dir, Some(0))
+    assert(before.size == 8)
+    val v = Snapshots.compact(spark, dir, targetBytes = 1L << 30)
+    assert(v == 1)
+    val after = Snapshots.files(spark, dir, Some(1))
+    assert(after.size < before.size, s"${after.size} !< ${before.size}")
+    assert(keys(Snapshots.read(spark, dir, Some(1))) == keys(nation))
+    // the compacted-away version is STILL the old 8-file layout
+    assert(Snapshots.files(spark, dir, Some(0)) == before)
+    assert(keys(Snapshots.read(spark, dir, Some(0))) == keys(nation))
+  }
+
   test("concurrent commits yield distinct versions and uncorrupted history") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
