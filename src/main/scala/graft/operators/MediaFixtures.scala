@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 6
+  val Version = 7
 
   val Count = 64
 
@@ -40,6 +40,8 @@ object MediaFixtures {
   def videoCsv: String = s"$root/expected_video.csv"
 
   def videoTracksCsv: String = s"$root/expected_video_tracks.csv"
+
+  def videoFramesCsv: String = s"$root/expected_video_frames.csv"
 
   def featuresCsv: String = s"$root/expected_features.csv"
 
@@ -173,6 +175,9 @@ object MediaFixtures {
     val vcodecs = Array("avc1", "hev1", "mp4v")
     val sb = new StringBuilder("media_id,brand,timescale,duration,n_tracks,n_bytes\n")
     val tb = new StringBuilder("media_id,track_id,codec,width,height\n")
+    // per-frame channel sums of the REAL uncompressed track, recorded
+    // from the exact RGB24 bytes the mdat carries (qm08's oracle)
+    val vfb = new StringBuilder("media_id,frame_id,width,height,sum_r,sum_g,sum_b\n")
     (1 to Count).foreach { id =>
       val brand = brands(id % brands.length)
       val timescale = timescales(id % timescales.length)
@@ -196,7 +201,7 @@ object MediaFixtures {
         bb.put(new Array[Byte](10)) // reserved
         UnityMatrix.foreach(bb.putInt)
         bb.put(new Array[Byte](24)) // pre_defined
-        bb.putInt(nTracks + 1) // next_track_ID
+        bb.putInt(nTracks + 2) // next_track_ID (raw track appended below)
         box("mvhd", bb.array())
       }
 
@@ -267,7 +272,104 @@ object MediaFixtures {
         box("trak", tkhd, mdia)
       }
 
-      val mdat = {
+      // ----- the REAL track: uncompressed RGB24 frames ('raw ' fourcc,
+      // the QuickTime uncompressed-video sample entry) with a full
+      // sample table (stts/stsc/stsz/stco), payload in mdat -----------
+      val nFrames = 2 + id % 3
+      val wf = 8 + (id % 5) * 2
+      val hf = 6 + (id % 3) * 2
+      val frames = Array.tabulate(nFrames) { fi =>
+        val px = new Array[Byte](wf * hf * 3)
+        var seed = (id * 1000L + fi) * 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < px.length) {
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          px(i) = (seed >>> 32).toByte
+          i += 1
+        }
+        px
+      }
+      frames.zipWithIndex.foreach { case (px, fi) =>
+        var (r, g, b) = (0L, 0L, 0L)
+        var i = 0
+        while (i < px.length) {
+          r += px(i) & 0xff; g += px(i + 1) & 0xff; b += px(i + 2) & 0xff
+          i += 3
+        }
+        vfb.append(s"$id,${fi + 1},$wf,$hf,$r,$g,$b\n")
+      }
+      tb.append(s"$id,${nTracks + 1},raw,$wf,$hf\n")
+
+      def rawTrak(offsets: Seq[Long]): Array[Byte] = {
+        val tkhd = {
+          val bb = java.nio.ByteBuffer.allocate(84)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 7))
+          bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+          bb.putInt(nTracks + 1) // track_ID
+          bb.putInt(0)
+          bb.putInt(duration.toInt)
+          bb.put(new Array[Byte](8))
+          bb.putShort(0).putShort(0).putShort(0).putShort(0)
+          UnityMatrix.foreach(bb.putInt)
+          bb.putInt(640 << 16).putInt(360 << 16) // same decoy size
+          box("tkhd", bb.array())
+        }
+        val sampleEntry = {
+          val bb = java.nio.ByteBuffer.allocate(78)
+          bb.put(new Array[Byte](6)).putShort(1)
+          bb.putShort(0).putShort(0)
+          bb.put(new Array[Byte](12))
+          bb.putShort(wf.toShort).putShort(hf.toShort) // CODED size
+          bb.putInt(0x00480000).putInt(0x00480000)
+          bb.putInt(0)
+          bb.putShort(1)
+          bb.put(new Array[Byte](32))
+          bb.putShort(24) // depth: RGB24
+          bb.putShort(-1)
+          bb.array()
+        }
+        val stsd = box("stsd",
+          Array[Byte](0, 0, 0, 0),
+          java.nio.ByteBuffer.allocate(4).putInt(1).array(),
+          box("raw ", sampleEntry))
+        val stts = {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putInt(0).putInt(1).putInt(nFrames).putInt(100)
+          box("stts", bb.array())
+        }
+        val stsc = {
+          val bb = java.nio.ByteBuffer.allocate(20)
+          bb.putInt(0).putInt(1).putInt(1).putInt(1).putInt(1)
+          box("stsc", bb.array())
+        }
+        val stsz = {
+          val bb = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+          bb.putInt(0).putInt(0).putInt(nFrames) // varying sizes
+          frames.foreach(f => bb.putInt(f.length))
+          box("stsz", bb.array())
+        }
+        val stco = {
+          val bb = java.nio.ByteBuffer.allocate(8 + 4 * nFrames)
+          bb.putInt(0).putInt(nFrames)
+          offsets.foreach(o => bb.putInt(o.toInt))
+          box("stco", bb.array())
+        }
+        val mdhd = {
+          val bb = java.nio.ByteBuffer.allocate(24)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+          bb.putInt(0).putInt(0)
+          bb.putInt(timescale).putInt(duration.toInt)
+          bb.putShort(0x55C4.toShort).putShort(0)
+          box("mdhd", bb.array())
+        }
+        val hdlr = box("hdlr",
+          new Array[Byte](8), "vide".getBytes("ISO-8859-1"),
+          new Array[Byte](13))
+        box("trak", tkhd, box("mdia", mdhd, hdlr,
+          box("minf", box("stbl", stsd, stts, stsc, stsz, stco))))
+      }
+
+      val noise = {
         val data = new Array[Byte](50 + (id * 53) % 400)
         var seed = id * 0x9E3779B97F4A7C15L
         var i = 0
@@ -276,15 +378,25 @@ object MediaFixtures {
           data(i) = (seed >>> 32).toByte
           i += 1
         }
-        box("mdat", data)
+        data
       }
-
-      val bytes = ftyp ++ box("free", new Array[Byte](12)) ++
-        box("moov", (mvhd +: traks): _*) ++ mdat
+      val mdatPayload = frames.flatten ++ noise
+      def assemble(offsets: Seq[Long]): Array[Byte] =
+        ftyp ++ box("free", new Array[Byte](12)) ++
+          box("moov", (mvhd +: traks :+ rawTrak(offsets)): _*) ++
+          box("mdat", mdatPayload)
+      // two-pass: stco holds FILE offsets, which depend on moov's size —
+      // probe with zeros (same byte length), then patch real offsets
+      val probe = assemble(Seq.fill(nFrames)(0L))
+      val payloadStart = (probe.length - mdatPayload.length).toLong
+      val offs = frames.scanLeft(payloadStart)((o, f) => o + f.length).init.toSeq
+      val bytes = assemble(offs)
+      require(bytes.length == probe.length, "offset patch changed layout")
       Files.write(Paths.get(root, f"vid_$id%04d.mp4"), bytes)
-      sb.append(s"$id,$brand,$timescale,$duration,$nTracks,${bytes.length}\n")
+      sb.append(s"$id,$brand,$timescale,$duration,${nTracks + 1},${bytes.length}\n")
     }
     Files.write(Paths.get(videoCsv), sb.toString.getBytes)
     Files.write(Paths.get(videoTracksCsv), tb.toString.getBytes)
+    Files.write(Paths.get(videoFramesCsv), vfb.toString.getBytes)
   }
 }

@@ -15,14 +15,16 @@ import graft.functions.Text
   * qm02), so is the WAV path (`decodeAudio`/`audioMeta` via
   * javax.sound.sampled — qm03), and so is the MP4/ISO-BMFF CONTAINER
   * path (`decodeVideo`/`videoMeta`, a hand-rolled box walker — qm04).
-  * Video PIXEL decode is the one stubbed step (`decodeStub` derives
-  * deterministic fake dimensions from the byte content; real frame
-  * decode needs native codecs this environment lacks), but everything
-  * around it — the binary column representation, the batched
-  * mapPartitions shape (one decoder init per partition, streamed
-  * batches, no collect), the metadata schema — is the real, tested
-  * scale path; swapping `decodeStub` for a JNI/javacpp codec is a
-  * one-function change, as the PNG/WAV/MP4 paths demonstrate.
+  * Video FRAME decode is real for the uncompressed `raw ` codec:
+  * `decodeVideoFrames` walks the sample tables (stsz/stco) and sums
+  * actual RGB24 pixels out of mdat (qm08). COMPRESSED codecs
+  * (avc1/hev1) still need native decoders this environment lacks —
+  * `decodeStub` stands in for those, and everything around it — the
+  * binary column representation, the batched mapPartitions shape (one
+  * decoder init per partition, streamed batches, no collect), the
+  * metadata schema — is the real, tested scale path; swapping
+  * `decodeStub` for a JNI/javacpp codec is a one-function change, as
+  * the PNG/WAV/MP4-raw paths demonstrate.
   */
 object Multimodal {
 
@@ -396,7 +398,9 @@ object Multimodal {
                   case ("stsd", cs, _) =>
                     require(u32(cs + 4) >= 1, "stsd with no sample entries")
                     val entry = cs + 8 // first entry's box header
-                    codec = new String(bytes, entry + 4, 4, "ISO-8859-1")
+                    // fourccs are space-padded ('raw ' is the QuickTime
+                    // uncompressed entry); report them right-trimmed
+                    codec = new String(bytes, entry + 4, 4, "ISO-8859-1").trim
                     if (handler == "vide") {
                       w = u16(entry + 8 + 24)
                       h = u16(entry + 8 + 26)
@@ -439,6 +443,126 @@ object Multimodal {
       }
       .select(col("id").as("media_id"), col("track_id"), col("codec"),
         col("width"), col("height"))
+  }
+
+  case class FrameFeatures(id: Long, frame_id: Long, width: Long,
+                           height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video FRAME decode for the uncompressed `raw ` codec
+    * (QuickTime RGB24 sample entries): walks trak → mdia →
+    * minf → stbl for a `vide` handler whose first sample entry is
+    * `raw `, reads the sample table — stsz (per-sample byte sizes) and
+    * stco (absolute file offsets of each sample's chunk, here one
+    * sample per chunk per stsc) — then slices each frame's RGB24
+    * payload out of mdat and sums the channels. This is the full
+    * container→sample→pixel path with zero native code; compressed
+    * codecs (avc1/hev1) still require native decoders and remain out
+    * of scope, exactly like a production pipeline that routes them to
+    * a codec farm while handling uncompressed intermediates inline.
+    * Returns one (frameIdx, w, h, sumR, sumG, sumB) per frame.
+    */
+  def decodeVideoFrames(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def u16(off: Int): Long = (bb.getShort(off) & 0xffff).toLong
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off)
+        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+        var hdr = 8
+        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 }
+        else if (size == 0) size = (end - off).toLong
+        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
+        f(typ, off + hdr, off + size.toInt)
+        off += size.toInt
+      }
+    }
+    val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
+    walk(0, bytes.length) {
+      case ("moov", ms, me) => walk(ms, me) {
+        case ("trak", ts, te) =>
+          var handler = ""
+          var isRaw = false
+          var w = 0L
+          var h = 0L
+          var sizes: Array[Int] = Array.empty
+          var offsets: Array[Long] = Array.empty
+          walk(ts, te) {
+            case ("mdia", ds, de) => walk(ds, de) {
+              case ("hdlr", cs, _) =>
+                handler = new String(bytes, cs + 8, 4, "ISO-8859-1")
+              case ("minf", fs, fe) => walk(fs, fe) {
+                case ("stbl", bs, be) => walk(bs, be) {
+                  case ("stsd", cs, _) =>
+                    val entry = cs + 8
+                    isRaw = new String(bytes, entry + 4, 4, "ISO-8859-1") == "raw "
+                    w = u16(entry + 8 + 24); h = u16(entry + 8 + 26)
+                  case ("stsz", cs, _) =>
+                    val fixed = u32(cs + 4)
+                    val n = u32(cs + 8).toInt
+                    sizes =
+                      if (fixed != 0) Array.fill(n)(fixed.toInt)
+                      else Array.tabulate(n)(i => u32(cs + 12 + 4 * i).toInt)
+                  case ("stco", cs, _) =>
+                    val n = u32(cs + 4).toInt
+                    offsets = Array.tabulate(n)(i => u32(cs + 8 + 4 * i))
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          if (handler == "vide" && isRaw) {
+            require(sizes.length == offsets.length && sizes.nonEmpty,
+              "raw track without a complete sample table")
+            var fi = 0
+            while (fi < sizes.length) {
+              val o = offsets(fi).toInt
+              require(sizes(fi) == w * h * 3,
+                s"frame $fi size ${sizes(fi)} != ${w}x${h}x3")
+              var (r, g, b) = (0L, 0L, 0L)
+              var i = o
+              val endPx = o + sizes(fi)
+              while (i < endPx) {
+                r += bytes(i) & 0xff; g += bytes(i + 1) & 0xff
+                b += bytes(i + 2) & 0xff
+                i += 3
+              }
+              out += (((fi + 1).toLong, w, h, r, g, b))
+              fi += 1
+            }
+          }
+        case _ => ()
+      }
+      case _ => ()
+    }
+    out.result()
+  }
+
+  /** Per-frame pixel features for a directory of MP4s — one row per
+    * decoded `raw `-track frame, same binaryFile + per-partition walk
+    * shape as the other media paths. Gated against the generation-time
+    * per-frame sidecar (qm08).
+    */
+  def videoFrameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.mp4").load(dir)
+      .select(
+        regexp_extract(col("path"), "vid_(\\d+)\\.mp4$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeVideoFrames(bytes).map { case (fi, w, h, r, g, b) =>
+          FrameFeatures(id, fi, w, h, r, g, b)
+        }
+      }
+      .select(col("id").as("media_id"), col("frame_id"), col("width"),
+        col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
   /** Container metadata for a directory of MP4 files — the video twin

@@ -951,6 +951,14 @@ object Pipeline {
     // integer sums over the DECODED image. PNG is lossless, so the sums
     // must equal the generation-time sidecar bit-for-bit — a decoder
     // that subsamples, channel-swaps, or gamma-adjusts cannot pass.
+    Q("qm08_video_frames",
+      s"""SELECT media_id, frame_id, width, height, sum_r, sum_g, sum_b
+         |FROM read_csv('${MediaFixtures.videoFramesCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'frame_id': 'BIGINT',
+         |    'width': 'BIGINT', 'height': 'BIGINT', 'sum_r': 'BIGINT',
+         |    'sum_g': 'BIGINT', 'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.videoFrameFeatures(s, MediaFixtures.ensure())
+    },
     Q("qm07_audio_features",
       s"""SELECT media_id, n_frames, sum_ch0, sum_ch1, peak
          |FROM read_csv('${MediaFixtures.audioFeaturesCsv}', header=true,

@@ -179,6 +179,18 @@ class MultimodalSpec extends SparkSpec {
       "parsed container metadata must equal the sidecar exactly")
   }
 
+  test("raw-codec frame decode recovers exact per-frame pixel sums") {
+    val dir = MediaFixtures.ensure()
+    val got = Multimodal.videoFrameFeatures(spark, dir)
+    val want = spark.read.option("header", "true")
+      .schema("media_id LONG, frame_id LONG, width LONG, height LONG, " +
+        "sum_r LONG, sum_g LONG, sum_b LONG")
+      .csv(MediaFixtures.videoFramesCsv)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0,
+      "decoded frame features must equal the generation-time sidecar")
+  }
+
   test("frame sampling fans one payload into strided frame records") {
     import spark.implicits._
     val oneVideo = Seq((1L, Array.fill[Byte](1000)(7))).toDS()
