@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ivf, Models, Pq, Similarity}
+
+/** Model artifacts must round-trip EXACTLY: a loaded model has to
+  * produce identical codes and identical search results to the trained
+  * one, or incrementally-encoded code tables stop being comparable
+  * across ingest batches.
+  */
+class ModelsSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfDir, "embeddings")
+
+  test("PQ model round-trips bit-for-bit and encodes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqmodel").toString
+    val trained = Pq.train(spark, emb, "vec_id", "embedding",
+      m = 8, k = 8, iters = 2)
+    Models.savePq(spark, trained, s"$dir/pq")
+    val loaded = Models.loadPq(spark, s"$dir/pq")
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      trained.codebooks.map(_.map(_.toSeq).toSeq).toSeq,
+      "codebooks must survive parquet bit-for-bit")
+    def codes(m: Pq.Model) =
+      Pq.encode(spark, emb, m, "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(codes(loaded) == codes(trained),
+      "a loaded model must encode exactly like the trained one")
+  }
+
+  test("IVF model round-trips and searches identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfmodel").toString
+    val trained = Ivf.train(spark, emb, "vec_id", "embedding", k = 8, iters = 2)
+    Models.saveIvf(spark, trained, s"$dir/ivf")
+    val loaded = Models.loadIvf(spark, s"$dir/ivf")
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      trained.centroids.map(_.toSeq).toSeq)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    def hits(m: Ivf.Model) =
+      Ivf.search(emb, q, m, "vec_id", "embedding", k = 5, nprobe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits(loaded) == hits(trained),
+      "a loaded model must search exactly like the trained one")
+  }
+
+  test("loading a truncated PQ model fails loudly, not silently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqbad").toString
+    val trained = Pq.train(spark, emb, "vec_id", "embedding",
+      m = 8, k = 8, iters = 1)
+    Models.savePq(spark, trained, s"$dir/pq")
+    // drop ONE (subspace, centroid) row: a ragged artifact, unlike a
+    // uniformly-smaller k which is a legitimately complete model
+    val crippled = spark.read.parquet(s"$dir/pq")
+      .filter(!(col("mi") === 0 && col("ci") === 7))
+    crippled.write.mode("overwrite").parquet(s"$dir/pq2")
+    val ex = intercept[IllegalArgumentException] {
+      Models.loadPq(spark, s"$dir/pq2")
+    }
+    assert(ex.getMessage.contains("incomplete"))
+  }
+}
