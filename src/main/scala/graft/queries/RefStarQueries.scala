@@ -230,6 +230,62 @@ object RefStarQueries {
     Q("qv07_multistore_analysis", over(RefStarViewsSql.multiStoreVsSingleStore)) {
       (s, _) => Views.multiStoreVsSingleStore(s)
     },
+
+    // Integrity audit over the persisted star: key uniqueness per dim,
+    // referential integrity per fact FK, measure null counts — the
+    // dbt-test layer as ONE hash-gated report. The FK-fallback design
+    // makes orphans structurally impossible; this PROVES the zeros
+    // (and DimSaleDateID→DATE_PKEY is a genuine check: a sale dated
+    // outside the generated calendar would surface here).
+    Q("qr17_integrity_report", over(
+      """SELECT 'rows_fact_salesactual' AS metric,
+        |  CAST(COUNT(*) AS BIGINT) AS value FROM fact_salesactual
+        |UNION ALL SELECT 'dup_keys_dim_product',
+        |  CAST(COUNT(DimProductID) - COUNT(DISTINCT DimProductID) AS BIGINT) FROM dim_product
+        |UNION ALL SELECT 'dup_keys_dim_store',
+        |  CAST(COUNT(DimStoreID) - COUNT(DISTINCT DimStoreID) AS BIGINT) FROM dim_store
+        |UNION ALL SELECT 'dup_keys_dim_customer',
+        |  CAST(COUNT(DimCustomerID) - COUNT(DISTINCT DimCustomerID) AS BIGINT) FROM dim_customer
+        |UNION ALL SELECT 'dup_keys_dim_reseller',
+        |  CAST(COUNT(DimResellerID) - COUNT(DISTINCT DimResellerID) AS BIGINT) FROM dim_reseller
+        |UNION ALL SELECT 'dup_keys_dim_channel',
+        |  CAST(COUNT(DimChannelID) - COUNT(DISTINCT DimChannelID) AS BIGINT) FROM dim_channel
+        |UNION ALL SELECT 'dup_keys_dim_date',
+        |  CAST(COUNT(DATE_PKEY) - COUNT(DISTINCT DATE_PKEY) AS BIGINT) FROM dim_date
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimProductID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_product d
+        |    ON f.DimProductID = d.DimProductID WHERE d.DimProductID IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimStoreID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_store d
+        |    ON f.DimStoreID = d.DimStoreID WHERE d.DimStoreID IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimCustomerID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_customer d
+        |    ON f.DimCustomerID = d.DimCustomerID WHERE d.DimCustomerID IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimResellerID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_reseller d
+        |    ON f.DimResellerID = d.DimResellerID WHERE d.DimResellerID IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimChannelID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_channel d
+        |    ON f.DimChannelID = d.DimChannelID WHERE d.DimChannelID IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'orphans_fact_salesactual_DimSaleDateID',
+        |  CAST((SELECT COUNT(*) FROM fact_salesactual f LEFT JOIN dim_date d
+        |    ON f.DimSaleDateID = d.DATE_PKEY WHERE d.DATE_PKEY IS NULL) AS BIGINT)
+        |UNION ALL SELECT 'nulls_fact_salesactual_SaleAmount',
+        |  CAST(SUM(CASE WHEN SaleAmount IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_salesactual
+        |UNION ALL SELECT 'nulls_fact_salesactual_SaleUnitPrice',
+        |  CAST(SUM(CASE WHEN SaleUnitPrice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM fact_salesactual""".stripMargin)) {
+      (s, _) =>
+        val fact = Warehouse.table(s, "fact_salesactual")
+        graft.etl.Integrity.report(fact, "fact_salesactual",
+          Seq(
+            ("DimProductID", Warehouse.table(s, "dim_product"), "DimProductID", "dim_product"),
+            ("DimStoreID", Warehouse.table(s, "dim_store"), "DimStoreID", "dim_store"),
+            ("DimCustomerID", Warehouse.table(s, "dim_customer"), "DimCustomerID", "dim_customer"),
+            ("DimResellerID", Warehouse.table(s, "dim_reseller"), "DimResellerID", "dim_reseller"),
+            ("DimChannelID", Warehouse.table(s, "dim_channel"), "DimChannelID", "dim_channel"),
+            ("DimSaleDateID", Warehouse.table(s, "dim_date"), "DATE_PKEY", "dim_date")),
+          measures = Seq("SaleAmount", "SaleUnitPrice"))
+    },
   )
 
   /** The expected post-merge dim_store, stated directly from the SCD2
