@@ -45,6 +45,17 @@ object Curation {
   def weightedHashSample(df: DataFrame, idCol: String, weightBp: Column): DataFrame =
     df.filter(bucket(col(idCol)) < weightBp)
 
+  /** EXACT-size deterministic sample: the k rows whose id hashes rank
+    * lowest (ties broken by id — a total order, so the selection is a
+    * pure function of the id set). Bernoulli sampling ([[hashSample]])
+    * only hits its size in expectation; eval-set construction usually
+    * needs exactly k. Executes as TakeOrderedAndProject — a per-
+    * partition top-k heap merged at the driver, never a global sort —
+    * so the cost is one scan plus O(k) driver state.
+    */
+  def exactHashSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(Text.polyhash(col(idCol).cast("string")), col(idCol)).limit(k)
+
   /** Deterministic train/val/test assignment: the id's hash bucket in
     * [0, 10000) maps to a split label — train below, then `valBp` basis
     * points of validation, then `testBp` of test. The assignment is a

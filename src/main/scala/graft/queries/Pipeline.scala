@@ -810,6 +810,21 @@ object Pipeline {
         budget = 100000L, halvings = 1)
     },
 
+    // ----- EXACT-size deterministic sample -------------------------------
+    // The k lowest id-hashes (ties by id): exactly k rows, a pure
+    // function of the id set — eval-set construction needs exact
+    // sizes, Bernoulli sampling only delivers them in expectation.
+    // Runs as TakeOrderedAndProject: per-partition top-k heaps, never
+    // a global sort.
+    Q("qc08_exact_sample",
+      s"""SELECT doc_id, lang, source FROM documents
+         |ORDER BY ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")}, doc_id
+         |LIMIT 100""".stripMargin) { (s, dir) =>
+      Curation.exactHashSample(
+        Tables(s, dir, "documents").select("doc_id", "lang", "source"),
+        "doc_id", 100)
+    },
+
     // ----- deterministic train/val/test split ---------------------------
     // Row-local hash assignment (98/1/1): no rand(), no shuffle, stable
     // under re-runs, repartitioning and corpus growth — a doc keeps its

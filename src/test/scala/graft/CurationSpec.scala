@@ -195,6 +195,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("exact sample: exactly k rows, partition-independent, nested prefixes") {
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+      Curation.exactHashSample(df, "doc_id", k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs, 50)
+    assert(a.size == 50, "exactly k, not k-in-expectation")
+    assert(ids(docs.repartition(13), 50) == a, "selection is layout-independent")
+    assert(a.subsetOf(ids(docs, 100)),
+      "rank-based selection nests: sample(k) is a prefix of sample(2k)")
+  }
+
   test("bloom-prefiltered contamination equals the exact join formulation") {
     val docs = Tables(spark, sfDir, "documents")
     val evalSet = Curation.hashSample(docs, "doc_id", 500)
