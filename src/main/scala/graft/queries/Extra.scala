@@ -662,6 +662,28 @@ object Extra {
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     },
 
+    // ----- correlated scalar subquery (SQL surface) ----------------------
+    // Catalyst decorrelates the per-row subquery into an aggregate +
+    // left join — the plan a hand-written join would produce — so the
+    // SQL stays declarative and the execution stays a hash join, not a
+    // per-row probe. Runs through spark.sql to exercise the SQL entry
+    // path end to end.
+    Q("q63_correlated_subquery",
+      """SELECT o_orderkey, o_totalprice,
+        |  (SELECT COUNT(*) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        |FROM orders o
+        |WHERE o_totalprice > 400000""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      Tables(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice,
+          |  (SELECT COUNT(*) FROM lineitem l
+          |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+          |FROM orders o
+          |WHERE o_totalprice > 400000""".stripMargin)
+    },
+
     // ----- unpivot / melt (wide → long) ----------------------------------
     // The inverse of q46's pivot: per-year measures melt into
     // (yr, measure, value) rows via Dataset.unpivot — a narrow
