@@ -88,10 +88,32 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshots under $table"))
     val p = manifestPath(table, v)
     require(fs.exists(p), s"snapshot v$v does not exist under $table")
-    val in = fs.open(p)
+    manifestLines(spark, table, v).filterNot(_.startsWith("#")).map(dec)
+  }
+
+  private def manifestLines(spark: SparkSession, table: String, v: Int): List[String] = {
+    val fs = fsOf(spark, table)
+    val in = fs.open(manifestPath(table, v))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
-    lines.filter(_.nonEmpty).map(dec)
+    lines.filter(_.nonEmpty)
+  }
+
+  /** Metadata recorded with `version`'s commit (`#key=value` manifest
+    * header lines; empty for versions committed without meta).
+    */
+  def meta(spark: SparkSession, table: String,
+           version: Option[Int] = None): Map[String, String] = {
+    val v = version.orElse(latestVersion(spark, table)).getOrElse(
+      return Map.empty)
+    manifestLines(spark, table, v)
+      .filter(_.startsWith("#"))
+      .flatMap { l =>
+        l.drop(1).split("=", 2) match {
+          case Array(k, value) => Some(dec(k) -> dec(value))
+          case _ => None
+        }
+      }.toMap
   }
 
   /** Commit `df` as the next version. `overwrite` replaces the table's
@@ -101,7 +123,8 @@ object Snapshots {
     * version number.
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             mode: String = "overwrite"): Int = {
+             mode: String = "overwrite",
+             withMeta: Map[String, String] = Map.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val fs = fsOf(spark, table)
     val prev = latestVersion(spark, table)
@@ -116,7 +139,10 @@ object Snapshots {
     require(newFiles.nonEmpty, "refusing to commit an empty snapshot")
     val carried =
       if (mode == "append" && prev.nonEmpty) files(spark, table, prev) else Nil
-    val content = (carried ++ newFiles).map(enc).mkString("", "\n", "\n")
+    val header = withMeta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"#${enc(k)}=${enc(v)}" }
+    val content =
+      (header ++ (carried ++ newFiles).map(enc)).mkString("", "\n", "\n")
     val tmp = new Path(snapDir(table), f".v$next%08d.tmp-$token")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()

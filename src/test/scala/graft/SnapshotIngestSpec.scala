@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+import graft.streaming.SnapshotIngest
+
+/** Streaming ingest into snapshot versions: one version per
+  * micro-batch, exactly-once under replay because the applied batch id
+  * rides the manifest's own atomic publish.
+  */
+class SnapshotIngestSpec extends SparkSpec {
+
+  test("each micro-batch commits one version; the union is the feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-snaping").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snaping-ck").toString
+    val mem = MemoryStream[Long]
+    val q = SnapshotIngest.start(spark,
+      mem.toDF().select(col("value").as("k")), dir, ckpt)
+    try {
+      mem.addData(1L to 10L: _*); q.processAllAvailable()
+      mem.addData(11L to 15L: _*); q.processAllAvailable()
+      assert(Snapshots.versions(spark, dir).size == 2)
+      val got = Snapshots.read(spark, dir)
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(got == (1L to 15L).toSet)
+      // time travel to the first batch boundary
+      val v0 = Snapshots.read(spark, dir, Some(0))
+        .select("k").collect().map(_.getLong(0)).toSet
+      assert(v0 == (1L to 10L).toSet)
+    } finally q.stop()
+  }
+
+  test("a replayed batch is a no-op: no duplicate rows, no new version") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snaprep").toString
+    val b0 = Seq(1L, 2L, 3L).toDF("k")
+    val b1 = Seq(4L, 5L).toDF("k")
+    assert(SnapshotIngest.ingestBatch(spark, dir, b0, 0L))
+    assert(SnapshotIngest.ingestBatch(spark, dir, b1, 1L))
+    val before = Snapshots.versions(spark, dir)
+    // crash-replay: the last batch fires again
+    assert(!SnapshotIngest.ingestBatch(spark, dir, b1, 1L),
+      "replay must report not-applied")
+    assert(Snapshots.versions(spark, dir) == before, "no phantom version")
+    val got = Snapshots.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toList.sorted
+    assert(got == List(1L, 2L, 3L, 4L, 5L), "no duplicated rows")
+    // the NEXT batch still applies after a replay
+    assert(SnapshotIngest.ingestBatch(spark, dir, Seq(6L).toDF("k"), 2L))
+    assert(Snapshots.meta(spark, dir)("batch_id") == "2")
+  }
+
+  test("out-of-order batch ids fail loudly instead of corrupting history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapooo").toString
+    assert(SnapshotIngest.ingestBatch(spark, dir, Seq(1L).toDF("k"), 5L))
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotIngest.ingestBatch(spark, dir, Seq(2L).toDF("k"), 3L)
+    }
+    assert(ex.getMessage.contains("out-of-order"))
+  }
+}
