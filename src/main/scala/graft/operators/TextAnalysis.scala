@@ -198,6 +198,38 @@ object TextAnalysis {
         col("n_oov").cast("double") / col("n_tokens"))
   }
 
+  /** Collocation mining: adjacent word pairs scored by LIFT —
+    * c(ab)·N / (c(a)·c(b)), the log-free PMI core — so strongly
+    * associated bigrams rank above merely frequent ones. All counts
+    * stay integers and every product fits a Long far past corpus
+    * scale (≤ 2^53 keeps the one double division engine-exact), which
+    * is what makes an association score hash-gateable where log-PMI's
+    * libm dependence is not. Two partial-agg shuffles (bigrams,
+    * unigrams), broadcast-joined counts, TakeOrdered top-k — no global
+    * sort, no pair blowup beyond the corpus's own adjacency.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, k: Int = 20): DataFrame = {
+    val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+    val bi = words.select(explode(expr(
+        "transform(slice(__ws, 1, size(__ws) - 1), " +
+          "(w, i) -> struct(w AS a, __ws[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = words.select(explode(col("__ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("n"))
+    bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .join(broadcast(uni.select(col("w").as("a"), col("c").as("__ca"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("c").as("__cb"))), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("c_ab") * col("n")).cast("double") / (col("__ca") * col("__cb")))
+      .select(col("a"), col("b"), col("c_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** PII patterns shared by the operator and its oracle: the regex
     * subset Java (Spark) and RE2 (DuckDB) interpret identically —
     * character classes, bounded/unbounded repetition, ASCII `\b`. No

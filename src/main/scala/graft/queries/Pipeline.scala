@@ -859,6 +859,26 @@ object Pipeline {
         vocabSize = 1000)
     },
 
+    // ----- collocation mining (log-free lift) ----------------------------
+    Q("qt12_collocations",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd,
+         |       generate_subscripts(ws, 1) AS pos FROM w),
+         |bi AS (SELECT l.wrd AS a, r.wrd AS b FROM wd l JOIN wd r
+         |       ON l.doc_id = r.doc_id AND r.pos = l.pos + 1),
+         |uni AS (SELECT wrd, COUNT(*) AS c FROM wd GROUP BY wrd),
+         |tot AS (SELECT COUNT(*) AS n FROM wd),
+         |p AS (SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b
+         |      HAVING COUNT(*) >= 5)
+         |SELECT a, b, c_ab,
+         |  CAST(c_ab * n AS DOUBLE) / (ca.c * cb.c) AS lift
+         |FROM p JOIN uni ca ON p.a = ca.wrd
+         |       JOIN uni cb ON p.b = cb.wrd, tot
+         |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin) { (s, dir) =>
+      TextAnalysis.collocations(Tables(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, k = 20)
+    },
+
     // ----- PII redaction -------------------------------------------------
     // The synthetic corpus contains no PII, so BOTH engines append the
     // same deterministic doc_id-derived email/IP/number tail before
