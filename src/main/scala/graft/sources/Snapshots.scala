@@ -167,6 +167,28 @@ object Snapshots {
     spark.read.parquet(abs: _*)
   }
 
+  /** Manifest-pruned range read of a snapshot VERSION: the version
+    * pins WHICH files exist, [[StatsManifest.filterByStats]] drops the
+    * pinned files whose [min,max] can't intersect — time travel and
+    * driver-side skipping compose. Maintain the manifest with
+    * `StatsManifest.appendMissing(table)` after commits (it covers
+    * every version's immutable files, so pruned reads work at ANY
+    * version); without it the read degrades to the full pinned set,
+    * never to wrong rows.
+    */
+  def rangeRead(spark: SparkSession, table: String, column: String,
+                lo: String, hi: String,
+                version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val abs = files(spark, table, version).map(f => s"$table/$f")
+    val cand = StatsManifest.filterByStats(spark, table, abs, column, lo, hi)
+    val base =
+      if (cand.isEmpty) read(spark, table, version).limit(0)
+      else spark.read.option("basePath", table).parquet(cand: _*)
+    val t = base.schema(column).dataType
+    base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
+  }
+
   /** Compact the LATEST version into ~`targetBytes` files, committed as
     * a new version — maintenance composed with time travel: the
     * rewrite reads the pinned old file set and writes a brand-new data

@@ -229,8 +229,20 @@ object StatsManifest {
   def candidateFiles(spark: SparkSession, table: String, column: String,
                      lo: String, hi: String): Seq[String] = {
     val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = listDataFiles(spark, fs, table)
-    if (!fs.exists(manifestPath(table))) return all
+    filterByStats(spark, table, listDataFiles(spark, fs, table), column, lo, hi)
+  }
+
+  /** Prune an EXPLICIT file universe (absolute paths under `table`) by
+    * the manifest's per-file stats — the composition point for layers
+    * that own their file listing, e.g. a snapshot version's pinned
+    * set: the caller decides WHICH files exist, the manifest decides
+    * which of them can intersect [lo, hi]. Files without a stats row
+    * are conservatively kept, as ever.
+    */
+  def filterByStats(spark: SparkSession, table: String, files: Seq[String],
+                    column: String, lo: String, hi: String): Seq[String] = {
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifestPath(table))) return files
     val in = fs.open(manifestPath(table))
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
@@ -242,7 +254,7 @@ object StatsManifest {
         case _ => None
       }
     }.toMap
-    all.filter { f =>
+    files.filter { f =>
       val rel = f.stripPrefix(root).stripPrefix("/")
       stats.get(rel) match {
         case Some((tn, mn, mx)) => cmp(tn, mx, lo) >= 0 && cmp(tn, mn, hi) <= 0

@@ -119,6 +119,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(keys(Snapshots.read(spark, dir, Some(0))) == keys(nation))
   }
 
+  test("manifest-pruned range reads compose with time travel") {
+    import graft.sources.StatsManifest
+    val dir = freshTable()
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice")
+    // v0: range-layout → disjoint per-file key ranges the stats can cut
+    Snapshots.commit(spark, dir,
+      orders.repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    StatsManifest.appendMissing(spark, dir, Seq("o_orderkey"))
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("o_orderkey").collect().map(_.getAs[Number](0).longValue).toSet
+    val lo = "1"; val hi = "300"
+    val pruned0 = Snapshots.rangeRead(spark, dir, "o_orderkey", lo, hi, Some(0))
+    assert(pruned0.inputFiles.length < Snapshots.files(spark, dir, Some(0)).size,
+      "stats must drop non-intersecting files of the pinned version")
+    assert(keySet(pruned0) == keySet(orders.filter(
+      col("o_orderkey").between(1L, 300L))), "pruned ≡ full filter")
+    // v1 replaces the contents; v0's pruned read must be UNCHANGED
+    Snapshots.commit(spark, dir,
+      orders.filter(col("o_orderkey") > 3000L)
+        .repartitionByRange(3, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    StatsManifest.appendMissing(spark, dir)
+    assert(keySet(Snapshots.rangeRead(spark, dir, "o_orderkey", lo, hi, Some(0)))
+      == keySet(orders.filter(col("o_orderkey").between(1L, 300L))),
+      "time-travel + pruning still exact after a newer commit")
+    assert(Snapshots.rangeRead(spark, dir, "o_orderkey", lo, hi).count() == 0L,
+      "the latest version genuinely has no keys in the band")
+  }
+
   test("concurrent commits yield distinct versions and uncorrupted history") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
