@@ -60,6 +60,40 @@ object Dedup {
     result
   }
 
+  /** Exact pairwise CONTAINMENT — asymmetric Jaccard,
+    * C(a,b) = |A∩B| / |A|: how much of doc a's shingle set lives
+    * inside doc b's. Symmetric Jaccard misses the classic corpus
+    * pathology this catches: a document QUOTED inside a much larger
+    * one, or boilerplate-wrapped rewraps — |A∩B|/|A∪B| is tiny when
+    * |B| >> |A| even though a is entirely contained. Emits the ordered
+    * pair (contained, container) with its containment; same
+    * inverted-index shape as [[ngramJaccardPairs]] (candidates only
+    * where sets actually intersect), one extra symmetric emit.
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = withShingles(df, idCol, textCol, n).cache()
+    val sizes = sh.select(col(idCol), size(col("__sh")).as("n"))
+    val e = sh.select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
+    val inter = e.as("a")
+      .join(e.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("x"), col("b.doc").as("y"))
+      .agg(count(lit(1)).as("i"))
+    // each unordered intersection yields two ordered candidates
+    val ordered = inter.select(col("x").as("doc_in"), col("y").as("doc_out"), col("i"))
+      .union(inter.select(col("y").as("doc_in"), col("x").as("doc_out"), col("i")))
+    val scored = ordered
+      .join(sizes.withColumnRenamed(idCol, "doc_in").withColumnRenamed("n", "n_in"),
+        "doc_in")
+      .withColumn("containment", col("i") * lit(1.0) / col("n_in"))
+    val result = scored.filter(col("containment") >= threshold)
+      .select("doc_in", "doc_out", "containment")
+      .localCheckpoint()
+    sh.unpersist()
+    result
+  }
+
   /** Exact pairwise n-gram Jaccard, PPJoin-style prefix filtering.
     *
     * Same output as `ngramJaccardPairs` (gate-proved: qd09 shares

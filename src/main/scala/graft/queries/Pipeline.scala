@@ -81,6 +81,28 @@ object Pipeline {
     // is exactness-preserving — identical pair sets from a candidate
     // set built on ~half the index. See Dedup.ngramJaccardPairsPrefix
     // for the measured corpus-dependent trade vs the inverted index.
+    // ----- containment (asymmetric Jaccard) ------------------------------
+    // Catches what symmetric Jaccard can't: a doc QUOTED inside a much
+    // larger one scores |A∩B|/|A| ≈ 1 while |A∩B|/|A∪B| ≈ 0. The
+    // threshold is lower than qd02's because the synthetic corpus has
+    // near-dups, not strict subsets — the op itself is subset-sharp.
+    Q("qd12_containment",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS x, b.doc_id AS y, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ord AS (SELECT x AS doc_in, y AS doc_out, i FROM inter
+         |        UNION ALL SELECT y, x, i FROM inter)
+         |SELECT doc_in, doc_out, i * 1.0 / sz.n AS containment
+         |FROM ord JOIN sz ON doc_in = sz.doc_id
+         |WHERE i * 1.0 / sz.n >= 0.6""".stripMargin) { (s, dir) =>
+      Dedup.containmentPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.6)
+    },
+
     Q("qd09_ngram_prefix",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),

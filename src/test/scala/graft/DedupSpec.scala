@@ -187,6 +187,24 @@ class DedupSpec extends SparkSpec {
       "bipartite probe must find exactly the full formulation's batch-touching pairs")
   }
 
+  test("containment flags a quoted subset that symmetric Jaccard misses") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta"
+    val big = ("one two three four five six seven eight nine ten " +
+      small + " eleven twelve thirteen fourteen fifteen sixteen")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.length == 1 && cont.head._1 == 1L && cont.head._2 == 2L,
+      "only (small ⊂ big) qualifies, in that orientation")
+    assert(cont.head._3 == 1.0, "every shingle of the quote is contained")
+    // the symmetric score on the same pair is far below any dedup bar
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.0).collect().head.getDouble(2)
+    assert(jac < 0.25, s"symmetric jaccard $jac must miss the subset")
+  }
+
   test("re-ingested ids are dropped: overlap adds nothing, replay is a no-op") {
     val docs = Tables(spark, sfDir, "documents")
     val existing = docs.filter(col("doc_id") % 2 === 0)
