@@ -230,6 +230,22 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Feature hashing (the hashing trick): each token maps to one of
+    * `dims` buckets by portable hash, and a document's sparse feature
+    * vector is its per-bucket counts — fixed-width features with NO
+    * vocabulary to build, broadcast, or version, which is the property
+    * that lets feature extraction run embarrassingly parallel over
+    * 100 TB (one narrow explode + one partial-agg shuffle; compare
+    * qt09's corpus-wide vocabulary pass). Collisions are the accepted
+    * trade, deterministic here by the engine-portable hash.
+    */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 64): DataFrame =
+    df.select(col(idCol), explode(expr(Text.wordsExpr(textCol))).as("__w"))
+      .groupBy(col(idCol),
+        pmod(Text.polyhash(col("__w")), lit(dims.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** PII patterns shared by the operator and its oracle: the regex
     * subset Java (Spark) and RE2 (DuckDB) interpret identically —
     * character classes, bounded/unbounded repetition, ASCII `\b`. No

@@ -662,6 +662,36 @@ object Extra {
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     },
 
+    // ----- built-in session windows --------------------------------------
+    // Spark's native session_window beside the custom gaps-and-islands
+    // formulation (q31) and the stateful streaming one
+    // (EventsStream.sessionize): events merge while the gap stays
+    // UNDER 30 min (session_window's strict-< semantics — the oracle's
+    // island break is >= to match), window.start is the session's min
+    // ts. One shuffle on (user, merged window).
+    Q("q64_session_window",
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              >= INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM o)
+         |SELECT user_id, min(ts) AS session_start,
+         |  COUNT(*) AS n_events, ${dsumSql("value")} AS total_value
+         |FROM s GROUP BY user_id, session_seq""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("user_id"), col("n_events"), col("total_value"))
+    },
+
     // ----- correlated scalar subquery (SQL surface) ----------------------
     // Catalyst decorrelates the per-row subquery into an aggregate +
     // left join — the plan a hand-written join would produce — so the

@@ -881,6 +881,17 @@ object Pipeline {
         vocabSize = 1000)
     },
 
+    // ----- feature hashing (the hashing trick) ---------------------------
+    Q("qt13_feature_hashing",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd FROM w)
+         |SELECT doc_id, ${Text.polyhashSql("wrd")} % 64 AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM wd GROUP BY doc_id, bucket""".stripMargin) { (s, dir) =>
+      TextAnalysis.featureHash(Tables(s, dir, "documents"), "doc_id", "text",
+        dims = 64)
+    },
+
     // ----- collocation mining (log-free lift) ----------------------------
     Q("qt12_collocations",
       s"""WITH w AS ($wCte),
