@@ -662,6 +662,28 @@ object Extra {
           min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
     },
 
+    // ----- argmin via struct-min aggregation -----------------------------
+    // "The row that attains the group minimum" WITHOUT a window: a
+    // lexicographic struct-min is an ordinary partial-aggregable
+    // aggregate — map-side combine, one shuffle of one struct per
+    // (partition, group) — where the ROW_NUMBER()=1 formulation (the
+    // oracle here) shuffles every row into its group's sort. Ties on
+    // the minimum break by the struct's next field, so both sides are
+    // deterministic.
+    Q("q65_argmin",
+      """SELECT o_custkey, o_totalprice AS min_price, o_orderkey
+        |FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+        |        ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_totalprice").as("min_price"),
+          col("m.o_orderkey").as("o_orderkey"))
+    },
+
     // ----- built-in session windows --------------------------------------
     // Spark's native session_window beside the custom gaps-and-islands
     // formulation (q31) and the stateful streaming one
