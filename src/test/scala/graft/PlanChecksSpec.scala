@@ -140,6 +140,15 @@ class PlanChecksSpec extends SparkSpec {
     assert(s.contains("TakeOrderedAndProject"), s.take(2000))
   }
 
+  test("argmin is a partial aggregate, never a window sort (q65)") {
+    val s = planString(q("q65_argmin"))
+    assert(!s.contains("Window"), "struct-min must not plan a window")
+    assert(s.contains("partial_min") || s.contains("HashAggregate"), s.take(2000))
+    val shuffles = collectAll(executed(q("q65_argmin")))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles")
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle (q05)") {
     val s = planString(q("q05_groupby_agg"))
     assert(s.contains("partial_sum") || s.contains("HashAggregate"), s.take(2000))
