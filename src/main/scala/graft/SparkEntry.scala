@@ -133,6 +133,14 @@ object SparkEntry {
       val table = snapshotTables.computeIfAbsent(dir, { d =>
         val t = s"/tmp/graft_snap_${ProcessHandle.current().pid()}_" +
           Integer.toHexString(d.hashCode)
+        // self-heal: a half-built dir from a failed earlier attempt (or
+        // a recycled PID) would shift the version numbers and wedge the
+        // require below forever — start from a clean slate
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(new java.io.File(t))
         val cust = Tables(s, d, "customer")
           .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
         sources.Snapshots.commit(s, t, cust) // v0

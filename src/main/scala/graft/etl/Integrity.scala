@@ -22,9 +22,15 @@ object Integrity {
   def report(fact: DataFrame, factName: String,
              fks: Seq[(String, DataFrame, String, String)],
              measures: Seq[String]): DataFrame = {
-    val rows =
-      fact.agg(count(lit(1)).as("value"))
-        .select(lit(s"rows_$factName").as("metric"), col("value")) +:
+    // row count and EVERY null-rate counter ride one partial aggregate
+    // (one fact scan), then the single agg row unpivots to metric rows
+    // — a per-measure agg would re-scan the fact once per metric
+    val factAggs = count(lit(1)).as(s"rows_$factName") +:
+      measures.map(m => sum(when(col(m).isNull, 1L).otherwise(0L))
+        .as(s"nulls_${factName}_$m"))
+    val factMetrics = fact.agg(factAggs.head, factAggs.tail: _*)
+      .unpivot(Array.empty, "metric", "value")
+    val rows = factMetrics +:
       (fks.map { case (_, dim, keyCol, dimName) =>
         dim.agg((count(col(keyCol)) - countDistinct(col(keyCol))).as("value"))
           .select(lit(s"dup_keys_$dimName").as("metric"), col("value"))
@@ -34,10 +40,6 @@ object Integrity {
             fact(fkCol) === col("__k"), "left_anti")
           .agg(count(lit(1)).as("value"))
           .select(lit(s"orphans_${factName}_$fkCol").as("metric"), col("value"))
-      } ++
-      measures.map { m =>
-        fact.agg(sum(when(col(m).isNull, 1L).otherwise(0L)).as("value"))
-          .select(lit(s"nulls_${factName}_$m").as("metric"), col("value"))
       })
     rows.reduce(_ unionByName _)
   }

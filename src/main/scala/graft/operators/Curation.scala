@@ -64,6 +64,11 @@ object Curation {
     * engine changes, AND corpus growth: a document keeps its split
     * forever as new data arrives — the property that prevents
     * train/test leakage across pipeline versions at 100 TB.
+    *
+    * Input columns are PRESERVED (bucket/split are appended), so the
+    * assignment is genuinely row-local — a version that projected the
+    * id alone would force every caller into a join-back shuffle to
+    * recover its own columns.
     */
   def hashSplit(df: DataFrame, idCol: String,
                 valBp: Int = 100, testBp: Int = 100): DataFrame = {
@@ -75,7 +80,6 @@ object Curation {
         when(col("bucket") < trainLim, "train")
           .when(col("bucket") < trainLim + valBp, "val")
           .otherwise("test"))
-      .select(col(idCol), col("bucket"), col("split"))
   }
 
   /** Per-stratum deterministic sampling (e.g. language quotas for a
@@ -211,7 +215,13 @@ object Curation {
         .select(cols :+ explode(expr(Text.shinglesExpr("__ws", n)))
           .as("shingle"): _*)
     val trainSh = sh(train, col(idCol))
-    val evalSh = sh(evalSet).distinct()
+    // localCheckpoint: the eval shingle set is consumed THREE times
+    // (count for sizing, bloom build, the verify join's broadcast) —
+    // materialize it once instead of re-deriving shingles per action.
+    // The TRAIN side is deliberately NOT cached: at corpus scale you
+    // scan twice (base counts, bloom-filtered hits) rather than pin
+    // trillions of shingle rows in memory.
+    val evalSh = sh(evalSet).distinct().localCheckpoint()
     // driver-side artifact, like IVF's k centroids: sized by the EVAL
     // suite's distinct shingles, never by the corpus
     val bf = evalSh.stat.bloomFilter("shingle",

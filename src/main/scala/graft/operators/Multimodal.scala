@@ -290,6 +290,38 @@ object Multimodal {
   case class VideoMeta(id: Long, n_bytes: Long, brand: String,
                        timescale: Long, duration: Long, n_tracks: Long)
 
+  /** Big-endian readers + the ONE box walker all three MP4 decoders
+    * share — a parsing fix (largesize handling, bounds checks) lands
+    * once, not per decoder.
+    */
+  private def beU32(bytes: Array[Byte], off: Int): Long =
+    java.nio.ByteBuffer.wrap(bytes).getInt(off) & 0xffffffffL
+
+  private def beU16(bytes: Array[Byte], off: Int): Long =
+    (java.nio.ByteBuffer.wrap(bytes).getShort(off) & 0xffff).toLong
+
+  /** Visit every ISO-BMFF box in [start, end): f(type, payloadStart,
+    * boxEnd). Handles `largesize` (size==1 → 64-bit) and size==0 (box
+    * extends to the end) per ISO/IEC 14496-12, and skips unknown boxes
+    * by size — what makes a walk safe on files full of `free`/`udta`/
+    * vendor boxes.
+    */
+  private def walkBoxes(bytes: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var off = start
+    while (off + 8 <= end) {
+      var size = beU32(bytes, off)
+      val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
+      var hdr = 8
+      if (size == 1) {
+        size = java.nio.ByteBuffer.wrap(bytes).getLong(off + 8); hdr = 16
+      } else if (size == 0) size = (end - off).toLong
+      require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
+      f(typ, off + hdr, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
   /** REAL video-container parse — MP4/ISO-BMFF via a hand-rolled box
     * walker (pure JVM, no codec libraries; the container layout is the
     * published ISO/IEC 14496-12 base-media format). Walks the top-level
@@ -304,26 +336,13 @@ object Multimodal {
     * (duration, track shape) before paying for any decode.
     */
   def decodeVideo(bytes: Array[Byte]): (String, Long, Long, Long) = {
-    val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
-    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
+    def u32(off: Int): Long = beU32(bytes, off)
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit =
+      walkBoxes(bytes, start, end)(f)
     var brand = ""
     var timescale = 0L
     var duration = 0L
     var tracks = 0L
-    // visit every box in [start, end): f(boxType, payloadStart, boxEnd)
-    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
-        var hdr = 8
-        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 } // largesize
-        else if (size == 0) size = (end - off).toLong // box runs to the end
-        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
-        f(typ, off + hdr, off + size.toInt)
-        off += size.toInt
-      }
-    }
     walk(0, bytes.length) { (typ, s, e) =>
       typ match {
         case "ftyp" => brand = new String(bytes, s, 4, "ISO-8859-1")
@@ -331,7 +350,8 @@ object Multimodal {
           child match {
             case "mvhd" =>
               if ((bytes(cs) & 0xff) == 1) { // v1: 64-bit times
-                timescale = u32(cs + 20); duration = bb.getLong(cs + 24)
+                timescale = u32(cs + 20)
+                duration = java.nio.ByteBuffer.wrap(bytes).getLong(cs + 24)
               } else {
                 timescale = u32(cs + 12); duration = u32(cs + 16)
               }
@@ -361,22 +381,10 @@ object Multimodal {
     * 14496-12 specifies for the file layouts in the wild.
     */
   def decodeTracks(bytes: Array[Byte]): Seq[(Long, String, Long, Long)] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes) // ISO-BMFF is big-endian
-    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
-    def u16(off: Int): Long = (bb.getShort(off) & 0xffff).toLong
-    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
-        var hdr = 8
-        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 }
-        else if (size == 0) size = (end - off).toLong
-        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
-        f(typ, off + hdr, off + size.toInt)
-        off += size.toInt
-      }
-    }
+    def u32(off: Int): Long = beU32(bytes, off)
+    def u16(off: Int): Long = beU16(bytes, off)
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit =
+      walkBoxes(bytes, start, end)(f)
     val out = Seq.newBuilder[(Long, String, Long, Long)]
     walk(0, bytes.length) {
       case ("moov", ms, me) => walk(ms, me) {
@@ -462,22 +470,10 @@ object Multimodal {
     * Returns one (frameIdx, w, h, sumR, sumG, sumB) per frame.
     */
   def decodeVideoFrames(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long)] = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    def u32(off: Int): Long = bb.getInt(off) & 0xffffffffL
-    def u16(off: Int): Long = (bb.getShort(off) & 0xffff).toLong
-    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit = {
-      var off = start
-      while (off + 8 <= end) {
-        var size = u32(off)
-        val typ = new String(bytes, off + 4, 4, "ISO-8859-1")
-        var hdr = 8
-        if (size == 1) { size = bb.getLong(off + 8); hdr = 16 }
-        else if (size == 0) size = (end - off).toLong
-        require(size >= hdr && off + size <= end, s"corrupt box '$typ' at $off")
-        f(typ, off + hdr, off + size.toInt)
-        off += size.toInt
-      }
-    }
+    def u32(off: Int): Long = beU32(bytes, off)
+    def u16(off: Int): Long = beU16(bytes, off)
+    def walk(start: Int, end: Int)(f: (String, Int, Int) => Unit): Unit =
+      walkBoxes(bytes, start, end)(f)
     val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long)]
     walk(0, bytes.length) {
       case ("moov", ms, me) => walk(ms, me) {

@@ -211,8 +211,10 @@ object TextAnalysis {
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5, k: Int = 20): DataFrame = {
     val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+    // greatest(…, 0): a zero-word document would pass slice a length of
+    // -1, which Spark rejects at runtime — clamp to an empty slice
     val bi = words.select(explode(expr(
-        "transform(slice(__ws, 1, size(__ws) - 1), " +
+        "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)), " +
           "(w, i) -> struct(w AS a, __ws[i + 1] AS b))")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val uni = words.select(explode(col("__ws")).as("w"))

@@ -797,8 +797,9 @@ object Pipeline {
         .bloomContamination(train, evalSet, "doc_id", "text", n = 8)
         .filter(col("n_contaminated") > 0L).select("doc_id")
       val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      // hashSplit preserves input columns, so the split assignment is a
+      // narrow map — no join-back shuffle to recover lang/tokens
       Curation.hashSplit(clean, "doc_id", valBp = 100, testBp = 100)
-        .join(clean.select("doc_id", "lang", "tokens"), Seq("doc_id"))
         .select("doc_id", "lang", "tokens", "bucket", "split")
     },
 
@@ -862,6 +863,7 @@ object Pipeline {
          |  FROM documents)""".stripMargin) { (s, dir) =>
       Curation.hashSplit(Tables(s, dir, "documents"), "doc_id",
         valBp = 100, testBp = 100)
+        .select("doc_id", "bucket", "split")
     },
 
     // ----- OOV rate vs a corpus-derived top-1000 vocabulary --------------

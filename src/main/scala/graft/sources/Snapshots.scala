@@ -48,6 +48,7 @@ object Snapshots {
       case '%' => "%25"
       case '\n' => "%0A"
       case '\r' => "%0D"
+      case '=' => "%3D" // meta lines split on the FIRST '=' — keys must not carry one
       case c => c.toString
     }
 
@@ -146,14 +147,27 @@ object Snapshots {
     val tmp = new Path(snapDir(table), f".v$next%08d.tmp-$token")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    // rename onto a FRESH path: if a racing writer already published
-    // this version, the rename fails instead of clobbering history
-    if (fs.exists(manifestPath(table, next)) ||
-        !fs.rename(tmp, manifestPath(table, next))) {
-      fs.delete(tmp, false)
+    // publish onto a FRESH path. On local filesystems Hadoop's rename
+    // is POSIX rename(2), which silently OVERWRITES an existing
+    // destination — an exists() pre-check is a TOCTOU race, so for
+    // file:// we publish via link(2) (atomic create-exclusive of a
+    // fully-written file) and let EEXIST name the losing writer.
+    // Non-local filesystems (HDFS and kin) reject rename-onto-existing
+    // themselves.
+    val target = manifestPath(table, next)
+    val won =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(target) && fs.rename(tmp, target)
+    fs.delete(tmp, false)
+    if (!won)
       throw new java.io.IOException(
         s"snapshot v$next already committed under $table (concurrent writer)")
-    }
     next
   }
 
@@ -205,7 +219,11 @@ object Snapshots {
     val fsz = files(spark, table, None)
       .map(f => fs.getFileStatus(new Path(table, f)).getLen).sum
     val n = math.max(1, math.ceil(fsz.toDouble / targetBytes).toInt)
-    commit(spark, table, read(spark, table).repartition(n), "overwrite")
+    // maintenance must not erase durable table properties — e.g. the
+    // exactly-once ingest guard's applied batch id — so the compacted
+    // version carries the previous version's meta forward verbatim
+    commit(spark, table, read(spark, table).repartition(n), "overwrite",
+      withMeta = meta(spark, table))
   }
 
   /** Delete all but the last `keepLast` versions and every data file no

@@ -28,7 +28,13 @@ object SnapshotIngest {
     */
   def ingestBatch(spark: SparkSession, table: String, batch: DataFrame,
                   batchId: Long): Boolean = {
-    val applied = Snapshots.meta(spark, table).get(BatchKey).map(_.toLong)
+    // scan versions newest-first for the last APPLIED batch id: an
+    // interleaved meta-less commit (a manual Snapshots.commit) must
+    // not blind the replay guard. Snapshots.compact additionally
+    // carries meta forward, so the id also survives vacuumed history.
+    val applied = Snapshots.versions(spark, table).reverseIterator
+      .map(v => Snapshots.meta(spark, table, Some(v)).get(BatchKey))
+      .collectFirst { case Some(b) => b.toLong }
     if (applied.contains(batchId)) return false
     require(applied.forall(_ < batchId),
       s"batch $batchId arrived after ${applied.get} was committed — " +

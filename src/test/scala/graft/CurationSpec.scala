@@ -180,6 +180,7 @@ class CurationSpec extends SparkSpec {
     val docs = Tables(spark, sfDir, "documents")
     def splits(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, String)] =
       Curation.hashSplit(df, "doc_id", valBp = 1000, testBp = 1000)
+        .select("doc_id", "bucket", "split")
         .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
     val a = splits(docs)
     assert(a.size.toLong == docs.count(), "every doc gets exactly one split")

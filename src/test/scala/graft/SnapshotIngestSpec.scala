@@ -54,6 +54,28 @@ class SnapshotIngestSpec extends SparkSpec {
     assert(Snapshots.meta(spark, dir)("batch_id") == "2")
   }
 
+  test("replay stays a no-op across interleaved maintenance and manual commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapmix").toString
+    assert(SnapshotIngest.ingestBatch(spark, dir, Seq(1L, 2L).toDF("k"), 0L))
+    assert(SnapshotIngest.ingestBatch(spark, dir, Seq(3L).toDF("k"), 1L))
+    // compaction commits WITHOUT ingest meta of its own — it must carry
+    // the applied batch id forward, or a crash-replay duplicates rows
+    Snapshots.compact(spark, dir, targetBytes = 1L << 30)
+    assert(!SnapshotIngest.ingestBatch(spark, dir, Seq(3L).toDF("k"), 1L),
+      "replay after compaction must still no-op")
+    // a manual meta-less append must not blind the guard either: the
+    // scan walks back past it to the last batch-bearing version
+    Snapshots.commit(spark, dir, Seq(100L).toDF("k"), "append")
+    assert(!SnapshotIngest.ingestBatch(spark, dir, Seq(3L).toDF("k"), 1L),
+      "replay after a manual commit must still no-op")
+    val got = Snapshots.read(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toList.sorted
+    assert(got == List(1L, 2L, 3L, 100L), "no duplicated rows anywhere")
+    assert(SnapshotIngest.ingestBatch(spark, dir, Seq(4L).toDF("k"), 2L),
+      "the next real batch still applies")
+  }
+
   test("out-of-order batch ids fail loudly instead of corrupting history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-snapooo").toString

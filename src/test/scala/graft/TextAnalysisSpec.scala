@@ -30,6 +30,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert((e, i, n) == ((1L, 0L, 0L)))
   }
 
+  test("collocations tolerate zero-word documents") {
+    import spark.implicits._
+    val df = Seq((1L, ""), (2L, "   "), (3L, "a b a b a b a b a b a b"))
+      .toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.collocations(
+      df, "doc_id", "text", minCount = 5, k = 5).collect()
+    assert(r.nonEmpty, "the non-empty doc's bigrams must still surface")
+  }
+
   test("short digit runs and dotted short groups are left alone") {
     val (red, e, i, n) = redactOne("v2.3.4 build 123456 of 10.1")
     assert(red == "v2.3.4 build 123456 of 10.1")
