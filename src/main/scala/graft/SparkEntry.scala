@@ -150,8 +150,54 @@ object SparkEntry {
       })
       require(sources.Snapshots.latestVersion(s, table).contains(1))
       sources.Snapshots.read(s, table, version = Some(0))
+    },
+
+    // Bucketed co-located join, END TO END: both sides pre-bucketed on
+    // the join key (bucketBy + sortBy via saveAsTable), so the
+    // recurring fact ⋈ fact join runs with ZERO exchange — bucketing is
+    // THE amortization move for repeated 100 TB joins (pay the shuffle
+    // once at write, never per query). The builder REQUIRES the plan
+    // read bucketed scans and contain no hash-partitioning exchange, so
+    // if bucket pass-through ever breaks this row goes red, not just
+    // slow. Merge hints pin SMJ: the broadcast plan a small SF would
+    // pick is exactly what 100 TB forbids. The oracle is the plain
+    // join over the original parquet — bucketed layout must be
+    // row-for-row equivalent to the source.
+    Q("qj06_bucketed_join",
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin) {
+      (s, dir) =>
+        val tag = bucketedTables.computeIfAbsent(dir, { d =>
+          val t = s"${ProcessHandle.current().pid()}_" +
+            Integer.toHexString(d.hashCode)
+          val base = s"/tmp/graft_bkt_$t"
+          Tables(s, d, "customer").select("c_custkey", "c_name")
+            .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .option("path", s"$base/cust").mode("overwrite")
+            .saveAsTable(s"bkt_cust_$t")
+          Tables(s, d, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", s"$base/ord").mode("overwrite")
+            .saveAsTable(s"bkt_ord_$t")
+          t
+        })
+        val joined = s.table(s"bkt_cust_$tag").hint("merge")
+          .join(s.table(s"bkt_ord_$tag").hint("merge"),
+            col("c_custkey") === col("o_custkey"))
+          .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        val plan = joined.queryExecution.executedPlan.toString
+        require(plan.contains("SelectedBucketsCount"),
+          "join did not read bucketed scans: " + plan.take(1000))
+        require(!plan.contains("Exchange hashpartitioning"),
+          "bucketed join must not shuffle: " + plan.take(1000))
+        joined
     }
   )
+
+  /** qj06's bucketed tables per sfDir — see the query for why. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** qj05's snapshot table per sfDir — see the query for why. */
   private val snapshotTables =

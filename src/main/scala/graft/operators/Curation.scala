@@ -289,4 +289,40 @@ object Curation {
       .withColumn("alloc", floor(col("weight") * lit(budget)).cast("long"))
       .select(col(stratumCol), col("n_docs"), col("weight"), col("alloc"))
   }
+
+  /** Deterministic seeded global shuffle: every row gets a stable
+    * training-order position `pos` in [0, n) — the reproducible corpus
+    * shuffle a training run needs (same seed → same order on any
+    * engine, any partitioning, any retry; new seed → fresh order).
+    *
+    * A naive global `row_number() OVER (ORDER BY hash)` moves the whole
+    * corpus through ONE window task. Instead the order is sharded:
+    * global order = (shard, hash, id) with shard = hash mod `shards`,
+    * so position = (rows in earlier shards) + (rank within shard).
+    * Shard ranks are PARTITIONED windows (each task sorts ~n/shards
+    * rows) and the shard offsets are a prefix sum over a `shards`-row
+    * aggregate — that tiny global window is bounded by the shard
+    * count, not the data (the SurrogateKeys tiny-dim precedent), and
+    * broadcasts back. Net: one partial-agg pass + one hash shuffle of
+    * the data, identical result to the driver-sized global sort.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+                           shards: Int = 64): DataFrame = {
+    require(shards > 0)
+    val base = df
+      .withColumn("__h",
+        Text.polyhash(concat(col(idCol).cast("string"), lit(":" + seed))))
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+    val counts = base.groupBy(col("__shard")).agg(count(lit(1)).as("__n"))
+    val offsets = counts
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.orderBy(col("__shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__shard"), col("__off"))
+    base.join(broadcast(offsets), "__shard")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__shard")).orderBy(col("__h"), col(idCol))))
+      .withColumn("pos", (col("__off") + col("__rk") - lit(1)).cast("long"))
+      .drop("__h", "__shard", "__off", "__rk")
+  }
 }

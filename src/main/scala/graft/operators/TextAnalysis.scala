@@ -276,4 +276,40 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(LongNumRe)).cast("long").as("n_numbers"))
+
+  /** Statistical-LM fluency score — the perplexity-style quality filter
+    * (docs whose word transitions are improbable under a corpus-trained
+    * bigram model are boilerplate/garble candidates), in a form that is
+    * exact across engines. `lm_score` is the per-doc mean conditional
+    * bigram probability E[P(w_i | w_{i-1})] in parts-per-`scale`:
+    * each term is the INTEGER floor division c(ab)·scale div c(a·) —
+    * no libm, no order-dependent double sums (the qt12 log-free-lift
+    * discipline; log-perplexity's ln() is library-specific in its last
+    * ulp and would break the hash gate). All intermediates fit a Long:
+    * c(ab) ≤ corpus bigrams, ×10⁹ < 2⁶³ far past 100 TB-corpus counts.
+    *
+    * Shape: the per-doc bigram counts aggregate once; the model's
+    * c(ab)/c(a·) tables derive from IT (Catalyst reuses the exchange),
+    * join back on the bigram key, then one doc-keyed partial agg — three
+    * shuffles total, every one on a key the data itself bounds.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              scale: Long = 1000000000L): DataFrame = {
+    val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+    // same slice-zip bigram shape as collocations (see that scaladoc for
+    // why not element_at-in-lambda); greatest(...,0) guards 0-word docs
+    val bi = words.select(col(idCol), explode(expr(
+        "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)), " +
+          "(w, i) -> struct(w AS a, __ws[i + 1] AS b))")).as("p"))
+      .select(col(idCol), col("p.a").as("a"), col("p.b").as("b"))
+    val db = bi.groupBy(col(idCol), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+    val cab = db.groupBy("a", "b").agg(sum(col("k")).as("c_ab"))
+    val ca = db.groupBy("a").agg(sum(col("k")).as("c_a"))
+    db.join(cab, Seq("a", "b")).join(ca, Seq("a"))
+      .groupBy(col(idCol))
+      .agg(sum(col("k")).as("n_bigrams"),
+        (sum(col("k") * expr(s"((c_ab * ${scale}L) div c_a)")).cast("double") /
+          sum(col("k"))).as("lm_score"))
+  }
 }

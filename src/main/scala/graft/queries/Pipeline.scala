@@ -866,6 +866,24 @@ object Pipeline {
         .select("doc_id", "bucket", "split")
     },
 
+    // ----- deterministic seeded corpus shuffle ---------------------------
+    // The oracle is the naive single-window global row_number — the
+    // builder must produce the IDENTICAL position via its sharded
+    // formulation (partitioned windows + a 64-row offset prefix sum),
+    // which is the proof the scalable shape equals the global sort.
+    Q("qc09_corpus_shuffle",
+      s"""WITH h AS (SELECT doc_id,
+         |  ${Text.polyhashSql("CAST(doc_id AS VARCHAR) || ':42'")} AS ph
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY ph % 64, ph, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin) { (s, dir) =>
+      Curation.deterministicShuffle(
+        Tables(s, dir, "documents").select("doc_id"),
+        "doc_id", seed = 42L, shards = 64)
+        .select("doc_id", "pos")
+    },
+
     // ----- OOV rate vs a corpus-derived top-1000 vocabulary --------------
     Q("qt09_oov_rate",
       s"""WITH w AS ($wCte),
@@ -892,6 +910,28 @@ object Pipeline {
          |FROM wd GROUP BY doc_id, bucket""".stripMargin) { (s, dir) =>
       TextAnalysis.featureHash(Tables(s, dir, "documents"), "doc_id", "text",
         dims = 64)
+    },
+
+    // ----- statistical-LM fluency score ----------------------------------
+    // Corpus-trained bigram model, per-doc mean conditional probability
+    // in parts-per-billion — the perplexity-style quality filter with
+    // every term an exact integer floor division (the qt12 log-free
+    // discipline: ln()'s last ulp is libm-specific, integer ratios are
+    // not), so the score hash-gates across engines.
+    Q("qt14_lm_score",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd,
+         |       generate_subscripts(ws, 1) AS pos FROM w),
+         |bi AS (SELECT l.doc_id, l.wrd AS a, r.wrd AS b FROM wd l JOIN wd r
+         |       ON l.doc_id = r.doc_id AND r.pos = l.pos + 1),
+         |db AS (SELECT doc_id, a, b, COUNT(*) AS k FROM bi GROUP BY doc_id, a, b),
+         |cab AS (SELECT a, b, SUM(k) AS c_ab FROM db GROUP BY a, b),
+         |ca AS (SELECT a, SUM(k) AS c_a FROM db GROUP BY a)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(k * ((c_ab * 1000000000) // c_a)) AS DOUBLE) / SUM(k) AS lm_score
+         |FROM db JOIN cab USING (a, b) JOIN ca USING (a)
+         |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      TextAnalysis.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
     // ----- collocation mining (log-free lift) ----------------------------

@@ -223,4 +223,40 @@ class CurationSpec extends SparkSpec {
       "text", fpp = 0.5))
     assert(loose == exact, "false positives must die in the verify join")
   }
+
+  test("deterministic shuffle is a stable permutation; seeds decorrelate") {
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      Curation.deterministicShuffle(df.select("doc_id"), "doc_id", seed)
+        .orderBy("pos").collect().map(_.getLong(0)).toSeq
+    val n = docs.count()
+    val o1 = order(docs, 42L)
+    assert(o1.length == n && o1.toSet.size == n.toInt,
+      "positions must be a permutation of the id set")
+    // pos really is 0..n-1 dense
+    val pos = Curation.deterministicShuffle(docs.select("doc_id"), "doc_id", 42L)
+      .selectExpr("min(pos)", "max(pos)", "count(distinct pos)").head()
+    assert(pos.getLong(0) == 0L && pos.getLong(1) == n - 1 &&
+      pos.getLong(2) == n)
+    // replay and repartition change nothing; a new seed changes the order
+    assert(order(docs, 42L) == o1, "same seed must replay identically")
+    assert(order(docs.repartition(7), 42L) == o1,
+      "order must be partitioning-independent")
+    val o2 = order(docs, 43L)
+    assert(o2 != o1, "a fresh seed must yield a fresh order")
+    assert(o2.toSet == o1.toSet)
+  }
+
+  test("lm score matches a hand computation on a tiny corpus") {
+    import spark.implicits._
+    // corpus bigrams: (a b): 2 [doc1 x2], (b a): 1, (b c): 1
+    // left counts: a->2, b->2
+    val df = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.lmScore(df, "doc_id", "text", scale = 100L)
+      .orderBy("doc_id").collect()
+    // doc1: terms ab=2*100/2=100 (x2), ba=1*100/2=50 → (100+50+100)/3
+    assert(got(0).getLong(1) == 3L &&
+      got(0).getDouble(2) == (100.0 + 50.0 + 100.0) / 3.0)
+    // doc2: bc = 1*100/2 = 50
+    assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 50.0)
+  }
 }
