@@ -293,6 +293,56 @@ object TextAnalysis {
     * join back on the bigram key, then one doc-keyed partial agg — three
     * shuffles total, every one on a key the data itself bounds.
     */
+  /** TextRank keyword extraction: PageRank over the word-adjacency
+    * graph (nodes = words, undirected edges = adjacent pairs seen at
+    * least `minCount` times), `iters` damped iterations, top-`k` words
+    * by final rank. The classic graph-centrality keyword scorer —
+    * frequent-but-promiscuous words (stopwords) rank below words that
+    * co-occur with other well-connected words.
+    *
+    * Engine-exact by FIXED-POINT INTEGER arithmetic: ranks live in
+    * parts-per-1e9 Longs; each transfer is (pr·85) div (100·deg) —
+    * integer floor division, no doubles anywhere, so a 5-iteration
+    * fixpoint hash-gates across engines (the qt12/qt14 log-free
+    * discipline applied to an ITERATIVE algorithm; the tiny floored
+    * mass leak is deterministic in both engines). Longs hold far past
+    * any real vocabulary: pr ≤ |V|·1e9 and ·85 stays < 2⁶³ up to
+    * ~10⁸ nodes; shift the fixed-point down for a larger graph.
+    *
+    * Shape: the edge list + degrees build once (two partial-agg
+    * shuffles over the corpus's own adjacency); each iteration is one
+    * vocab-keyed join + one partial agg — the plan unrolls `iters`
+    * times with the edge subtree shared via exchange reuse. No global
+    * sort: the top-k is TakeOrderedAndProject.
+    */
+  def textRank(df: DataFrame, idCol: String, textCol: String,
+               minCount: Long = 3, iters: Int = 5, k: Int = 50): DataFrame = {
+    require(iters >= 1 && iters <= 16, "unrolled plan: keep iters small")
+    val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+    val bi = words.select(explode(expr(
+        "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)), " +
+          "(w, i) -> struct(w AS a, __ws[i + 1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .select("a", "b")
+    val edges = bi.union(bi.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, "a") // (a, b, d): source, target, out-degree
+    val S = 1000000000L
+    val base = (S * 15L) / 100L
+    val pr0 = deg.select(col("a").as("w"), lit(S).as("pr"))
+    val prN = (1 to iters).foldLeft(pr0) { (pr, _) =>
+      ed.join(pr, col("a") === col("w"))
+        .groupBy(col("b"))
+        .agg((lit(base) +
+          sum(expr(s"(pr * 85L) div (100L * d)"))).as("pr"))
+        .select(col("b").as("w"), col("pr"))
+    }
+    prN.orderBy(col("pr").desc, col("w")).limit(k)
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               scale: Long = 1000000000L): DataFrame = {
     val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))

@@ -934,6 +934,35 @@ object Pipeline {
       TextAnalysis.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ----- TextRank keyword extraction -----------------------------------
+    // PageRank over the word-adjacency graph in fixed-point integer
+    // arithmetic — the oracle unrolls the same 5 damped iterations as
+    // chained CTEs (the qp03 lloyd-iteration precedent), so the gate
+    // proves an ITERATIVE graph fixpoint end-to-end, not one step.
+    Q("qt15_textrank", {
+      val iterCtes = (1 to 5).map { i =>
+        s"n$i AS (SELECT ed.b AS w, CAST(150000000 + " +
+          s"SUM((p.pr * 85) // (100 * ed.d)) AS BIGINT) AS pr " +
+          s"FROM ed JOIN n${i - 1} p ON ed.a = p.w GROUP BY ed.b)"
+      }.mkString(",\n")
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd,
+         |       generate_subscripts(ws, 1) AS pos FROM w),
+         |bi AS (SELECT l.wrd AS a, r.wrd AS b FROM wd l JOIN wd r
+         |       ON l.doc_id = r.doc_id AND r.pos = l.pos + 1
+         |       AND l.wrd != r.wrd),
+         |bc AS (SELECT a, b FROM bi GROUP BY a, b HAVING COUNT(*) >= 3),
+         |e AS (SELECT a, b FROM bc UNION SELECT b, a FROM bc),
+         |deg AS (SELECT a, COUNT(*) AS d FROM e GROUP BY a),
+         |ed AS (SELECT e.a, e.b, deg.d FROM e JOIN deg ON e.a = deg.a),
+         |n0 AS (SELECT a AS w, CAST(1000000000 AS BIGINT) AS pr FROM deg),
+         |$iterCtes
+         |SELECT w, pr FROM n5 ORDER BY pr DESC, w LIMIT 50""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.textRank(Tables(s, dir, "documents"), "doc_id", "text",
+        minCount = 3, iters = 5, k = 50)
+    },
+
     // ----- collocation mining (log-free lift) ----------------------------
     Q("qt12_collocations",
       s"""WITH w AS ($wCte),

@@ -44,4 +44,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(red == "v2.3.4 build 123456 of 10.1")
     assert((e, i, n) == ((0L, 0L, 0L)))
   }
+
+  test("textrank matches a hand-computed iteration on a star graph") {
+    import spark.implicits._
+    // words a b a c a b a c → edges (after minCount=2 + symmetrize):
+    // a-b, a-c. deg(a)=2, deg(b)=deg(c)=1. One damped iteration from
+    // pr0 = 1e9: pr(a) = 0.15e9 + 2*(1e9*85)//100 = 1_850_000_000,
+    // pr(b) = pr(c) = 0.15e9 + (1e9*85)//(100*2) = 575_000_000.
+    val df = Seq((1L, "a b a c a b a c")).toDF("doc_id", "text")
+    val one = graft.operators.TextAnalysis.textRank(
+        df, "doc_id", "text", minCount = 2, iters = 1, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(one == Map("a" -> 1850000000L, "b" -> 575000000L, "c" -> 575000000L))
+    // the hub keeps its lead at the fixpoint depth the gate uses
+    val five = graft.operators.TextAnalysis.textRank(
+        df, "doc_id", "text", minCount = 2, iters = 5, k = 1).collect()
+    assert(five.head.getString(0) == "a")
+  }
 }
