@@ -167,21 +167,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin) {
       (s, dir) =>
-        val tag = bucketedTables.computeIfAbsent(dir, { d =>
-          val t = s"${ProcessHandle.current().pid()}_" +
-            Integer.toHexString(d.hashCode)
-          val base = s"/tmp/graft_bkt_$t"
-          Tables(s, d, "customer").select("c_custkey", "c_name")
-            .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-            .option("path", s"$base/cust").mode("overwrite")
-            .saveAsTable(s"bkt_cust_$t")
-          Tables(s, d, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice")
-            .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-            .option("path", s"$base/ord").mode("overwrite")
-            .saveAsTable(s"bkt_ord_$t")
-          t
-        })
+        val tag = bucketedTable(s, dir)
         val joined = s.table(s"bkt_cust_$tag").hint("merge")
           .join(s.table(s"bkt_ord_$tag").hint("merge"),
             col("c_custkey") === col("o_custkey"))
@@ -191,9 +177,79 @@ object SparkEntry {
           "join did not read bucketed scans: " + plan.take(1000))
         require(!plan.contains("Exchange hashpartitioning"),
           "bucketed join must not shuffle: " + plan.take(1000))
+        // one file per bucket (the pre-write repartition aligns with the
+        // bucket hash), so the scans report sortBy's order and the merge
+        // join needs no Sort either: zero-exchange AND zero-sort.
+        require(!plan.contains("Sort ["),
+          "sorted buckets must pass their order through: " + plan.take(1000))
         joined
+    },
+
+    // Bucket PRUNING on the same layout: an equality predicate on the
+    // bucket key reads ONE of the 8 buckets — the plan's
+    // SelectedBucketsCount must say so — which is the point-lookup
+    // story at 100 TB (touch 1/N of the files, no index structure to
+    // maintain; composes with qj03's min/max manifest, which prunes
+    // WITHIN the selected bucket's files by range). The oracle filters
+    // the original parquet: pruning must be invisible in the result.
+    Q("qj07_bucket_pruning",
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey IN (7, 107, 1007, 2007)""".stripMargin) {
+      (s, dir) =>
+      val tag = bucketedTable(s, dir)
+      val pruned = s.table(s"bkt_ord_$tag")
+        .filter(col("o_custkey").isin(7L, 107L, 1007L, 2007L))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val plan = pruned.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      sel.findFirstMatchIn(plan) match {
+        case Some(m) =>
+          require(m.group(1).toInt < m.group(2).toInt,
+            s"bucket pruning had no effect: ${m.matched}")
+        case None =>
+          throw new IllegalStateException(
+            "scan is not bucket-pruned: " + plan.take(1000))
+      }
+      pruned
     }
   )
+
+  /** qj06/qj07's bucketed layout per sfDir: customer and orders written
+    * bucketBy(8)+sortBy on the custkey, ONE file per bucket (the
+    * repartition below uses the same hash the bucketing does, so each
+    * task holds exactly one bucket) — which is what lets the scans
+    * report their sort order and merge-join without sorting.
+    */
+  private def bucketedTable(s: SparkSession, dir: String): String = {
+    // Planning-time session confs, set (not scoped) because the driver
+    // re-plans the returned frame when it executes it later:
+    // - autoBucketedScan's AQE rule reads a bucketed table as plain
+    //   files when no join/agg wants the distribution — which also
+    //   forfeits bucket PRUNING, exactly what qj07 gates;
+    // - bucketed scans only report sortBy's order under the legacy
+    //   flag, which is sound precisely when each bucket is one file —
+    //   guaranteed by the aligned repartition below. Both only affect
+    //   bucketed-table scans, and these are the only bucketed tables.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    bucketedTables.computeIfAbsent(dir, { d =>
+      val t = s"${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
+      val base = s"/tmp/graft_bkt_$t"
+      Tables(s, d, "customer").select("c_custkey", "c_name")
+        .repartition(8, col("c_custkey"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/cust").mode("overwrite")
+        .saveAsTable(s"bkt_cust_$t")
+      Tables(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(8, col("o_custkey"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/ord").mode("overwrite")
+        .saveAsTable(s"bkt_ord_$t")
+      t
+    })
+  }
 
   /** qj06's bucketed tables per sfDir — see the query for why. */
   private val bucketedTables =
