@@ -325,4 +325,25 @@ object Curation {
       .withColumn("pos", (col("__off") + col("__rk") - lit(1)).cast("long"))
       .drop("__h", "__shard", "__off", "__rk")
   }
+
+  /** Training-corpus export: write `df` (which must carry
+    * [[deterministicShuffle]]'s `pos`) as `shards` balanced,
+    * position-sorted parquet shards under `path`/shard=NN/. A trainer
+    * streams shard files in shard order and gets exactly the seeded
+    * global order back — no shuffling at read time, resume-from-step
+    * is "skip to pos". One hash shuffle (shard assignment) + a
+    * per-shard sort bounded by the shard size; `partitionBy` keeps the
+    * shard id out of the row payload and makes per-shard re-export
+    * (a corrupted shard, an incremental append) a directory-level op.
+    */
+  def exportShards(df: DataFrame, path: String, shards: Int): DataFrame = {
+    require(shards > 0)
+    val n = df.count()
+    val per = (n + shards - 1).max(1L) / shards
+    df.withColumn("shard", (col("pos") / lit(per)).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

@@ -246,6 +246,39 @@ class CurationSpec extends SparkSpec {
     assert(o2.toSet == o1.toSet)
   }
 
+  test("shard export round-trips the seeded order, balanced and sorted") {
+    val path = "/tmp/graft_shard_export_" + ProcessHandle.current().pid()
+    val shuffled = Curation.deterministicShuffle(
+      docs.select("doc_id", "source"), "doc_id", seed = 7L)
+    val back = Curation.exportShards(shuffled, path, shards = 8)
+    val n = docs.count()
+    // the shard column partitions the directory layout, not the payload
+    assert(back.columns.toSet == Set("doc_id", "source", "pos", "shard"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    // contiguous position ranges of ceil(n/8) rows: every shard but the
+    // last is full, nothing exceeds the target size
+    val per = (n + 7) / 8
+    val sizes = back.groupBy("shard").count()
+      .orderBy("shard").collect().map(_.getLong(1))
+    assert(dirs.length == sizes.length, "one directory per used shard")
+    assert(sizes.sum == n && sizes.max <= per &&
+      sizes.init.forall(_ == per),
+      s"ceil-split shards expected, got ${sizes.toSeq}")
+    // reading shards in shard order, each file already sorted, yields
+    // the exact global order — the property a trainer relies on
+    val inOrder = back.orderBy("shard", "pos").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val want = shuffled.orderBy("pos").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(inOrder == want, "shard-major read must equal the global order")
+    // per-shard files are physically sorted by pos (no read-time sort):
+    // check one shard's raw file directly
+    val f0 = spark.read.parquet(dirs.head.getAbsolutePath)
+      .select("pos").collect().map(_.getLong(0)).toSeq
+    assert(f0 == f0.sorted, "shard file must be written pos-sorted")
+  }
+
   test("lm score matches a hand computation on a tiny corpus") {
     import spark.implicits._
     // corpus bigrams: (a b): 2 [doc1 x2], (b a): 1, (b c): 1
