@@ -74,6 +74,24 @@ object Text {
   val SimBs: IndexedSeq[Long] = (0 until 4).map(t =>
     java.lang.Long.remainderUnsigned(mix64(2L * (256 + t) + 1), Mod))
 
+  /** Johnson–Lindenstrauss Rademacher projection constants: 8 sign
+    * vectors of ±1 over the 64-dim embedding space, drawn from the same
+    * mixer stream discipline as the minhash perms (seed base 4096 —
+    * disjoint from the perm inputs 2i < 256 and the simhash inputs
+    * 512..519). Literal tables on both engines (the permSqlA pattern),
+    * so the projection is bit-identical: each dot product folds the
+    * SAME ±1·double addends in the SAME index order.
+    */
+  val JlDims = 8
+  val JlSigns: IndexedSeq[Seq[Double]] = (0 until JlDims).map { j =>
+    (0 until 64).map { i =>
+      if (((mix64(4096L + j * 64L + i) >>> 32) & 1L) == 0L) 1.0 else -1.0
+    }
+  }
+  /** DuckDB text of projection vector j as a literal list. */
+  def jlSignsSql(j: Int): String =
+    s"list_value(${JlSigns(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")})"
+
   /** Spark SQL text of the ±1 vote of word hash `h` on simhash bit `j`. */
   def simVoteExpr(h: String, j: String): String = {
     val aArr = s"array(${SimAs.map(_ + "L").mkString(",")})"

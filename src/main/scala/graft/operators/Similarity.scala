@@ -179,4 +179,21 @@ object Similarity {
       .groupBy(col("vid").as(idCol))
       .agg(expr("bool_and(__ok)").as("within_bound"))
   }
+
+  /** Johnson–Lindenstrauss random projection: 64-dim embeddings down to
+    * `Text.JlDims` = 8 dims via fixed Rademacher (±1) sign vectors —
+    * the standard cheap dimensionality reduction ahead of ANN (distances
+    * are preserved in expectation: E‖y‖² = d_out·‖x‖² for unit-variance
+    * sign entries, spec-verified on the corpus). A pure narrow map —
+    * one codegen'd dot product per output dim per row, no shuffle, no
+    * training, no model to version — which is why it's the first thing
+    * to reach for at 100 TB before IVF/PQ's trained structures.
+    * Deterministic: the sign tables are mixer-derived literals shared
+    * verbatim with the oracle SQL ([[Text.jlSignsSql]]).
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol) +: (0 until Text.JlDims).map(j =>
+      Text.dot(v, typedLit(Text.JlSigns(j))).as(s"y$j")): _*)
+  }
 }

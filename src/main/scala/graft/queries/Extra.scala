@@ -788,5 +788,49 @@ object Extra {
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n_events"), col("total_value"))
     },
+
+    // ----- time-series gap fill + forward fill ---------------------------
+    // Resample each user's events to a dense daily grid (sequence()
+    // explode over their own [first, last] span — no global calendar
+    // join) and forward-fill missing days from the last observed value.
+    // The window is PARTITIONED by user and the grid is generated
+    // row-locally, so the whole thing is one group-by, one left join
+    // and one bounded per-user window — the standard sensor/activity
+    // resampling shape at any scale. First grid day always has data
+    // (it IS the user's first event day), so the fill never yields NULL.
+    Q("q66_gap_fill",
+      s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    ${dsumSql("value")} AS day_value
+         |  FROM events GROUP BY user_id, CAST(ts AS DATE)),
+         |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+         |  FROM daily GROUP BY user_id),
+         |grid AS (SELECT user_id,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM span),
+         |j AS (SELECT g.user_id, g.day, d.day_value
+         |  FROM grid g LEFT JOIN daily d
+         |  ON g.user_id = d.user_id AND g.day = d.day)
+         |SELECT user_id, day,
+         |  LAST_VALUE(day_value IGNORE NULLS) OVER (PARTITION BY user_id
+         |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS value_ffill,
+         |  CAST(day_value IS NULL AS BIGINT) AS is_gap
+         |FROM j""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DateType
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast(DateType).as("day"))
+        .agg(dsum(col("value")).as("day_value"))
+      val grid = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("value_ffill"),
+          col("day_value").isNull.cast(LongType).as("is_gap"))
+    },
   )
 }

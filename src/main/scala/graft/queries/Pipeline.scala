@@ -1021,6 +1021,22 @@ object Pipeline {
         "vec_id", "embedding")
     },
 
+    // ----- Johnson–Lindenstrauss random projection -----------------------
+    // 64 → 8 dims through fixed Rademacher sign vectors (mixer-derived
+    // literals shared verbatim with the oracle): the train-free
+    // dimensionality reduction ahead of ANN. Both engines fold the
+    // same ±1·double addends in the same index order, so the projected
+    // coordinates hash-gate exactly.
+    Q("qs11_jl_projection",
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT vec_id, ${(0 until Text.JlDims).map(j =>
+           s"list_dot_product(v, ${Text.jlSignsSql(j)}) AS y$j").mkString(", ")}
+         |FROM e""".stripMargin) { (s, dir) =>
+      Similarity.jlProject(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
     // ----- multimodal metadata plumbing (stub decode) --------------------
     Q("qm01_multimodal_meta",
       s"""WITH f AS (SELECT doc_id, text, ${Text.polyhashSql("text")} AS fp FROM documents)

@@ -61,4 +61,23 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out == Map(1L -> true, 2L -> true))
   }
+
+  test("jl projection preserves norms in expectation") {
+    import org.apache.spark.sql.functions.{col => c, expr}
+    val emb = Tables(spark, sfDir, "embeddings")
+    val proj = Similarity.jlProject(emb, "vec_id", "embedding")
+    // E[sum_j y_j^2] = JlDims * |x|^2 for Rademacher signs; the
+    // corpus-mean ratio should sit near 1 (per-vector variance is large
+    // at d_out = 8, the mean over 500 vectors is tight)
+    val y2 = proj.select(c("vec_id"),
+      (0 until graft.functions.Text.JlDims)
+        .map(j => c(s"y$j") * c(s"y$j")).reduce(_ + _).as("ny"))
+    val x2 = emb.select(c("vec_id"), expr(
+      "aggregate(embedding, 0.0D, (a, x) -> a + CAST(x AS DOUBLE) * x)").as("nx"))
+    val ratio = y2.join(x2, "vec_id")
+      .selectExpr(s"avg(ny / (nx * ${graft.functions.Text.JlDims}))")
+      .head().getDouble(0)
+    assert(ratio > 0.8 && ratio < 1.2,
+      s"norm preservation in expectation violated: mean ratio $ratio")
+  }
 }
