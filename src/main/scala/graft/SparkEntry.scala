@@ -211,8 +211,62 @@ object SparkEntry {
             "scan is not bucket-pruned: " + plan.take(1000))
       }
       pruned
+    },
+
+    // Z-order + manifest, END TO END: lay orders out along the Morton
+    // curve of (custkey, orderkey), persist per-file min/max for BOTH,
+    // and serve a 2-D box through the conjunctive prune — each file is
+    // tight on both axes at once, so the box drops files a single-key
+    // sort could only drop on one axis (qj03's gate, lifted to the
+    // multi-column layout). As there, the builder REQUIRES fewer files
+    // in the plan than on disk; the oracle is the plain double-band
+    // filter over the source rows.
+    Q("qj08_zorder_range_read",
+      """SELECT o_orderkey, o_orderday, o_totalprice FROM (
+        |  SELECT o_orderkey,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS o_orderday,
+        |    o_totalprice
+        |  FROM orders)
+        |WHERE o_orderday BETWEEN 9556 AND 9861
+        |  AND o_totalprice BETWEEN 20000 AND 80000""".stripMargin) { (s, dir) =>
+      // The box is on DATE x PRICE — domains that do NOT grow with the
+      // scale factor (keys do), so the same literals select ~1.5% of
+      // rows at sf0.001 and at sf1 alike: the gate can never go vacuous
+      // at one scale while passing at another. Dates ride as epoch-day
+      // integers to keep the manifest's min/max compare numeric.
+      val table = zorderTables.computeIfAbsent(dir, { d =>
+        val pid = ProcessHandle.current().pid()
+        val t = s"/tmp/graft_zorder_${pid}_${Integer.toHexString(d.hashCode)}"
+        Tables(s, d, "orders")
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+              .cast("long").as("o_orderday"),
+            col("o_totalprice"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(t)
+        val total = new java.io.File(t).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+        operators.Maintenance.zorderCompact(s, t,
+          zorderCols = Seq("o_orderday", "o_totalprice"),
+          targetBytes = math.max(4L << 10, total / 8))
+        sources.StatsManifest.write(s, t, Seq("o_orderday", "o_totalprice"))
+        t
+      })
+      val pruned = sources.StatsManifest.multiRangeRead(s, table,
+        Seq(("o_orderday", "9556", "9861"), ("o_totalprice", "20000", "80000")))
+      val onDisk = new java.io.File(table).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val planned = pruned.inputFiles.length
+      require(planned < onDisk,
+        s"z-order prune had no effect: $planned of $onDisk files planned")
+      pruned
     }
   )
+
+  /** qj08's z-ordered table per sfDir — see the query for why. */
+  private val zorderTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** qj06/qj07's bucketed layout per sfDir: customer and orders written
     * bucketBy(8)+sortBy on the custkey, ONE file per bucket (the

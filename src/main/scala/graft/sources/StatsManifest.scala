@@ -269,9 +269,24 @@ object StatsManifest {
     * construction; the prune spec asserts both).
     */
   def rangeRead(spark: SparkSession, table: String, column: String,
-                lo: String, hi: String): DataFrame = {
+                lo: String, hi: String): DataFrame =
+    multiRangeRead(spark, table, Seq((column, lo, hi)))
+
+  /** Conjunctive multi-column range read: a file survives only if its
+    * [min, max] intersects EVERY predicate's band — the read shape a
+    * z-ordered layout exists to serve (each Morton-curve file is tight
+    * on all clustered columns at once, so a 2-D box skips most files
+    * where a single-key sort skips on one axis only). Same exactness
+    * contract as [[rangeRead]]: the prune is a superset filter and the
+    * typed predicates re-apply in full.
+    */
+  def multiRangeRead(spark: SparkSession, table: String,
+                     preds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val files = candidateFiles(spark, table, column, lo, hi)
+    require(preds.nonEmpty)
+    val files = preds
+      .map { case (c, lo, hi) => candidateFiles(spark, table, c, lo, hi).toSet }
+      .reduce(_ intersect _).toSeq.sorted
     // basePath keeps directory-partition columns in the schema when the
     // scan is built from explicit leaf files — without it a partitioned
     // table's pruned read would drop (or fail to resolve) those columns
@@ -279,7 +294,9 @@ object StatsManifest {
     val base =
       if (files.isEmpty) spark.read.parquet(table).limit(0)
       else spark.read.option("basePath", table).parquet(files: _*)
-    val t = base.schema(column).dataType
-    base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      val t = df.schema(c).dataType
+      df.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
+    }
   }
 }
