@@ -362,4 +362,51 @@ object TextAnalysis {
         (sum(col("k") * expr(s"((c_ab * ${scale}L) div c_a)")).cast("double") /
           sum(col("k"))).as("lm_score"))
   }
+
+  /** Sparse TF-IDF cosine similarity join: each document is signed by
+    * its top-`k` TF-IDF terms (integer weights w = tf·N·`scale` div df,
+    * the topTerms log-free discipline) and pairs scoring cosine ≥
+    * `minSim` over those sparse signatures surface — semantic near-dup
+    * candidates through an INVERTED INDEX (self-join on the term), the
+    * sparse counterpart to qs02's dense-embedding join. Capping vectors
+    * at k terms is what bounds the index: a term's posting list only
+    * holds docs that rank it top-k, so stopwords (high df → low w)
+    * vanish from the index instead of generating df² candidate pairs.
+    *
+    * Exactness: weights, dot products and squared norms are all Longs
+    * (≤ k products of two ≤ tf·N·scale values — far under 2⁶³ here;
+    * shrink `scale` past ~10⁸ docs), norms go sqrt(double) which is
+    * IEEE-correctly-rounded, and the oracle hops its HUGEINT sums
+    * through STRING so both engines round the identical integer.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 5, scale: Long = 10L,
+                        minSim: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol), explode(expr(Text.wordsExpr(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
+    val nDocs = df.agg(count(lit(1)).as("__n"))
+    val wt = tf.join(dfreq, "__w").crossJoin(broadcast(nDocs))
+      .withColumn("__wv", expr(s"(__tf * __n * ${scale}L) div __df"))
+    val top = wt.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__wv").desc, col("__w"))))
+      .filter(col("__rn") <= k)
+      .select(col(idCol).as("__doc"), col("__w"), col("__wv"))
+    val nrm = top.groupBy("__doc")
+      .agg(sqrt(sum(col("__wv") * col("__wv")).cast("double")).as("__nrm"))
+    val a = top.select(col("__doc").as("doc_a"), col("__w"),
+      col("__wv").as("__wa"))
+    val b = top.select(col("__doc").as("doc_b"), col("__w"),
+      col("__wv").as("__wb"))
+    a.join(b, Seq("__w")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+      .join(nrm.select(col("__doc").as("doc_a"), col("__nrm").as("__na")), "doc_a")
+      .join(nrm.select(col("__doc").as("doc_b"), col("__nrm").as("__nb")), "doc_b")
+      .withColumn("sim",
+        col("__dot").cast("double") / (col("__na") * col("__nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
 }
