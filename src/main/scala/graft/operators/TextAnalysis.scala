@@ -378,6 +378,14 @@ object TextAnalysis {
     * shrink `scale` past ~10⁸ docs), norms go sqrt(double) which is
     * IEEE-correctly-rounded, and the oracle hops its HUGEINT sums
     * through STRING so both engines round the identical integer.
+    *
+    * Cost model: EXACT over the candidate set, so work grows with pair
+    * density — a near-dup cluster of m copies shares signature terms
+    * and contributes O(m²) candidates (measured: 4× near-dup copies at
+    * sf1 → ~16× the join, the qd02/qs02 growth law). The top-k cap
+    * bounds the per-TERM posting list, not cluster quadratics; compose
+    * exact dedup first (the qp01 discipline) or use minhash banding
+    * (qd05) when clusters are large.
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, scale: Long = 10L,

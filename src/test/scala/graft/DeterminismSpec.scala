@@ -13,11 +13,12 @@ class DeterminismSpec extends SparkSpec {
 
   // one per family: grouped decimal agg, windowed running decimal sum,
   // banded minhash + exact verify, exploded decimal centroid mean,
-  // two-phase prefix-sum packing, weighted hash sampling, histogram
+  // two-phase prefix-sum packing, weighted hash sampling, histogram,
+  // unrolled iterative graph fixpoint, sharded global rank
   private val sampled = Seq(
     "q05_groupby_agg", "q39_window_frames", "qd05_minhash_lsh",
     "qs07_label_centroids", "qc02_pack_budget", "qc05_weighted_sample",
-    "q59_histogram")
+    "q59_histogram", "qt15_textrank", "qc09_corpus_shuffle")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
