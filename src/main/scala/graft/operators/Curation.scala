@@ -338,12 +338,26 @@ object Curation {
     */
   def exportShards(df: DataFrame, path: String, shards: Int): DataFrame = {
     require(shards > 0)
-    val n = df.count()
-    val per = (n + shards - 1).max(1L) / shards
-    df.withColumn("shard", (col("pos") / lit(per)).cast("int"))
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("pos"))
-      .write.partitionBy("shard").mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    // the count and the write both walk the (expensive: shuffle +
+    // window) shuffle lineage — materialize it once
+    val cached = df.persist()
+    try {
+      val n = cached.count()
+      if (n == 0L) {
+        // an all-partition-column write emits no data files and the
+        // read-back cannot infer a schema — short-circuit with the
+        // same shape the read-back would have
+        return cached.withColumn("shard", lit(0).cast("int")).limit(0)
+      }
+      val per = ((n + shards - 1) / shards).max(1L)
+      cached.withColumn("shard", (col("pos") / lit(per)).cast("int"))
+        // range partitioning puts exactly one shard id per task; a hash
+        // repartition over the tiny 0..shards-1 domain collides ids
+        // into the same task and leaves others empty (skewed writes)
+        .repartitionByRange(shards, col("shard"))
+        .sortWithinPartitions(col("shard"), col("pos"))
+        .write.partitionBy("shard").mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+    } finally cached.unpersist()
   }
 }

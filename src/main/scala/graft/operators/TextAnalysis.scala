@@ -395,8 +395,22 @@ object TextAnalysis {
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
     val nDocs = df.agg(count(lit(1)).as("__n"))
+    // loud in-plan overflow guard (the degenerate-bucket precedent):
+    // the k-term dot and squared norm must fit a Long, so every weight
+    // must stay under sqrt(Long.Max / k) — past that (≈10⁸ docs at this
+    // scale) the sums would silently wrap where the oracle's HUGEINT
+    // would not. Fail the query, naming the remedy, instead.
+    val maxW = math.sqrt(Long.MaxValue.toDouble / k).toLong - 1
+    // the numerator check must come FIRST: a wrapped tf·N·scale can
+    // land back in [0, maxW] and slip through a weight-only bound
+    val numOk = col("__tf") <= lit(Long.MaxValue / scale) / col("__n")
     val wt = tf.join(dfreq, "__w").crossJoin(broadcast(nDocs))
       .withColumn("__wv", expr(s"(__tf * __n * ${scale}L) div __df"))
+      .withColumn("__guard", assert_true(numOk && col("__wv") <= maxW,
+        lit(s"TF-IDF weight exceeds the Long-exact bound $maxW: " +
+          "shrink `scale` for this corpus size")))
+      .filter(col("__guard").isNull) // NULL on success; keeps the assert alive
+      .drop("__guard")
     val top = wt.withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__wv").desc, col("__w"))))
       .filter(col("__rn") <= k)

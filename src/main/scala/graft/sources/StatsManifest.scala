@@ -284,15 +284,29 @@ object StatsManifest {
                      preds: Seq[(String, String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(preds.nonEmpty)
-    val files = preds
-      .map { case (c, lo, hi) => candidateFiles(spark, table, c, lo, hi).toSet }
-      .reduce(_ intersect _).toSeq.sorted
+    // ONE listing, narrowed per predicate over the SAME universe — two
+    // independent listings intersected would silently drop a file a
+    // concurrent writer commits between them (it appears only in the
+    // later listing), violating the never-lose-rows contract that
+    // unknown-to-the-manifest files are conservatively kept.
+    val fs = manifestPath(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val universe = listDataFiles(spark, fs, table)
+    val files = preds.foldLeft(universe) { case (fl, (c, lo, hi)) =>
+      filterByStats(spark, table, fl, c, lo, hi)
+    }
     // basePath keeps directory-partition columns in the schema when the
     // scan is built from explicit leaf files — without it a partitioned
     // table's pruned read would drop (or fail to resolve) those columns
-    // and break the documented full-scan+filter equivalence
+    // and break the documented full-scan+filter equivalence. The
+    // everything-pruned case builds a schema-only empty frame: a
+    // limit(0) over the table would still PLAN every file, and a
+    // caller's planned-vs-on-disk prune assert would invert exactly
+    // when pruning worked best.
     val base =
-      if (files.isEmpty) spark.read.parquet(table).limit(0)
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          spark.read.parquet(table).schema)
       else spark.read.option("basePath", table).parquet(files: _*)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       val t = df.schema(c).dataType

@@ -277,6 +277,10 @@ class CurationSpec extends SparkSpec {
     val f0 = spark.read.parquet(dirs.head.getAbsolutePath)
       .select("pos").collect().map(_.getLong(0)).toSeq
     assert(f0 == f0.sorted, "shard file must be written pos-sorted")
+    // an empty corpus exports cleanly (a partition-only write has no
+    // data files to re-read a schema from — the short-circuit path)
+    val none = Curation.exportShards(shuffled.limit(0), path + "_empty", 8)
+    assert(none.count() == 0 && none.columns.contains("shard"))
   }
 
   test("lm score matches a hand computation on a tiny corpus") {
