@@ -34,6 +34,49 @@ object Etl {
       Sessions.batchSessions(Tables(s, dir, "events"))
     },
 
+    // ----- peak concurrent sessions per day ------------------------------
+    // Interval-overlap sweep over the gap-based sessions: +1/-1 points
+    // clipped to each spanned day, running sum in a day-partitioned
+    // window, MAX per day. Epoch-microsecond Longs end to end, +1
+    // ordered before -1 at ties — engine-exact (see
+    // Sessions.peakConcurrency).
+    Q("q67_peak_concurrency",
+      s"""WITH o AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              > INTERVAL 30 MINUTE
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts,
+         |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+         |  FROM o),
+         |iv AS (
+         |  SELECT user_id, session_seq,
+         |    epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+         |  FROM s GROUP BY user_id, session_seq),
+         |dy AS (
+         |  SELECT user_id, session_seq, st, en,
+         |    unnest(generate_series(st // 86400000000, en // 86400000000)) AS day
+         |  FROM iv),
+         |pt AS (
+         |  SELECT day, greatest(st, day * 86400000000) AS t,
+         |    CAST(1 AS BIGINT) AS delta, user_id, session_seq FROM dy
+         |  UNION ALL
+         |  SELECT day, least(en, (day + 1) * 86400000000 - 1) AS t,
+         |    CAST(-1 AS BIGINT) AS delta, user_id, session_seq FROM dy),
+         |rn AS (
+         |  SELECT day, SUM(delta) OVER (PARTITION BY day
+         |    ORDER BY t, delta DESC, user_id, session_seq
+         |    ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM pt)
+         |SELECT day, CAST(MAX(run) AS BIGINT) AS peak_concurrency
+         |FROM rn GROUP BY day""".stripMargin) { (s, dir) =>
+      Sessions.peakConcurrency(Tables(s, dir, "events"))
+    },
+
     // ----- full dimensional ETL: dims -> fact -> rollup ------------------
     Q("q32_star_etl",
       s"""WITH dimc AS (
