@@ -45,6 +45,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert((e, i, n) == ((0L, 0L, 0L)))
   }
 
+  test("winnow near-dup pairs find quoted passages, not shared boilerplate") {
+    import spark.implicits._
+    val quote = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val boiler = "standard footer text appended to every single document here"
+    // docs 1 and 2 share the long quote inside otherwise-distinct text;
+    // doc 3 is unrelated; ALL docs share the boilerplate footer
+    val docs = Seq(
+      (1L, s"alpha bravo charlie $quote delta echo $boiler"),
+      (2L, s"zulu yankee xray wh $quote victor uniform $boiler"),
+      (3L, s"completely different content about ships and harbors $boiler"),
+      (4L, s"another unrelated piece on mountain weather patterns $boiler"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.TextAnalysis.winnowNearDupPairs(
+        docs, "doc_id", "text", k = 5, w = 4, maxDf = 3, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the quoted passage must pair 1 and 2")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L || p._2 == 4L),
+      s"boilerplate-only overlap must not pair: $pairs")
+    // with the exclusion disabled, the shared footer DOES pair everyone —
+    // proving the maxDf cut is what kept the boilerplate out
+    val loose = graft.operators.TextAnalysis.winnowNearDupPairs(
+        docs, "doc_id", "text", k = 5, w = 4, maxDf = 100, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.size > pairs.size, "footer fingerprints should pair without the cap")
+  }
+
   test("textrank matches a hand-computed iteration on a star graph") {
     import spark.implicits._
     // words a b a c a b a c → edges (after minCount=2 + symmetrize):
