@@ -399,4 +399,47 @@ object MediaFixtures {
     Files.write(Paths.get(videoTracksCsv), tb.toString.getBytes)
     Files.write(Paths.get(videoFramesCsv), vfb.toString.getBytes)
   }
+
+  // ----- WebDataset-style tar shards over the media fixtures -----------
+
+  val TarVersion = 1
+
+  def tarDir: String = s"$root/tar"
+
+  def tarCsv: String = s"$tarDir/expected_tar.csv"
+
+  /** Pack the media fixtures into 4 tar shards (round-robin, so every
+    * shard mixes modalities like a real WebDataset) and record a
+    * per-entry sidecar (name, size, 4-byte magic) AT PACK TIME — the
+    * qm02 sidecar-oracle pattern: a reader must reproduce these exact
+    * values from the tar bytes alone.
+    */
+  def ensureTars(): String = synchronized {
+    ensure()
+    val marker = Paths.get(tarDir, "VERSION")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == TarVersion.toString
+    if (!fresh) {
+      Files.createDirectories(Paths.get(tarDir))
+      val files = new java.io.File(root).listFiles()
+        .filter(f => f.getName.matches(".*\\.(png|wav|mp4)$"))
+        .sortBy(_.getName)
+      val shards = 4
+      val sb = new StringBuilder("entry,n_bytes,magic\n")
+      (0 until shards).foreach { s =>
+        val entries = files.zipWithIndex.filter(_._2 % shards == s)
+          .map { case (f, _) =>
+            val bytes = Files.readAllBytes(f.toPath)
+            val magic = bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
+            sb.append(s"${f.getName},${bytes.length},$magic\n")
+            f.getName -> bytes
+          }
+        graft.sources.TarShards.writeTar(
+          f"$tarDir/shard-$s%03d.tar", entries.toSeq)
+      }
+      Files.write(Paths.get(tarCsv), sb.toString.getBytes)
+      Files.write(marker, TarVersion.toString.getBytes)
+    }
+    tarDir
+  }
 }

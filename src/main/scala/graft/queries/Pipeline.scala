@@ -1148,6 +1148,22 @@ object Pipeline {
          |    'sum_g': 'BIGINT', 'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.videoFrameFeatures(s, MediaFixtures.ensure())
     },
+    // ----- WebDataset-style tar shards -----------------------------------
+    // Media fixtures packed into 4 round-robin tar shards; the pure-JVM
+    // USTAR parser must reproduce every entry's name, size and 4-byte
+    // magic, recorded at PACK time (the qm02 sidecar-oracle pattern).
+    // Shards are the parallelism unit — the WebDataset loading contract.
+    Q("qm09_tar_shards",
+      s"""SELECT entry, n_bytes, magic
+         |FROM read_csv('${MediaFixtures.tarCsv}', header=true,
+         |  columns={'entry': 'VARCHAR', 'n_bytes': 'BIGINT',
+         |    'magic': 'VARCHAR'})""".stripMargin) { (s, _) =>
+      graft.sources.TarShards.read(s, MediaFixtures.ensureTars())
+        .select(col("entry"),
+          length(col("content")).cast("long").as("n_bytes"),
+          hex(expr("substring(content, 1, 4)")).as("magic"))
+    },
+
     Q("qm07_audio_features",
       s"""SELECT media_id, n_frames, sum_ch0, sum_ch1, peak
          |FROM read_csv('${MediaFixtures.audioFeaturesCsv}', header=true,
