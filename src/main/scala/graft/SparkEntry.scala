@@ -100,6 +100,17 @@ object SparkEntry {
       pruned
     },
 
+    // JSONL SINK round trip (the qj02 ORC pattern, text edition): the
+    // documents corpus written as gzipped JSON-lines — the de-facto
+    // corpus release format — and scanned back with a declared schema
+    // must hash-equal the oracle's direct parquet read, putting JSON
+    // escaping, unicode and long fidelity on the hook.
+    Q("qj09_jsonl_sink",
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      sources.Jsonl.readDocs(s, dir)
+    },
+
     // Salted join ≡ plain join, oracle-gated: the manual skew
     // mitigation for a key known hot in ADVANCE (one mega-customer,
     // the null bucket) — the large side salts each row into one of 8

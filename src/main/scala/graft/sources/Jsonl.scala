@@ -58,4 +58,45 @@ object Jsonl {
     */
   def read(spark: SparkSession): DataFrame =
     spark.read.schema(schema).json(ensure())
+
+  // ----- SINK direction: corpus export as gzipped JSONL ----------------
+
+  /** Bump when the export recipe changes. */
+  val DocsVersion = 1
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docsDir(sfDir: String): String =
+    s"$root/${Paths.get(sfDir).getFileName}/documents"
+
+  /** Materialize (once per sf dir) the documents corpus as gzipped
+    * JSON-lines — the de-facto text-corpus release format — and return
+    * the directory. Per-file gzip keeps files whole-file-decompressed
+    * (not splittable) but shard-parallel, which is exactly how released
+    * corpora ship; the qj09 gate proves the ROUND TRIP (parquet →
+    * .json.gz → declared-schema scan hash-equals the oracle's direct
+    * parquet read), so JSON string escaping, unicode, and long fidelity
+    * are all on the hook.
+    */
+  def ensureDocs(spark: SparkSession, sfDir: String): String = synchronized {
+    val d = docsDir(sfDir)
+    val marker = Paths.get(s"$d.VERSION")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == DocsVersion.toString
+    if (!fresh) {
+      graft.Tables(spark, sfDir, "documents")
+        .write.mode("overwrite").option("compression", "gzip").json(d)
+      Files.write(marker, DocsVersion.toString.getBytes)
+    }
+    d
+  }
+
+  /** Declared-schema scan of the exported corpus. */
+  def readDocs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(docsSchema).json(ensureDocs(spark, sfDir))
 }
