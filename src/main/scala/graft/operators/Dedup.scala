@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -92,6 +93,59 @@ object Dedup {
       .localCheckpoint()
     sh.unpersist()
     result
+  }
+
+  /** SPAN-level exact substring dedup (the "dedup training data at the
+    * substring level" operator): every maximal token range of a doc
+    * that is covered by length-`l` token windows also occurring in at
+    * least `minDocs` DISTINCT documents. Catches what doc-level dedup
+    * structurally can't — shared boilerplate headers, quoted passages,
+    * licence blocks — without requiring whole-doc similarity.
+    *
+    * Shape: all l-token windows with their start position (one
+    * zip_with-of-slices pass per row, the ngramsExpr discipline), a
+    * window-content group-by keeping grams seen in >= minDocs docs
+    * (partial-agg; the one corpus-wide shuffle, keyed on the gram),
+    * a semi-join back to positions, then per-doc gaps-and-islands
+    * (lag + running sum over a doc-partitioned window — never global)
+    * merging overlapping-or-adjacent windows into maximal spans
+    * `[span_start, span_end)`. Two interval unions are contiguous iff
+    * the next start is <= the previous start + l, which with
+    * equal-length sorted windows is exactly the lag test.
+    *
+    * Cross-doc semantics: a window repeated only WITHIN one doc does
+    * not flag (count distinct docs, not occurrences) — within-doc
+    * repetition is TextAnalysis.repetition's job. Exactness groups on
+    * the raw gram text; at 100 TB the same plan runs keyed on a
+    * 128-bit content hash (collision-negligible) so the shuffle
+    * carries 16 bytes per window instead of the gram.
+    */
+  def dupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      l: Int = 8, minDocs: Int = 2): DataFrame = {
+    val g = df
+      .withColumn("__ws", expr(Text.wordsExpr(textCol)))
+      .filter(size(col("__ws")) >= l)
+      .select(col(idCol),
+        posexplode(expr(Text.ngramsExpr("__ws", l))).as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("gram"))
+    val dup = g.groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val hits = g.join(dup, Seq("gram"), "left_semi")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= l, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + l).as("span_end"),
+        (max(col("pos")) + l - min(col("pos"))).as("span_tokens"))
+    spans.select(col(idCol), col("span_start"), col("span_end"),
+      col("span_tokens"))
   }
 
   /** Exact pairwise n-gram Jaccard, PPJoin-style prefix filtering.

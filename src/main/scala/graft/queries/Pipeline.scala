@@ -103,6 +103,34 @@ object Pipeline {
         n = 3, threshold = 0.6)
     },
 
+    // ----- span-level exact substring dedup ------------------------------
+    // Maximal token ranges covered by 8-token windows that occur in
+    // >= 2 distinct docs (shared boilerplate/quotes that doc-level
+    // dedup can't see). Oracle mirrors the plan: windows w/ positions,
+    // cross-doc duplicated window set, per-doc gaps-and-islands merge.
+    Q("qd13_dup_spans", {
+      val L = 8
+      s"""WITH w AS ($wCte),
+         |g AS (SELECT doc_id, unnest(range(1, len(ws) - $L + 2)) AS i, ws
+         |      FROM w WHERE len(ws) >= $L),
+         |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         array_to_string(ws[i:i+$L-1], ' ') AS gram FROM g),
+         |dup AS (SELECT gram FROM g2 GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    <= $L THEN 0 ELSE 1 END AS brk FROM d),
+         |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + $L AS span_end,
+         |  max(pos) + $L - min(pos) AS span_tokens
+         |FROM sp GROUP BY doc_id, grp""".stripMargin
+    }) { (s, dir) =>
+      Dedup.dupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        l = 8, minDocs = 2)
+    },
+
     Q("qd09_ngram_prefix",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),

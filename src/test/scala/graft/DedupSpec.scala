@@ -23,6 +23,43 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("dupSpans finds maximal cross-doc duplicated token spans only") {
+    import spark.implicits._
+    // doc 1 & 2 share a 12-token run (u0..u11 / shared0..11 overlap);
+    // doc 3 repeats its own 8-gram twice but shares nothing cross-doc
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val d1 = s"a0 a1 a2 $shared z0 z1"
+    val d2 = s"b0 $shared y0 y1 y2"
+    val rep = (0 until 8).map(i => s"r$i").mkString(" ")
+    val d3 = s"$rep c0 $rep"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", l = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: shared run covers token positions [3, 15); windows with
+    // start 3..7 are duplicated (each fully inside the shared run), so
+    // the merged span is [3, 7+8) = [3, 15) — exactly the shared text
+    // doc 2: same run at [1, 13)
+    // doc 3: within-doc repetition only -> no cross-doc span
+    assert(out == Set((1L, 3L, 15L), (2L, 1L, 13L)))
+  }
+
+  test("dupSpans merges adjacent-but-not-overlapping duplicated windows") {
+    import spark.implicits._
+    // two length-8 shared runs placed back to back in doc 1 (positions
+    // [0,8) and [8,16)) but coming from DIFFERENT partner docs — the
+    // islands merge because window starts 0 and 8 satisfy gap <= l
+    val runA = (0 until 8).map(i => s"p$i").mkString(" ")
+    val runB = (0 until 8).map(i => s"q$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$runA $runB"),
+      (2L, s"x0 x1 $runA"),
+      (3L, s"$runB x2 x3")).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(df, "doc_id", "text", l = 8, minDocs = 2)
+      .filter(col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 16L)))
+  }
+
   test("a mass-duplicated document trips the degenerate-bucket guard; " +
     "exact-dedup-first composes past it") {
     import spark.implicits._
