@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Distributed byte-pair-encoding tokenizer training and application —
+  * the "train the tokenizer on the corpus you just curated" step of a
+  * training-data pipeline.
+  *
+  * Scale shape: the ONLY corpus-wide pass is the word-frequency
+  * aggregate (one partial-agg shuffle keyed on the word). Every merge
+  * iteration after that runs on the DISTINCT-WORD table — vocabulary-
+  * sized, orders of magnitude smaller than the corpus — so `numMerges`
+  * iterations cost `numMerges` small jobs, not `numMerges` corpus
+  * scans. Encoding inverts the same trick: tokenize each distinct word
+  * once, then broadcast/hash-join the per-word token arrays back onto
+  * the corpus positions.
+  *
+  * Semantics (GPT-2-style word-internal BPE): words are the
+  * whitespace tokens of [[Text.wordsExpr]]; merges never cross a word
+  * boundary; the initial symbol alphabet is the word's characters (no
+  * end-of-word sentinel — the word boundary itself is the sentinel
+  * here since merges are word-local). Each training iteration counts
+  * adjacent symbol pairs weighted by word frequency, picks the
+  * globally most frequent pair (ties broken lexicographically so the
+  * learned table is deterministic), and rewrites every word's symbol
+  * array with that pair merged left-to-right non-overlapping.
+  */
+object Bpe {
+
+  /** (word, freq) over the whole corpus — the one corpus-wide shuffle. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(expr(Text.wordsExpr(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol arrays: one single-character symbol per char. */
+  def initSymbols(wf: DataFrame): DataFrame =
+    wf.withColumn("syms",
+      filter(split(col("word"), ""), x => x =!= lit("")))
+
+  /** Adjacent-pair counts weighted by word frequency: (a, b, cnt).
+    * The zip_with-of-slice pairs each symbol with its successor in one
+    * per-row pass (the ngramsExpr discipline); the count rides a
+    * partial-agg group-by on the pair.
+    */
+  def pairCounts(syms: DataFrame): DataFrame =
+    syms.select(col("freq"),
+        explode(zip_with(col("syms"),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(1))),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .filter(col("p.b").isNotNull)
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One merge rule applied to a symbol array: adjacent (a, b) becomes
+    * the concatenated symbol, scanning left to right non-overlapping
+    * (the standard BPE application order — `aab` under (a,a) gives
+    * [aa, b], never [a, ab]). A fold over the array: append each
+    * symbol, but when the accumulator's last element is `a` and the
+    * incoming symbol is `b`, replace that last element with `ab`. The
+    * pair arrives as Columns (lit() from the caller), never spliced
+    * into SQL text, so arbitrary corpus symbols are safe.
+    */
+  def mergeOne(syms: Column, a: Column, b: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `numMerges` merge rules from the corpus, in priority order.
+    *
+    * Each iteration: one pair-count aggregate over the vocab table and
+    * a ONE-ROW collect (the argmax pair — bounded driver data), then a
+    * vocabulary rewrite materialized with localCheckpoint so the plan
+    * stays one merge deep instead of accreting `numMerges` nested
+    * folds. Stops early when no adjacent pair remains.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    var vocab = initSymbols(wordFreqs(df, textCol))
+      .select("freq", "syms").localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = vocab.withColumn("syms",
+          mergeOne(col("syms"), lit(a), lit(b))).localCheckpoint()
+        vocab.unpersist()
+        vocab = next
+      }
+      i += 1
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Tokenize each distinct word with the learned merges (in priority
+    * order), checkpointing every few rules to bound plan depth.
+    */
+  def tokenizeVocab(words: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    merges.zipWithIndex.foldLeft(initSymbols(words)) { case (v, ((a, b), i)) =>
+      val next = v.withColumn("syms", mergeOne(col("syms"), lit(a), lit(b)))
+      if ((i + 1) % 8 == 0) next.localCheckpoint() else next
+    }
+
+  /** Encode the corpus: (id, tokens, n_tokens) per document, tokens in
+    * document order. Per-word token arrays come from the vocab join
+    * (AQE broadcasts the vocab side when small); document order is
+    * restored by sorting the collected (pos, tokens) structs — a
+    * per-doc aggregation, never a global sort.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val w = df.select(col(idCol),
+      posexplode(expr(Text.wordsExpr(textCol))).as(Seq("pos", "word")))
+    val tok = tokenizeVocab(w.select("word").distinct(), merges)
+      .select(col("word"), col("syms"))
+    w.join(tok, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("syms")))),
+        x => x.getField("syms"))).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
+}

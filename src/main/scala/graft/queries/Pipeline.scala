@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline suite: dedup, similarity search, text
   * analysis, multimodal plumbing over the `documents` and `embeddings`
@@ -989,6 +989,26 @@ object Pipeline {
     }) { (s, dir) =>
       TextAnalysis.textRank(Tables(s, dir, "documents"), "doc_id", "text",
         minCount = 3, iters = 5, k = 50)
+    },
+
+    // ----- BPE tokenizer training: the pair-count aggregate --------------
+    // The inner loop of distributed BPE training: adjacent symbol
+    // pairs over the DISTINCT-WORD table, weighted by corpus word
+    // frequency. This is the per-iteration aggregate the trainer
+    // argmaxes; the full k-merge loop and encode are spec-verified
+    // (BpeSpec) since the learned table is data-dependent and the
+    // oracle SQL is a static string.
+    Q("qt16_bpe_pairs",
+      s"""WITH w AS ($wCte),
+         |u AS (SELECT unnest(ws) AS word FROM w),
+         |f AS (SELECT word, count(*) AS freq FROM u GROUP BY word),
+         |c AS (SELECT freq, string_split(word, '') AS cs FROM f),
+         |p AS (SELECT freq, cs, unnest(range(1, len(cs))) AS i FROM c
+         |      WHERE len(cs) >= 2)
+         |SELECT cs[i] AS a, cs[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM p GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Bpe.pairCounts(Bpe.initSymbols(
+        Bpe.wordFreqs(Tables(s, dir, "documents"), "text")))
     },
 
     // ----- collocation mining (log-free lift) ----------------------------

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  // the classic BPE teaching corpus (word freqs: low 5, lower 2,
+  // newest 6, widest 3) — first merges are hand-derivable
+  private def corpus = {
+    import spark.implicits._
+    Seq((1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("train learns the hand-derived merges in priority order") {
+    // pair counts round 1: es=9, st=9 (tie -> lexicographic (e,s)),
+    // lo=7, ow=7, we=8; round 2: est=9; round 3: lo=7 ties ow=7 -> lo
+    val merges = Bpe.train(corpus, "text", 3)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("train stops early when no pairs remain") {
+    import spark.implicits._
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // one merge collapses 'ab' to a single symbol; no pairs remain
+    val merges = Bpe.train(tiny, "text", 10)
+    assert(merges == Seq(("a", "b")))
+  }
+
+  test("mergeOne applies left-to-right non-overlapping (aab under (a,a))") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq("a", "a", "b"))).toDF("syms")
+    val out = df.select(
+        Bpe.mergeOne(col("syms"), lit("a"), lit("a")).as("m"))
+      .head().getSeq[String](0)
+    assert(out == Seq("aa", "b"))
+  }
+
+  test("encode tokenizes with learned merges, preserving word order") {
+    import spark.implicits._
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"))
+    val df = Seq((1L, "lowest low"), (2L, "newest")).toDF("doc_id", "text")
+    val out = Bpe.encode(df, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // lowest: l,o,w,e,s,t -> es -> est -> lo => [lo, w, est]
+    assert(out(1L) == Seq("lo", "w", "est", "lo", "w"))
+    assert(out(2L) == Seq("n", "e", "w", "est"))
+  }
+
+  test("encode of the real corpus conserves characters exactly") {
+    val docs = Tables(spark, sfDir, "documents").limit(100)
+    val merges = Bpe.train(docs, "text", 12)
+    assert(merges.size == 12)
+    val enc = Bpe.encode(docs, "doc_id", "text", merges)
+    // concatenating each doc's tokens must reproduce the doc's words
+    // with spaces dropped — BPE never creates or destroys characters
+    val joined = enc.select(col("doc_id"),
+      concat_ws("", col("tokens")).as("glued"))
+    val orig = docs.select(col("doc_id"),
+      regexp_replace(col("text"), " ", "").as("glued"))
+    assert(joined.except(orig).isEmpty && orig.except(joined).isEmpty)
+  }
+}
