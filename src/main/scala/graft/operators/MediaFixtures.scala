@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 7
+  val Version = 8
 
   val Count = 64
 
@@ -44,6 +44,8 @@ object MediaFixtures {
   def videoFramesCsv: String = s"$root/expected_video_frames.csv"
 
   def featuresCsv: String = s"$root/expected_features.csv"
+
+  def dhashCsv: String = s"$root/expected_dhash.csv"
 
   def audioFeaturesCsv: String = s"$root/expected_audio_features.csv"
 
@@ -66,18 +68,18 @@ object MediaFixtures {
     // the encoder writes — PNG is lossless, so a real decode must
     // reproduce these exact integers (the qm05 feature-extract oracle)
     val fb = new StringBuilder("media_id,n_pixels,sum_r,sum_g,sum_b\n")
-    (1 to Count).foreach { id =>
-      val w = 16 + (id * 7) % 48
-      val h = 16 + (id * 13) % 48
+    // dHash of every image, computed AT GENERATION from the source
+    // pixel arrays (the qm05 sidecar discipline: a lossless decode
+    // must reproduce these exact 64-bit values)
+    val db = new StringBuilder("media_id,dhash\n")
+    def writeImage(id: Int, w: Int, h: Int, px: Array[Int]): Unit = {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
-      var seed = id * 2654435761L
       var (sumR, sumG, sumB) = (0L, 0L, 0L)
       var y = 0
       while (y < h) {
         var x = 0
         while (x < w) {
-          seed = seed * 6364136223846793005L + 1442695040888963407L
-          val rgb = ((seed >>> 24) & 0xffffff).toInt
+          val rgb = px(y * w + x)
           sumR += (rgb >> 16) & 0xff
           sumG += (rgb >> 8) & 0xff
           sumB += rgb & 0xff
@@ -92,9 +94,43 @@ object MediaFixtures {
       Files.write(Paths.get(root, f"img_$id%04d.png"), bytes)
       sb.append(s"$id,$w,$h,3,${bytes.length}\n")
       fb.append(s"$id,${w.toLong * h},$sumR,$sumG,$sumB\n")
+      db.append(s"$id,${Multimodal.dhashFromPixels(w, h, (x, y) => px(y * w + x))}\n")
+    }
+    (1 to Count).foreach { id =>
+      val w = 16 + (id * 7) % 48
+      val h = 16 + (id * 13) % 48
+      var seed = id * 2654435761L
+      // channels masked to <= 0xf8: headroom so the near-dup variant's
+      // uniform +4 brightness shift never clamps (dHash is then exactly
+      // brightness-invariant and the planted pairs differ only by the
+      // deliberately repainted blocks)
+      val px = Array.fill(w * h) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (((seed >>> 24) & 0xffffff) & 0xf8f8f8).toInt
+      }
+      writeImage(id, w, h, px)
+      if (id % 4 == 0) {
+        // near-dup variant: +4 on every channel (hash-invariant), then
+        // two 9x8-grid blocks painted white — a bounded, deterministic
+        // visual edit flipping only the comparisons that touch them
+        val dup = px.map(_ + 0x040404)
+        for ((bi, bj) <- Seq((2, 3), (6, 1))) {
+          var y = bj * h / 8
+          while (y < (bj + 1) * h / 8) {
+            var x = bi * w / 9
+            while (x < (bi + 1) * w / 9) {
+              dup(y * w + x) = 0xffffff
+              x += 1
+            }
+            y += 1
+          }
+        }
+        writeImage(9000 + id, w, h, dup)
+      }
     }
     Files.write(Paths.get(metaCsv), sb.toString.getBytes)
     Files.write(Paths.get(featuresCsv), fb.toString.getBytes)
+    Files.write(Paths.get(dhashCsv), db.toString.getBytes)
     generateAudio()
     generateVideo()
   }

@@ -187,6 +187,121 @@ object Multimodal {
       col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** 64-bit difference hash (dHash) from a pixel accessor — the
+    * standard perceptual near-dup fingerprint for image corpora:
+    * downsample to a 9-wide x 8-high grid of mean luma (equal pixel
+    * blocks, integer BT.709 weights 2126/7152/722), then bit y*8+x is
+    * set iff grid mean (x,y) < (x+1,y). Means are compared by exact
+    * integer cross-multiplication (sumA*nB < sumB*nA — no division, no
+    * floats), so generation-time and decode-time values are
+    * bit-identical by construction. Brightness-invariant: a uniform
+    * luma shift preserves every comparison, which is exactly why
+    * near-dup variants of an image collide while unrelated noise
+    * lands ~32 bits away.
+    */
+  def dhashFromPixels(w: Int, h: Int, rgb: (Int, Int) => Int): Long = {
+    val xs = Array.tabulate(10)(i => i * w / 9)
+    val ys = Array.tabulate(9)(j => j * h / 8)
+    val sums = Array.ofDim[Long](9, 8)
+    val ns = Array.ofDim[Long](9, 8)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 9) {
+        var s = 0L
+        var y = ys(j)
+        while (y < ys(j + 1)) {
+          var x = xs(i)
+          while (x < xs(i + 1)) {
+            val p = rgb(x, y)
+            s += 2126L * ((p >> 16) & 0xff) + 7152L * ((p >> 8) & 0xff) +
+              722L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(i)(j) = s
+        ns(i)(j) = (xs(i + 1) - xs(i)).toLong * (ys(j + 1) - ys(j))
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var x = 0
+      while (x < 8) {
+        if (sums(x)(j) * ns(x + 1)(j) < sums(x + 1)(j) * ns(x)(j))
+          hash |= 1L << (j * 8 + x)
+        x += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  case class ImageDhash(id: Long, dhash: Long)
+
+  /** dHash over a directory of PNGs — binaryFile source, per-partition
+    * decode, no collect (the imageMeta shape). Gated against the
+    * generation-time sidecar (qm10): PNG is lossless, so the decoded
+    * pixels must reproduce the exact hash computed from the source
+    * pixel array at generation.
+    */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.png$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "not a decodable image")
+        ImageDhash(id, dhashFromPixels(img.getWidth, img.getHeight, img.getRGB))
+      }
+    }.select(col("id").as("media_id"), col("dhash"))
+  }
+
+  /** Image near-dup pairs by dHash Hamming distance — the visual twin
+    * of simhash text dedup, with the same exactness argument: a 64-bit
+    * hash split into 8 disjoint 8-bit bands; any pair within
+    * `maxHamming` <= 7 differing bits must agree on at least one whole
+    * band (pigeonhole: 8 bands, at most 7 damaged), so the banded
+    * equi-join's candidate set provably contains every qualifying pair
+    * and the bit_count verify makes the output exact. Scale shape: 8
+    * band-keyed equi-joins on a one-long-per-image table — never a
+    * pairwise cross join.
+    */
+  def imageNearDupPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 7): DataFrame = {
+    require(maxHamming < 8, "pigeonhole recall needs maxHamming < bands")
+    val dh = imageDhash(spark, dir).localCheckpoint()
+    val banded = dh.select(col("media_id"), col("dhash"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+        .as("bk"))
+      .select(col("media_id"), col("dhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   case class AudioMeta(id: Long, n_bytes: Long, sample_rate: Long,
                        channels: Long, n_frames: Long)
 

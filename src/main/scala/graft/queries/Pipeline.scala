@@ -1228,5 +1228,32 @@ object Pipeline {
          |    'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.imageFeatures(s, MediaFixtures.ensure())
     },
+
+    // ----- image perceptual hashing (dHash) ------------------------------
+    // 64-bit difference hash from REAL decoded pixels vs the
+    // generation-time sidecar: PNG is lossless, so any decode or
+    // downsample deviation flips bits and breaks the hash compare.
+    Q("qm10_image_dhash",
+      s"""SELECT media_id, dhash
+         |FROM read_csv('${MediaFixtures.dhashCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'dhash': 'BIGINT'})""".stripMargin) {
+      (s, _) => Multimodal.imageDhash(s, MediaFixtures.ensure())
+    },
+
+    // ----- image near-dup pairs by dHash Hamming distance ----------------
+    // The visual twin of simhash dedup. Spark runs the scale path
+    // (8-bit banded equi-joins, pigeonhole-exact for hamming <= 7);
+    // the oracle cross-joins the sidecar hashes — both must produce
+    // the identical pair set, planted near-dup variants included.
+    Q("qm11_image_neardup",
+      s"""WITH h AS (SELECT media_id, dhash
+         |  FROM read_csv('${MediaFixtures.dhashCsv}', header=true,
+         |    columns={'media_id': 'BIGINT', 'dhash': 'BIGINT'}))
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin) {
+      (s, _) => Multimodal.imageNearDupPairs(s, MediaFixtures.ensure())
+    },
   )
 }

@@ -62,7 +62,7 @@ class MultimodalSpec extends SparkSpec {
       .schema("media_id LONG, n_pixels LONG, sum_r LONG, sum_g LONG, " +
         "sum_b LONG")
       .csv(MediaFixtures.featuresCsv)
-    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.count() == MediaFixtures.Count.toLong + MediaFixtures.Count / 4)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0,
       "decoded per-channel sums must equal the sidecar exactly")
   }
@@ -74,7 +74,7 @@ class MultimodalSpec extends SparkSpec {
       .schema("media_id LONG, width LONG, height LONG, channels LONG, " +
         "n_bytes LONG")
       .csv(MediaFixtures.metaCsv)
-    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.count() == MediaFixtures.Count.toLong + MediaFixtures.Count / 4)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0,
       "decoded metadata must equal the sidecar exactly")
   }
@@ -206,5 +206,36 @@ class MultimodalSpec extends SparkSpec {
     val (w2, h2, c2) = Multimodal.decodeStub("hello world".getBytes("UTF-8"))
     assert((w1, h1, c1) == (w2, h2, c2))
     assert(w1 >= 16 && w1 < 256 && h1 >= 16 && h1 < 256 && c1 == 3)
+  }
+
+  test("dhash is exactly brightness-invariant and locally sensitive") {
+    val w = 40; val h = 32
+    var seed = 99L
+    val px = Array.fill(w * h) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 24) & 0xffffff) & 0xf8f8f8).toInt
+    }
+    val base = Multimodal.dhashFromPixels(w, h, (x, y) => px(y * w + x))
+    // uniform +4 per channel (no clamp thanks to the 0xf8 mask): every
+    // block-mean comparison shifts both sides equally -> identical hash
+    val bright = px.map(_ + 0x040404)
+    assert(Multimodal.dhashFromPixels(w, h, (x, y) => bright(y * w + x)) == base)
+    // painting one grid block white flips at most the 2 comparisons
+    // that touch it — never zero once neighbors are darker noise
+    val edited = px.clone()
+    for (y <- (3 * h / 8) until (4 * h / 8); x <- (2 * w / 9) until (3 * w / 9))
+      edited(y * w + x) = 0xffffff
+    val he = Multimodal.dhashFromPixels(w, h, (x, y) => edited(y * w + x))
+    val d = java.lang.Long.bitCount(base ^ he)
+    assert(d >= 1 && d <= 2, s"one-block edit moved $d bits")
+  }
+
+  test("image near-dup pairs are exactly the planted variants") {
+    val dir = MediaFixtures.ensure()
+    val pairs = Multimodal.imageNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (1 to MediaFixtures.Count).filter(_ % 4 == 0)
+      .map(id => (id.toLong, 9000L + id)).toSet
+    assert(pairs == planted)
   }
 }
