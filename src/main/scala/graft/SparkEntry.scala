@@ -111,6 +111,60 @@ object SparkEntry {
       sources.Jsonl.readDocs(s, dir)
     },
 
+    // Snapshot CHANGE-DATA FEED, end to end: commit v0 (a customer
+    // projection) and v1 (band deleted, names in another band
+    // updated, shifted keys inserted), then diff the two pinned
+    // versions. The oracle derives both versions LOGICALLY from the
+    // source parquet and computes the same insert/update/delete set —
+    // so the gate proves version pinning, read-back fidelity, AND
+    // change classification in one hash compare.
+    Q("qj10_snapshot_diff",
+      """WITH v0 AS (
+        |  SELECT c_custkey, c_name, c_nationkey FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 4 THEN c_name || '!' ELSE c_name END
+        |      AS c_name,
+        |    c_nationkey
+        |  FROM customer WHERE c_custkey % 10 != 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_name, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 5)
+        |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+        |  CASE WHEN n.c_custkey IS NULL THEN o.c_name ELSE n.c_name END
+        |    AS c_name,
+        |  CASE WHEN n.c_custkey IS NULL THEN o.c_nationkey
+        |    ELSE n.c_nationkey END AS c_nationkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |    WHEN n.c_custkey IS NULL THEN 'delete'
+        |    ELSE 'update' END AS change_type
+        |FROM v0 o FULL OUTER JOIN v1 n ON o.c_custkey = n.c_custkey
+        |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR o.c_name != n.c_name OR o.c_nationkey != n.c_nationkey"""
+        .stripMargin) { (s, dir) =>
+      val table = diffTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_snapdiff_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        wipe(new java.io.File(t))
+        val cust = Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        sources.Snapshots.commit(s, t, cust) // v0
+        val v1 = cust.filter(col("c_custkey") % 10 =!= 3L)
+          .withColumn("c_name",
+            when(col("c_custkey") % 10 === 4L, concat(col("c_name"), lit("!")))
+              .otherwise(col("c_name")))
+          .unionByName(cust.filter(col("c_custkey") % 10 === 5L)
+            .withColumn("c_custkey", col("c_custkey") + 1000000L))
+        sources.Snapshots.commit(s, t, v1)
+        t
+      })
+      sources.Snapshots.diff(s, table, 0, 1, Seq("c_custkey"))
+    },
+
     // Salted join ≡ plain join, oracle-gated: the manual skew
     // mitigation for a key known hot in ADVANCE (one mega-customer,
     // the null bucket) — the large side salts each row into one of 8
@@ -322,6 +376,10 @@ object SparkEntry {
 
   /** qj05's snapshot table per sfDir — see the query for why. */
   private val snapshotTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj10's two-version snapshot table per sfDir. */
+  private val diffTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

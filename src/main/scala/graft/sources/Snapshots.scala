@@ -203,6 +203,46 @@ object Snapshots {
     base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
   }
 
+  /** Change-data feed between two snapshot versions: one row per
+    * inserted / deleted / updated key, keyed by `keyCols`, with the row
+    * payload taken from the NEW version for insert/update and the OLD
+    * version for delete, plus a `change_type` column. This is the
+    * "what happened to the table between v_a and v_b" primitive that
+    * downstream incremental consumers (rollup refresh, cache
+    * invalidation, CDC export) read instead of re-scanning the table.
+    *
+    * Shape: one full-outer equi-join on the key columns (both sides
+    * hash-partitioned on the same key — a single co-partitioned
+    * shuffle), null-safe value comparison for update detection,
+    * unchanged keys filtered out. Versions are immutable file sets, so
+    * the diff is reproducible forever regardless of later commits.
+    */
+  def diff(spark: SparkSession, table: String, fromV: Int, toV: Int,
+           keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val o = read(spark, table, Some(fromV)).as("o")
+    val n = read(spark, table, Some(toV)).as("n")
+    val valCols = n.columns.filterNot(keyCols.contains).toSeq
+    val cond = keyCols.map(k => col(s"o.$k") === col(s"n.$k")).reduce(_ && _)
+    val oKey = col(s"o.${keyCols.head}")
+    val nKey = col(s"n.${keyCols.head}")
+    val changed = valCols
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, cond, "full_outer")
+      .withColumn("change_type",
+        when(oKey.isNull, lit("insert"))
+          .when(nKey.isNull, lit("delete"))
+          .when(changed, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
+          valCols.map(c =>
+            when(col("change_type") === "delete", col(s"o.$c"))
+              .otherwise(col(s"n.$c")).as(c)) :+
+          col("change_type"): _*)
+  }
+
   /** Compact the LATEST version into ~`targetBytes` files, committed as
     * a new version — maintenance composed with time travel: the
     * rewrite reads the pinned old file set and writes a brand-new data

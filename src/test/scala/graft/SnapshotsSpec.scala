@@ -175,4 +175,36 @@ class SnapshotsSpec extends SparkSpec {
     assert(vs.toSet == won.toSet, "manifests on disk = exactly the winners")
     vs.foreach(v => Snapshots.read(spark, dir, Some(v)).collect())
   }
+
+  test("diff classifies inserts, deletes, updates — null-safe — and " +
+    "ignores unchanged rows") {
+    import spark.implicits._
+    val dir = freshTable()
+    val v0 = Seq((1L, Option("a"), 10L), (2L, Option("b"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Option("d"), 40L))
+      .toDF("k", "s", "v")
+    val v1 = Seq((1L, Option("a"), 10L), // unchanged -> absent from diff
+      (2L, Option("B"), 20L), // value update
+      (3L, Option("c"), 30L), // NULL -> value: must count as update
+      (5L, Option("e"), 50L)) // insert; 4 deleted
+      .toDF("k", "s", "v")
+    Snapshots.commit(spark, dir, v0)
+    Snapshots.commit(spark, dir, v1)
+    val got = Snapshots.diff(spark, dir, 0, 1, Seq("k")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (2L, Some("B"), 20L, "update"),
+      (3L, Some("c"), 30L, "update"),
+      (4L, Some("d"), 40L, "delete"),
+      (5L, Some("e"), 50L, "insert")))
+    // diff is version-pinned: a later commit doesn't change it
+    Snapshots.commit(spark, dir, v0)
+    assert(Snapshots.diff(spark, dir, 0, 1, Seq("k")).count() == 4)
+    // reverse diff swaps insert/delete and keeps updates
+    val rev = Snapshots.diff(spark, dir, 1, 0, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(rev == Set((2L, "update"), (3L, "update"),
+      (4L, "insert"), (5L, "delete")))
+  }
 }
