@@ -148,6 +148,46 @@ object Dedup {
       col("span_tokens"))
   }
 
+  /** Corpus cleaner composed on [[dupSpans]]: every token covered by a
+    * cross-doc duplicated span is CUT and the remaining tokens are
+    * reassembled in order — the "remove duplicated substrings from the
+    * training set" transform (vs dropping whole documents, which
+    * over-deletes: 24 of sf0.01's 500 docs are pure boilerplate and
+    * vanish, while 23 more keep their unique remainder).
+    *
+    * Shape: spans expand to covered (doc, pos) rows (sequence+explode
+    * — spans are disjoint per doc by construction, so no dedup
+    * needed), one equi anti-join cuts them from the token stream, and
+    * per-doc reassembly sorts the collected (pos, token) structs — a
+    * doc-local aggregation, never a global sort. Every input doc
+    * appears exactly once (fully-cut docs with clean_text = '').
+    */
+  def stripDupSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      l: Int = 8, minDocs: Int = 2): DataFrame = {
+    val covered = dupSpans(df, idCol, textCol, l, minDocs)
+      .select(col(idCol),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
+    val words = df.select(col(idCol),
+      expr(Text.wordsExpr(textCol)).as("__ws"))
+    val toks = words
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("pos", "wrd")))
+      .select(col(idCol), col("pos").cast(LongType).as("pos"), col("wrd"))
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("wrd")))),
+          x => x.getField("wrd")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    words.select(col(idCol), size(col("__ws")).cast(LongType).as("__n"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact pairwise n-gram Jaccard, PPJoin-style prefix filtering.
     *
     * Same output as `ngramJaccardPairs` (gate-proved: qd09 shares

@@ -131,6 +131,45 @@ object Pipeline {
         l = 8, minDocs = 2)
     },
 
+    // ----- span-strip cleaned corpus (composition on qd13) ---------------
+    // Cut every duplicated span's tokens and reassemble each doc —
+    // substring-level dedup as a TRANSFORM, not a filter. The oracle
+    // extends qd13's chain with the span expansion, anti-join and
+    // ordered reassembly; every doc appears once, fully-cut docs as ''.
+    Q("qd14_span_strip", {
+      val L = 8
+      s"""WITH w AS ($wCte),
+         |g AS (SELECT doc_id, unnest(range(1, len(ws) - $L + 2)) AS i, ws
+         |      FROM w WHERE len(ws) >= $L),
+         |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         array_to_string(ws[i:i+$L-1], ' ') AS gram FROM g),
+         |dup AS (SELECT gram FROM g2 GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |d AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+         |isl AS (SELECT doc_id, pos,
+         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |    <= $L THEN 0 ELSE 1 END AS brk FROM d),
+         |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + $L AS s1
+         |          FROM sp GROUP BY doc_id, grp),
+         |cov AS (SELECT doc_id, unnest(range(s0, s1)) AS pos FROM spans),
+         |tok AS (SELECT doc_id, unnest(ws) AS wrd,
+         |        CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos FROM w),
+         |kept AS (SELECT t.doc_id, t.wrd, t.pos FROM tok t LEFT JOIN cov c
+         |         ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |         WHERE c.doc_id IS NULL),
+         |ka AS (SELECT doc_id, string_agg(wrd, ' ' ORDER BY pos) AS clean_text,
+         |       count(*) AS n_kept FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+         |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(w.ws) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id""".stripMargin
+    }) { (s, dir) =>
+      Dedup.stripDupSpans(Tables(s, dir, "documents"), "doc_id", "text",
+        l = 8, minDocs = 2)
+    },
+
     Q("qd09_ngram_prefix",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),

@@ -60,6 +60,25 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((0L, 16L)))
   }
 
+  test("stripDupSpans cuts exactly the duplicated spans and keeps the rest") {
+    import spark.implicits._
+    val shared = (0 until 12).map(i => s"s$i").mkString(" ")
+    val d1 = s"a0 a1 a2 $shared z0 z1"
+    val d2 = s"b0 $shared y0 y1 y2"
+    val short = "just a few words" // < l tokens: untouched pass-through
+    val df = Seq((1L, d1), (2L, d2), (3L, shared), (4L, short))
+      .toDF("doc_id", "text")
+    // doc 3 IS one shared span (all 12 tokens duplicated vs 1 and 2)
+    val out = Dedup.stripDupSpans(df, "doc_id", "text", l = 8, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("a0 a1 a2 z0 z1", 5L, 12L)))
+    assert(out(2L) == (("b0 y0 y1 y2", 4L, 12L)))
+    assert(out(3L) == (("", 0L, 12L)))
+    assert(out(4L) == ((short, 4L, 0L)))
+  }
+
   test("a mass-duplicated document trips the degenerate-bucket guard; " +
     "exact-dedup-first composes past it") {
     import spark.implicits._
