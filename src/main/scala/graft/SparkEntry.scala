@@ -100,6 +100,44 @@ object SparkEntry {
       pruned
     },
 
+    // Bloom-manifest POINT lookup, end to end: the orders copy is
+    // hash-scattered (repartition — every file's [min, max] spans the
+    // whole key domain, so the stats prune can't help), and the
+    // per-file bloom manifest still serves `o_orderkey = min` from a
+    // handful of files. The builder REQUIRES fewer files planned than
+    // live on disk — if bloom skipping breaks, this row goes red. The
+    // oracle is the plain predicate over the source rows.
+    Q("qj11_bloom_point_read",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""
+        .stripMargin) { (s, dir) =>
+      val table = bloomTables.computeIfAbsent(dir, { d =>
+        val pid = ProcessHandle.current().pid()
+        val t = s"/tmp/graft_bloomread_${pid}_${Integer.toHexString(d.hashCode)}"
+        val ord = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        ord.repartition(16).write.mode("overwrite").parquet(t)
+        // ~12 bits/key at 6 hashes: <1% false-positive rate per file at
+        // ANY scale factor, because the sizing tracks the row count
+        val rows = ord.count()
+        val bits = ((rows / 16 * 12) / 64 + 1) * 64
+        sources.StatsManifest.writeBlooms(s, t, Seq("o_orderkey"),
+          bits = bits.toInt)
+        t
+      })
+      val key = Tables(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val hit = sources.StatsManifest.pointRead(
+        s, table, "o_orderkey", key.toString)
+      val onDisk = new java.io.File(table).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+      val planned = hit.inputFiles.length
+      require(planned < onDisk,
+        s"bloom prune had no effect: $planned of $onDisk files planned")
+      hit
+    },
+
     // JSONL SINK round trip (the qj02 ORC pattern, text edition): the
     // documents corpus written as gzipped JSON-lines — the de-facto
     // corpus release format — and scanned back with a declared schema
@@ -380,6 +418,10 @@ object SparkEntry {
 
   /** qj10's two-version snapshot table per sfDir. */
   private val diffTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj11's bloom-manifested table per sfDir. */
+  private val bloomTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -107,14 +107,18 @@ object StatsManifest {
   }
 
   /** Atomic write-then-rename publish (readers see old or new, whole). */
-  private def publish(spark: SparkSession, table: String, content: String): Unit = {
-    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(table, "._stats_manifest.tmp")
+  private def publish(spark: SparkSession, table: String, content: String): Unit =
+    publishAt(spark, table, manifestPath(table), "._stats_manifest.tmp", content)
+
+  private def publishAt(spark: SparkSession, table: String, target: Path,
+                        tmpName: String, content: String): Unit = {
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(table, tmpName)
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
-    fs.delete(manifestPath(table), false)
-    if (!fs.rename(tmp, manifestPath(table)))
-      throw new java.io.IOException(s"manifest publish failed for $table")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"manifest publish failed for $target")
   }
 
   /** Rebuild the manifest for `cols` (numeric, string, or date — any
@@ -261,6 +265,110 @@ object StatsManifest {
         case None => true // unknown file: keep (stale manifest is safe)
       }
     }
+  }
+
+  // ----- Bloom membership manifest (point-lookup file skipping) --------
+
+  private def bloomPath(table: String) = new Path(table, "_bloom_manifest")
+
+  private val BloomHashes = 6
+
+  /** Per-file Bloom filters for `cols` — the point-lookup complement to
+    * min/max stats: on a column the layout is NOT sorted by, every
+    * file's [min, max] spans nearly the full domain and the range
+    * prune keeps everything, but membership of one key is still sparse
+    * per file. One distributed pass (the statsLines shape: group by
+    * input_file_name, constant-size [[graft.expressions.BloomAgg]]
+    * buffer per file), `bits/8` bytes of driver metadata per
+    * (file, column). False positives keep a file; false negatives
+    * can't happen — same never-lose-rows contract as the stats prune.
+    */
+  def writeBlooms(spark: SparkSession, table: String, cols: Seq[String],
+                  bits: Int = 8192): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val df = spark.read.parquet(table)
+    val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val bad = cols.filterNot(c => Set("integer", "long", "short", "byte",
+      "string").contains(types(c)))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        "bloom manifest supports integral/string columns only: " +
+          bad.map(c => s"$c:${types(c)}").mkString(", "))
+    val aggs = cols.map { c =>
+      GraftColumnBridge.column(
+        graft.expressions.BloomAgg(
+          GraftColumnBridge.expression(col(c)), bits, BloomHashes)
+          .toAggregateExpression()).as(s"bloom_$c")
+    }
+    val rows = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one fixed-size filter per (file, column): driver metadata
+    val root = new Path(table).toUri.getPath
+    val sb = new StringBuilder
+    rows.foreach { r =>
+      val uri = new java.net.URI(r.getAs[String]("__file")).getPath
+      val rel = uri.stripPrefix(root).stripPrefix("/")
+      cols.foreach { c =>
+        val hex = r.getAs[Array[Byte]](s"bloom_$c")
+          .map(b => f"${b & 0xff}%02x").mkString
+        sb.append(s"${enc(rel)}\t$c\t$BloomHashes\t$hex\n")
+      }
+    }
+    publishAt(spark, table, bloomPath(table), "._bloom_manifest.tmp",
+      sb.toString)
+  }
+
+  /** Files that might contain `value` in `column` per the bloom
+    * manifest; files without a filter row are conservatively kept.
+    */
+  def filterByBloom(spark: SparkSession, table: String, files: Seq[String],
+                    column: String, value: Any): Seq[String] = {
+    val fs = bloomPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bloomPath(table))) return files
+    val in = fs.open(bloomPath(table))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    val blooms = lines.flatMap(_.split('\t') match {
+      case Array(rel, c, k, hex) if c == column =>
+        Some(dec(rel) -> ((k.toInt,
+          hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)))
+      case _ => None
+    }).toMap
+    val root = new Path(table).toUri.getPath
+    files.filter { f =>
+      val rel = f.stripPrefix(root).stripPrefix("/")
+      blooms.get(rel) match {
+        case Some((k, bytes)) =>
+          graft.expressions.BloomAgg.mightContain(bytes, k, value)
+        case None => true
+      }
+    }
+  }
+
+  /** Bloom + stats pruned point lookup: `column = value` served by
+    * driver-side file skipping, then the exact typed predicate. On a
+    * column the files are sorted by, the stats band does the skipping;
+    * on any other integral/string column the blooms do — together they
+    * cover both layout axes of the "fetch one key out of 100 TB" read.
+    */
+  def pointRead(spark: SparkSession, table: String, column: String,
+                value: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val fs = manifestPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val universe = listDataFiles(spark, fs, table)
+    val byStats = filterByStats(spark, table, universe, column, value, value)
+    val t = spark.read.parquet(table).schema(column).dataType
+    val typed: Any = t.typeName match {
+      case "integer" | "long" | "short" | "byte" => value.toLong
+      case _ => value
+    }
+    val files = filterByBloom(spark, table, byStats, column, typed)
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          spark.read.parquet(table).schema)
+      else spark.read.option("basePath", table).parquet(files: _*)
+    base.filter(col(column) === lit(value).cast(t))
   }
 
   /** Manifest-pruned range read: scans ONLY intersecting files, then

@@ -238,4 +238,46 @@ class StatsManifestSpec extends SparkSpec {
     assert(got == (1L to 20L).toSet,
       "rangeRead must equal the committed read — no orphan rows")
   }
+
+  test("bloom manifest prunes point lookups min/max stats can't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // keys hash-scattered across 8 files: every file's [min, max]
+    // spans ~the whole domain, so the stats prune keeps all of them —
+    // exactly the layout blooms exist for
+    val df = (0L until 4000L).map(k => (k, s"name_$k")).toDF("k", "name")
+    df.repartition(8).write.mode("overwrite").parquet(dir)
+    val nFiles = dataFiles(dir).size
+    assert(nFiles == 8)
+    StatsManifest.write(spark, dir, Seq("k"))
+    StatsManifest.writeBlooms(spark, dir, Seq("k", "name"), bits = 8192)
+    // stats alone: nearly useless on this layout (hash-scattered keys
+    // leave every file's range wide)
+    val statsOnly = StatsManifest.candidateFiles(spark, dir, "k", "17", "17").size
+    assert(statsOnly >= nFiles - 1)
+    // present key: exact row back, and blooms prune past the stats
+    val hit = StatsManifest.pointRead(spark, dir, "k", "17")
+    assert(hit.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((17L, "name_17")))
+    assert(hit.inputFiles.length < statsOnly, "bloom must prune some files")
+    // absent key: zero rows, and typically zero files planned
+    assert(StatsManifest.pointRead(spark, dir, "k", "99999").count() == 0)
+    // string column blooms work through the same path
+    val sHit = StatsManifest.pointRead(spark, dir, "name", "name_2345")
+    assert(sHit.collect().map(_.getLong(0)).toSeq == Seq(2345L))
+    assert(sHit.inputFiles.length < nFiles)
+    // no false negatives across every key (the never-lose-rows side)
+    val all = (0L until 4000L).filter { k =>
+      StatsManifest.filterByBloom(spark, dir,
+        StatsManifest.candidateFiles(spark, dir, "k", k.toString, k.toString),
+        "k", k).nonEmpty
+    }
+    assert(all.size == 4000, "a bloom false negative would lose rows")
+    // a file with no bloom row is conservatively kept
+    (4000L until 4100L).map(k => (k, s"name_$k")).toDF("k", "name")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val late = StatsManifest.pointRead(spark, dir, "k", "4050")
+    assert(late.collect().map(_.getLong(0)).toSeq == Seq(4050L),
+      "files newer than the bloom manifest must stay visible")
+  }
 }
