@@ -130,6 +130,14 @@ object Text {
       graft.expressions.SpaceSavingTopK(GraftColumnBridge.expression(c), capacity, k)
         .toAggregateExpression())
 
+  /** Count-Min frequency sketch over a pre-hashed long column
+    * (TypedImperativeAggregate; estimate via CountMinAgg.estimateExpr).
+    */
+  def countMin(c: Column, width: Int, depth: Int): Column =
+    GraftColumnBridge.column(
+      graft.expressions.CountMinAgg(GraftColumnBridge.expression(c), width, depth)
+        .toAggregateExpression())
+
   /** Non-empty words of a text column. */
   def wordsExpr(textCol: String): String =
     s"filter(split($textCol, ' '), w -> w != '')"

@@ -478,6 +478,37 @@ object Extra {
           expr("bool_and(est - cnt <= n / 64.0)").as("all_error_bounded"))
     },
 
+    // ----- Count-Min sketch frequency bounds ------------------------------
+    // The frequency twin of qa03: a 5x2048 Count-Min sketch over every
+    // corpus word (pre-hashed through the shared polyhash), then the
+    // top-20 exact frequencies audited against the sketch's in-plan
+    // least() estimates. CMS never underestimates (deterministic), and
+    // the min over 5 mixer-independent rows keeps overestimates within
+    // 8N/width here. The sketch is partitioning-invariant (counter
+    // sums commute — spec-asserted), which is what makes persisted
+    // per-day sketches summable into any date range, the q54 rollup
+    // architecture with frequencies instead of cardinality.
+    Q("qa04_cms_bound",
+      """SELECT CAST(20 AS BIGINT) AS n_items, TRUE AS all_overestimate,
+        |  TRUE AS all_error_bounded""".stripMargin) { (s, dir) =>
+      val W = 2048; val D = 5
+      val words = Tables(s, dir, "documents")
+        .select(explode(expr(graft.functions.Text.wordsExpr("text"))).as("w"))
+      val sketch = words
+        .select(graft.functions.Text.polyhash(col("w")).as("h"))
+        .agg(graft.functions.Text.countMin(col("h"), W, D).as("cms"))
+      val exact = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(20)
+        .withColumn("h", graft.functions.Text.polyhash(col("w")))
+      val total = words.agg(count(lit(1)).as("n"))
+      exact.crossJoin(sketch).crossJoin(total)
+        .withColumn("est", expr(
+          graft.expressions.CountMinAgg.estimateExpr("cms", "h", W, D)))
+        .agg(count(lit(1)).as("n_items"),
+          expr("bool_and(est >= cnt)").as("all_overestimate"),
+          expr(s"bool_and(est - cnt <= 8.0 * n / $W)").as("all_error_bounded"))
+    },
+
     // ----- ordered conversion funnel --------------------------------------
     // The product-analytics staple Spark has no operator for: users who
     // viewed, then clicked AFTER their first view, then purchased AFTER

@@ -54,4 +54,35 @@ class SketchesSpec extends SparkSpec {
     assert(bounds.getDouble(0) <= bounds.getDouble(1) &&
       bounds.getDouble(1) <= bounds.getDouble(2))
   }
+
+  test("Count-Min sketch: partitioning-invariant, never underestimates, " +
+    "exact when wide enough") {
+    import graft.functions.Text
+    import graft.expressions.CountMinAgg
+    val words = Tables(spark, sfDir, "documents")
+      .select(explode(expr(Text.wordsExpr("text"))).as("w"))
+      .select(col("w"), Text.polyhash(col("w")).as("h"))
+    def sketchOf(parts: Int): Seq[Long] =
+      words.repartition(parts)
+        .agg(Text.countMin(col("h"), 512, 4).as("cms"))
+        .head().getSeq[Long](0)
+    // counter sums commute: any partitioning produces the same sketch
+    assert(sketchOf(1) == sketchOf(13))
+    // estimates never underestimate, for EVERY distinct word
+    val est = CountMinAgg.estimateExpr("cms", "h", 512, 4)
+    val audited = words.groupBy("w", "h").agg(count(lit(1)).as("cnt"))
+      .crossJoin(words.agg(Text.countMin(col("h"), 512, 4).as("cms")))
+      .withColumn("est", expr(est))
+    assert(audited.filter(col("est") < col("cnt")).count() == 0)
+    // with width >> distinct values the sketch is collision-free: the
+    // estimate IS the exact count
+    val nDistinct = words.select("w").distinct().count()
+    val wide = Integer.highestOneBit(nDistinct.toInt) * 64
+    val exactEst = CountMinAgg.estimateExpr("cms", "h", wide, 4)
+    val exact = words.groupBy("w", "h").agg(count(lit(1)).as("cnt"))
+      .crossJoin(words.agg(Text.countMin(col("h"), wide, 4).as("cms")))
+      .withColumn("est", expr(exactEst))
+    assert(exact.filter(col("est") =!= col("cnt")).count() == 0,
+      s"width $wide should be collision-free for $nDistinct words")
+  }
 }
