@@ -180,27 +180,92 @@ object SparkEntry {
         |WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
         |   OR o.c_name != n.c_name OR o.c_nationkey != n.c_nationkey"""
         .stripMargin) { (s, dir) =>
-      val table = diffTables.computeIfAbsent(dir, { d =>
-        val t = s"/tmp/graft_snapdiff_${ProcessHandle.current().pid()}_" +
+      sources.Snapshots.diff(s, ensureDiffTable(s, dir), 0, 1,
+        Seq("c_custkey"))
+    },
+
+    // Delta-style MERGE (upsert + delete in one source batch), end to
+    // end: the source carries flagged deletes, updated names, and
+    // shifted-key inserts; merge() commits the result as a new
+    // version, and the gate reads the WHOLE merged table against the
+    // oracle deriving the same post-merge state logically from the
+    // source parquet.
+    Q("qj12_snapshot_merge",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 4 THEN c_name || '!' ELSE c_name END
+        |    AS c_name,
+        |  c_nationkey
+        |FROM customer WHERE c_custkey % 10 != 3
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey
+        |FROM customer WHERE c_custkey % 10 = 5""".stripMargin) { (s, dir) =>
+      val table = mergeTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_snapmerge_${ProcessHandle.current().pid()}_" +
           Integer.toHexString(d.hashCode)
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
-        wipe(new java.io.File(t))
+        wipeDir(t)
         val cust = Tables(s, d, "customer")
           .select("c_custkey", "c_name", "c_nationkey")
         sources.Snapshots.commit(s, t, cust) // v0
-        val v1 = cust.filter(col("c_custkey") % 10 =!= 3L)
-          .withColumn("c_name",
-            when(col("c_custkey") % 10 === 4L, concat(col("c_name"), lit("!")))
-              .otherwise(col("c_name")))
-          .unionByName(cust.filter(col("c_custkey") % 10 === 5L)
-            .withColumn("c_custkey", col("c_custkey") + 1000000L))
-        sources.Snapshots.commit(s, t, v1)
+        val dels = cust.filter(col("c_custkey") % 10 === 3L)
+          .withColumn("__del", lit(true))
+        val upds = cust.filter(col("c_custkey") % 10 === 4L)
+          .withColumn("c_name", concat(col("c_name"), lit("!")))
+          .withColumn("__del", lit(false))
+        val ins = cust.filter(col("c_custkey") % 10 === 5L)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("__del", lit(false))
+        val v = sources.Snapshots.merge(s, t,
+          dels.unionByName(upds).unionByName(ins),
+          Seq("c_custkey"), deleteCol = Some("__del"))
+        require(v == 1, s"merge should commit version 1, got $v")
         t
       })
-      sources.Snapshots.diff(s, table, 0, 1, Seq("c_custkey"))
+      sources.Snapshots.read(s, table)
+    },
+
+    // Incremental view maintenance from the CDC feed: patch a v0
+    // per-nation rollup with diffWide's retractions (old values of
+    // updates/deletes) and additions (new values of inserts/updates)
+    // — NEVER re-scanning the table — and gate the patched rollup
+    // against the oracle's direct recompute over v1. This is the
+    // 100 TB reason the wide diff exists: the delta is proportional
+    // to the change set, not the table.
+    Q("qj13_incremental_rollup",
+      """WITH v1 AS (
+        |  SELECT c_custkey, c_nationkey FROM customer
+        |  WHERE c_custkey % 10 != 3
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, c_nationkey
+        |  FROM customer WHERE c_custkey % 10 = 5)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_key
+        |FROM v1 GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
+      val table = ensureDiffTable(s, dir)
+      val r0 = sources.Snapshots.read(s, table, Some(0))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_rows"), sum("c_custkey").as("sum_key"))
+      val d = sources.Snapshots.diffWide(s, table, 0, 1, Seq("c_custkey"))
+      // retraction for delete/update (old side), addition for
+      // insert/update (new side): update-moves-between-groups falls
+      // out for free
+      val contrib = d.select(explode(array(
+        when(col("change_type").isin("delete", "update"),
+          struct(col("old_c_nationkey").as("g"), lit(-1L).as("dc"),
+            (-col("c_custkey")).as("dk"))),
+        when(col("change_type").isin("insert", "update"),
+          struct(col("new_c_nationkey").as("g"), lit(1L).as("dc"),
+            col("c_custkey").as("dk"))))).as("x"))
+        .filter(col("x").isNotNull)
+        .select(col("x.g").as("c_nationkey"), col("x.dc"), col("x.dk"))
+      val delta = contrib.groupBy("c_nationkey")
+        .agg(sum("dc").as("dc"), sum("dk").as("dk"))
+      r0.join(delta, Seq("c_nationkey"), "full_outer")
+        .select(col("c_nationkey"),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("sum_key"), lit(0L)) + coalesce(col("dk"), lit(0L)))
+            .as("sum_key"))
+        .filter(col("n_rows") > 0)
     },
 
     // Salted join ≡ plain join, oracle-gated: the manual skew
@@ -419,6 +484,40 @@ object SparkEntry {
   /** qj10's two-version snapshot table per sfDir. */
   private val diffTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj12's merged snapshot table per sfDir. */
+  private val mergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def wipeDir(t: String): Unit = {
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    wipe(new java.io.File(t))
+  }
+
+  /** qj10/qj13's shared two-version snapshot table: v0 = a customer
+    * projection, v1 = band deleted + names updated + shifted keys
+    * inserted (all three change kinds in one diff).
+    */
+  private def ensureDiffTable(s: SparkSession, dir: String): String =
+    diffTables.computeIfAbsent(dir, { d =>
+      val t = s"/tmp/graft_snapdiff_${ProcessHandle.current().pid()}_" +
+        Integer.toHexString(d.hashCode)
+      wipeDir(t)
+      val cust = Tables(s, d, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+      sources.Snapshots.commit(s, t, cust) // v0
+      val v1 = cust.filter(col("c_custkey") % 10 =!= 3L)
+        .withColumn("c_name",
+          when(col("c_custkey") % 10 === 4L, concat(col("c_name"), lit("!")))
+            .otherwise(col("c_name")))
+        .unionByName(cust.filter(col("c_custkey") % 10 === 5L)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L))
+      sources.Snapshots.commit(s, t, v1)
+      t
+    })
 
   /** qj11's bloom-manifested table per sfDir. */
   private val bloomTables =

@@ -219,6 +219,28 @@ object Snapshots {
     */
   def diff(spark: SparkSession, table: String, fromV: Int, toV: Int,
            keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, when}
+    val wide = diffWide(spark, table, fromV, toV, keyCols)
+    val valCols = read(spark, table, Some(toV)).columns
+      .filterNot(keyCols.contains).toSeq
+    wide.select(
+      keyCols.map(col) ++
+        valCols.map(c =>
+          when(col("change_type") === "delete", col(s"old_$c"))
+            .otherwise(col(s"new_$c")).as(c)) :+
+        col("change_type"): _*)
+  }
+
+  /** [[diff]] with BOTH sides' payloads: `old_<c>` / `new_<c>` per
+    * value column (nulls on the absent side of inserts/deletes). This
+    * is the feed incremental view maintenance needs — an update's old
+    * values retract its previous contribution while the new values add
+    * the next one, so a downstream aggregate can be patched from the
+    * delta alone, never re-scanning the table (gated end to end by
+    * qj13).
+    */
+  def diffWide(spark: SparkSession, table: String, fromV: Int, toV: Int,
+               keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     val o = read(spark, table, Some(fromV)).as("o")
     val n = read(spark, table, Some(toV)).as("n")
@@ -237,10 +259,28 @@ object Snapshots {
       .filter(col("change_type").isNotNull)
       .select(
         keyCols.map(k => coalesce(col(s"n.$k"), col(s"o.$k")).as(k)) ++
-          valCols.map(c =>
-            when(col("change_type") === "delete", col(s"o.$c"))
-              .otherwise(col(s"n.$c")).as(c)) :+
+          valCols.map(c => col(s"o.$c").as(s"old_$c")) ++
+          valCols.map(c => col(s"n.$c").as(s"new_$c")) :+
           col("change_type"): _*)
+  }
+
+  /** Delta-style MERGE committed as a new version: source rows upsert
+    * by key (replace the current row or insert), rows flagged true in
+    * `deleteCol` delete instead. One anti-join on the source key set
+    * plus a union — the standard distributed upsert shape (both sides
+    * hash-partitioned on the key). Returns the new version.
+    */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+            keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.col
+    val cur = read(spark, table)
+    val upserts = deleteCol
+      .map(c => source.filter(!col(c)).drop(c)).getOrElse(source)
+    val touched = deleteCol
+      .map(c => source.drop(c)).getOrElse(source)
+      .select(keyCols.map(col): _*).distinct()
+    val keep = cur.join(touched, keyCols, "left_anti")
+    commit(spark, table, keep.unionByName(upserts))
   }
 
   /** Compact the LATEST version into ~`targetBytes` files, committed as

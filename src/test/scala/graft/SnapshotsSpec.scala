@@ -207,4 +207,30 @@ class SnapshotsSpec extends SparkSpec {
     assert(rev == Set((2L, "update"), (3L, "update"),
       (4L, "insert"), (5L, "delete")))
   }
+
+  test("merge upserts, deletes, and leaves untouched rows intact") {
+    import spark.implicits._
+    val dir = freshTable()
+    val v0 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    Snapshots.commit(spark, dir, v0)
+    val source = Seq((2L, "B", false), // update
+      (4L, "d", false), // insert
+      (3L, "ignored", true)) // delete
+      .toDF("k", "s", "__del")
+    val v = Snapshots.merge(spark, dir, source, Seq("k"), Some("__del"))
+    assert(v == 1)
+    val got = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // v0 unchanged under the merge (time travel intact)
+    assert(Snapshots.read(spark, dir, Some(0)).count() == 3)
+    // diffWide carries both sides of the update for IVM consumers
+    val w = Snapshots.diffWide(spark, dir, 0, 1, Seq("k")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2)),
+        r.getString(3))).toSet
+    assert(w == Set(
+      (2L, Some("b"), Some("B"), "update"),
+      (3L, Some("c"), None, "delete"),
+      (4L, None, Some("d"), "insert")))
+  }
 }
