@@ -23,6 +23,39 @@ object Pipeline {
   private def shCte =
     s"SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w"
 
+  /** Shared qd13/qd14/qp06 oracle chain: w → duplicated-window islands
+    * → maximal spans (CTEs `w` through `spans`), parameterized on the
+    * window length. Callers append their own SELECT (qd13) or the
+    * cov/tok/kept reassembly (qd14, qp06).
+    */
+  private def spanChainSql(l: Int): String =
+    s"""w AS ($wCte),
+       |g AS (SELECT doc_id, unnest(range(1, len(ws) - $l + 2)) AS i, ws
+       |      FROM w WHERE len(ws) >= $l),
+       |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         array_to_string(ws[i:i+$l-1], ' ') AS gram FROM g),
+       |dup AS (SELECT gram FROM g2 GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= 2),
+       |d AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+       |isl AS (SELECT doc_id, pos,
+       |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |    <= $l THEN 0 ELSE 1 END AS brk FROM d),
+       |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
+       |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + $l AS s1
+       |          FROM sp GROUP BY doc_id, grp)""".stripMargin
+
+  /** qd14/qp06 shared continuation: spans → kept-token reassembly. */
+  private def spanKeptSql(l: Int): String =
+    s"""cov AS (SELECT doc_id, unnest(range(s0, s1)) AS pos FROM spans),
+       |tok AS (SELECT doc_id, unnest(ws) AS wrd,
+       |        CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos FROM w),
+       |kept AS (SELECT t.doc_id, t.wrd, t.pos FROM tok t LEFT JOIN cov c
+       |         ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |         WHERE c.doc_id IS NULL),
+       |ka AS (SELECT doc_id, string_agg(wrd, ' ' ORDER BY pos) AS clean_text,
+       |       count(*) AS n_kept FROM kept GROUP BY doc_id)""".stripMargin
+
   /** qp03 oracle: nearest-centroid assignment against centroid CTE
     * `cte` — the d expression mirrors Pq.assign term-for-term
     * ((sn2 - 2*dot) + cn2, same association) so both engines compare
@@ -110,22 +143,9 @@ object Pipeline {
     // cross-doc duplicated window set, per-doc gaps-and-islands merge.
     Q("qd13_dup_spans", {
       val L = 8
-      s"""WITH w AS ($wCte),
-         |g AS (SELECT doc_id, unnest(range(1, len(ws) - $L + 2)) AS i, ws
-         |      FROM w WHERE len(ws) >= $L),
-         |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |         array_to_string(ws[i:i+$L-1], ' ') AS gram FROM g),
-         |dup AS (SELECT gram FROM g2 GROUP BY gram
-         |        HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
-         |isl AS (SELECT doc_id, pos,
-         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |    <= $L THEN 0 ELSE 1 END AS brk FROM d),
-         |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-         |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl)
-         |SELECT doc_id, min(pos) AS span_start, max(pos) + $L AS span_end,
-         |  max(pos) + $L - min(pos) AS span_tokens
-         |FROM sp GROUP BY doc_id, grp""".stripMargin
+      s"""WITH ${spanChainSql(L)}
+         |SELECT doc_id, s0 AS span_start, s1 AS span_end,
+         |  s1 - s0 AS span_tokens FROM spans""".stripMargin
     }) { (s, dir) =>
       Dedup.dupSpans(Tables(s, dir, "documents"), "doc_id", "text",
         l = 8, minDocs = 2)
@@ -138,29 +158,8 @@ object Pipeline {
     // ordered reassembly; every doc appears once, fully-cut docs as ''.
     Q("qd14_span_strip", {
       val L = 8
-      s"""WITH w AS ($wCte),
-         |g AS (SELECT doc_id, unnest(range(1, len(ws) - $L + 2)) AS i, ws
-         |      FROM w WHERE len(ws) >= $L),
-         |g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |         array_to_string(ws[i:i+$L-1], ' ') AS gram FROM g),
-         |dup AS (SELECT gram FROM g2 GROUP BY gram
-         |        HAVING count(DISTINCT doc_id) >= 2),
-         |d AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
-         |isl AS (SELECT doc_id, pos,
-         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-         |    <= $L THEN 0 ELSE 1 END AS brk FROM d),
-         |sp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
-         |  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM isl),
-         |spans AS (SELECT doc_id, min(pos) AS s0, max(pos) + $L AS s1
-         |          FROM sp GROUP BY doc_id, grp),
-         |cov AS (SELECT doc_id, unnest(range(s0, s1)) AS pos FROM spans),
-         |tok AS (SELECT doc_id, unnest(ws) AS wrd,
-         |        CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos FROM w),
-         |kept AS (SELECT t.doc_id, t.wrd, t.pos FROM tok t LEFT JOIN cov c
-         |         ON t.doc_id = c.doc_id AND t.pos = c.pos
-         |         WHERE c.doc_id IS NULL),
-         |ka AS (SELECT doc_id, string_agg(wrd, ' ' ORDER BY pos) AS clean_text,
-         |       count(*) AS n_kept FROM kept GROUP BY doc_id)
+      s"""WITH ${spanChainSql(L)},
+         |${spanKeptSql(L)}
          |SELECT w.doc_id, coalesce(ka.clean_text, '') AS clean_text,
          |  CAST(coalesce(ka.n_kept, 0) AS BIGINT) AS n_kept,
          |  CAST(len(w.ws) - coalesce(ka.n_kept, 0) AS BIGINT) AS n_removed
@@ -825,6 +824,33 @@ object Pipeline {
     // prefilter composes, not just passes alone) → deterministic
     // train/val/test assignment. One oracle over the whole chain: the
     // releasable corpus manifest with split labels.
+    // ----- span-cleaned corpus release stats (composition on qd14) -------
+    // The substring-dedup transform composed into a release pipeline:
+    // strip every cross-doc duplicated span, drop docs whose unique
+    // remainder is under 16 tokens (pure boilerplate), report per-lang
+    // survivor counts and kept-token volume — one oracle over the
+    // whole chain proves stripDupSpans plugs into the corpus pipeline,
+    // not just passes alone.
+    Q("qp06_spanclean_corpus", {
+      val L = 8
+      s"""WITH ${spanChainSql(L)},
+         |${spanKeptSql(L)},
+         |cl AS (SELECT w.doc_id, coalesce(ka.n_kept, 0) AS n_kept
+         |       FROM w LEFT JOIN ka ON w.doc_id = ka.doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(cl.n_kept) AS BIGINT) AS kept_tokens
+         |FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+         |WHERE cl.n_kept >= 16
+         |GROUP BY d.lang""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.stripDupSpans(docs, "doc_id", "text", l = 8, minDocs = 2)
+        .filter(col("n_kept") >= 16)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_kept").as("kept_tokens"))
+    },
+
     Q("qp05_decontaminated_corpus",
       s"""WITH w AS ($wCte),
          |t AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) AS tokens
