@@ -26,7 +26,7 @@ import javax.imageio.ImageIO
 object MediaFixtures {
 
   /** Bump when fixture content changes so stale directories regenerate. */
-  val Version = 8
+  val Version = 9
 
   val Count = 64
 
@@ -46,6 +46,8 @@ object MediaFixtures {
   def featuresCsv: String = s"$root/expected_features.csv"
 
   def dhashCsv: String = s"$root/expected_dhash.csv"
+
+  def audioFpCsv: String = s"$root/expected_audio_fp.csv"
 
   def audioFeaturesCsv: String = s"$root/expected_audio_features.csv"
 
@@ -146,23 +148,24 @@ object MediaFixtures {
     // the exact PCM words the encoder writes — WAV is lossless PCM, so
     // a real decode must reproduce these integers (qm07's oracle)
     val fb = new StringBuilder("media_id,n_frames,sum_ch0,sum_ch1,peak\n")
-    (1 to Count).foreach { id =>
-      val rate = rates(id % rates.length)
-      val channels = 1 + id % 2
-      val frames = 200 + (id * 37) % 800
-      val data = new Array[Byte](frames * channels * 2)
-      var seed = id * 0x9E3779B97F4A7C15L
+    // 64-bit energy-gradient fingerprint per asset, computed AT
+    // GENERATION from the source samples (the qm10 sidecar discipline:
+    // WAV PCM losslessness makes a real decode reproduce these exactly)
+    val ab = new StringBuilder("media_id,afp\n")
+    def writeAudio(id: Int, rate: Int, channels: Int,
+                   samples: Array[Int]): Unit = {
+      val frames = samples.length / channels
+      val data = new Array[Byte](samples.length * 2)
       var i = 0
-      while (i < data.length) {
-        seed = seed * 6364136223846793005L + 1442695040888963407L
-        data(i) = (seed >>> 32).toByte
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
-      // 16-bit signed little-endian, channel-interleaved per frame
       var (sum0, sum1, peak) = (0L, 0L, 0L)
       var sIdx = 0
-      while (sIdx < frames * channels) {
-        val s = (((data(2 * sIdx + 1) << 8) | (data(2 * sIdx) & 0xff))).toShort.toLong
+      while (sIdx < samples.length) {
+        val s = samples(sIdx).toLong
         if (sIdx % channels == 0) sum0 += s else sum1 += s
         if (math.abs(s) > peak) peak = math.abs(s)
         sIdx += 1
@@ -176,9 +179,42 @@ object MediaFixtures {
       Files.write(Paths.get(root, f"aud_$id%04d.wav"), bytes)
       sb.append(s"$id,$rate,$channels,$frames,${bytes.length}\n")
       fb.append(s"$id,$frames,$sum0,$sum1,$peak\n")
+      val ch0 = Array.tabulate(frames)(f => samples(f * channels))
+      ab.append(s"$id,${Multimodal.audioFingerprintFromSamples(ch0)}\n")
+    }
+    (1 to Count).foreach { id =>
+      val rate = rates(id % rates.length)
+      val channels = 1 + id % 2
+      val frames = 200 + (id * 37) % 800
+      var seed = id * 0x9E3779B97F4A7C15L
+      // EVEN 16-bit samples: the near-dup variant's exact integer
+      // halving then scales every window energy by exactly 1/2, so the
+      // fingerprint is provably invariant to the gain change and the
+      // planted pairs differ only by the deliberately muted windows
+      val samples = Array.fill(frames * channels) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        (seed >>> 32).toShort.toInt & ~1
+      }
+      writeAudio(id, rate, channels, samples)
+      if (id % 4 == 0) {
+        // near-dup variant: exact half volume (fingerprint-invariant),
+        // then two of the 65 fingerprint windows muted — a bounded,
+        // deterministic edit flipping only comparisons that touch them
+        val dup = samples.map(_ / 2)
+        for (wnd <- Seq(7, 23)) {
+          var f = wnd * frames / 65
+          while (f < (wnd + 1) * frames / 65) {
+            var c = 0
+            while (c < channels) { dup(f * channels + c) = 0; c += 1 }
+            f += 1
+          }
+        }
+        writeAudio(9000 + id, rate, channels, dup)
+      }
     }
     Files.write(Paths.get(audioCsv), sb.toString.getBytes)
     Files.write(Paths.get(audioFeaturesCsv), fb.toString.getBytes)
+    Files.write(Paths.get(audioFpCsv), ab.toString.getBytes)
   }
 
   // ----- ISO-BMFF (MP4) containers ------------------------------------

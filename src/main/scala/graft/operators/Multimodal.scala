@@ -278,22 +278,32 @@ object Multimodal {
     * pairwise cross join.
     */
   def imageNearDupPairs(spark: SparkSession, dir: String,
-                        maxHamming: Int = 7): DataFrame = {
+                        maxHamming: Int = 7): DataFrame =
+    hammingNearDupPairs(imageDhash(spark, dir), "media_id", "dhash", maxHamming)
+
+  /** Banded Hamming near-dup join over any (id, 64-bit hash) frame —
+    * shared by the image-dHash and audio-fingerprint paths: 8 disjoint
+    * 8-bit bands, candidate equi-joins per band (a pair within
+    * `maxHamming` <= 7 differing bits must agree on a whole band —
+    * pigeonhole), exact popcount verify. Never a cross join.
+    */
+  def hammingNearDupPairs(dh0: DataFrame, idCol: String, hashCol: String,
+                          maxHamming: Int = 7): DataFrame = {
     require(maxHamming < 8, "pigeonhole recall needs maxHamming < bands")
-    val dh = imageDhash(spark, dir).localCheckpoint()
-    val banded = dh.select(col("media_id"), col("dhash"),
+    val dh = dh0.localCheckpoint()
+    val banded = dh.select(col(idCol), col(hashCol),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("dhash"), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
+          shiftright(col(hashCol), b * 8).bitwiseAND(lit(255L)).as("key"))): _*))
         .as("bk"))
-      .select(col("media_id"), col("dhash"),
+      .select(col(idCol), col(hashCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.media_id") < col("b.media_id"))
-      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col(s"a.$hashCol").as("ha"), col(s"b.$hashCol").as("hb"))
       .distinct()
     cand
       .withColumn("hamming",
@@ -301,6 +311,85 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** 64-bit audio fingerprint from channel-0 PCM samples — the audio
+    * twin of [[dhashFromPixels]]: the sample sequence splits into 65
+    * equal windows, per-window energy is the exact integer sum of
+    * absolute amplitudes, and bit i compares windows i and i+1 by
+    * integer cross-multiplication (no division, no floats). Exactly
+    * invariant under any exact uniform gain change (all energies scale
+    * together), locally sensitive to edits that touch a window.
+    */
+  def audioFingerprintFromSamples(ch0: Array[Int]): Long = {
+    val n = ch0.length
+    require(n >= 65, s"need >= 65 frames for a 64-bit fingerprint, got $n")
+    val bounds = Array.tabulate(66)(i => i * n / 65)
+    val e = new Array[Long](65)
+    val cnt = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      var s = 0L
+      var i = bounds(w)
+      while (i < bounds(w + 1)) { s += math.abs(ch0(i).toLong); i += 1 }
+      e(w) = s
+      cnt(w) = (bounds(w + 1) - bounds(w)).toLong
+      w += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) * cnt(i + 1) < e(i + 1) * cnt(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Channel-0 PCM samples of a 16-bit signed WAV. */
+  def decodeAudioCh0(bytes: Array[Byte]): Array[Int] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+        "canonical ingest format is 16-bit little-endian PCM")
+      val ch = f.getChannels
+      val data = in.readAllBytes()
+      val frames = data.length / (2 * ch)
+      Array.tabulate(frames) { i =>
+        val o = i * ch * 2
+        (((data(o + 1) << 8) | (data(o) & 0xff)).toShort).toInt
+      }
+    } finally in.close()
+  }
+
+  case class AudioFp(id: Long, afp: Long)
+
+  /** Audio fingerprints for a directory of WAVs — binaryFile source,
+    * per-partition decode, no collect; gated against the
+    * generation-time sidecar (qm12, WAV PCM losslessness).
+    */
+  def audioDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav").load(dir)
+      .select(
+        regexp_extract(col("path"), "aud_(\\d+)\\.wav$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        AudioFp(id, audioFingerprintFromSamples(decodeAudioCh0(bytes)))
+      }
+    }.select(col("id").as("media_id"), col("afp"))
+  }
+
+  /** Audio near-dup pairs by fingerprint Hamming distance — the same
+    * banded join as the visual path.
+    */
+  def audioNearDupPairs(spark: SparkSession, dir: String,
+                        maxHamming: Int = 7): DataFrame =
+    hammingNearDupPairs(audioDhash(spark, dir), "media_id", "afp", maxHamming)
 
   case class AudioMeta(id: Long, n_bytes: Long, sample_rate: Long,
                        channels: Long, n_frames: Long)

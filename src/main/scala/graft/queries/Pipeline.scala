@@ -1320,5 +1320,31 @@ object Pipeline {
          |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7""".stripMargin) {
       (s, _) => Multimodal.imageNearDupPairs(s, MediaFixtures.ensure())
     },
+
+    // ----- audio perceptual fingerprint ----------------------------------
+    // The audio twin of qm10: a 64-bit energy-gradient fingerprint
+    // from REAL decoded channel-0 PCM (65 windows, exact integer
+    // cross-multiplied comparisons) vs the generation-time sidecar.
+    Q("qm12_audio_fp",
+      s"""SELECT media_id, afp
+         |FROM read_csv('${MediaFixtures.audioFpCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'afp': 'BIGINT'})""".stripMargin) {
+      (s, _) => Multimodal.audioDhash(s, MediaFixtures.ensure())
+    },
+
+    // ----- audio near-dup pairs by fingerprint Hamming distance ----------
+    // Planted variants are EXACT half-volume copies (even samples make
+    // the gain change provably fingerprint-invariant) with two muted
+    // windows; the banded join must find exactly them.
+    Q("qm13_audio_neardup",
+      s"""WITH h AS (SELECT media_id, afp
+         |  FROM read_csv('${MediaFixtures.audioFpCsv}', header=true,
+         |    columns={'media_id': 'BIGINT', 'afp': 'BIGINT'}))
+         |SELECT a.media_id AS id_a, b.media_id AS id_b,
+         |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+         |FROM h a JOIN h b ON a.media_id < b.media_id
+         |WHERE bit_count(xor(a.afp, b.afp)) <= 7""".stripMargin) {
+      (s, _) => Multimodal.audioNearDupPairs(s, MediaFixtures.ensure())
+    },
   )
 }

@@ -115,7 +115,7 @@ class MultimodalSpec extends SparkSpec {
       .schema("media_id LONG, n_frames LONG, sum_ch0 LONG, " +
         "sum_ch1 LONG, peak LONG")
       .csv(MediaFixtures.audioFeaturesCsv)
-    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.count() == MediaFixtures.Count.toLong + MediaFixtures.Count / 4)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0,
       "decoded audio features must equal the sidecar exactly")
   }
@@ -127,7 +127,7 @@ class MultimodalSpec extends SparkSpec {
       .schema("media_id LONG, sample_rate LONG, channels LONG, " +
         "n_frames LONG, n_bytes LONG")
       .csv(MediaFixtures.audioCsv)
-    assert(got.count() == MediaFixtures.Count.toLong)
+    assert(got.count() == MediaFixtures.Count.toLong + MediaFixtures.Count / 4)
     assert(got.except(want).count() == 0 && want.except(got).count() == 0,
       "decoded audio metadata must equal the sidecar exactly")
   }
@@ -228,6 +228,41 @@ class MultimodalSpec extends SparkSpec {
     val he = Multimodal.dhashFromPixels(w, h, (x, y) => edited(y * w + x))
     val d = java.lang.Long.bitCount(base ^ he)
     assert(d >= 1 && d <= 2, s"one-block edit moved $d bits")
+  }
+
+  test("audio fingerprint is exactly gain-invariant and locally sensitive") {
+    var seed = 7L
+    val ch0 = Array.fill(400) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 32).toShort.toInt & ~1 // even: exact halving below
+    }
+    val base = Multimodal.audioFingerprintFromSamples(ch0)
+    // exact half volume: every window energy halves exactly -> same fp
+    assert(Multimodal.audioFingerprintFromSamples(ch0.map(_ / 2)) == base)
+    // muting one of the 65 windows flips at most its 2 comparisons
+    val edited = ch0.clone()
+    for (f <- (31 * 400 / 65) until (32 * 400 / 65)) edited(f) = 0
+    // an edit can flip ONLY the window's two comparisons (possibly
+    // zero, when both already pointed the way the mute pushes them)
+    val d = java.lang.Long.bitCount(
+      base ^ Multimodal.audioFingerprintFromSamples(edited))
+    assert(d <= 2, s"one-window mute moved $d bits")
+    // a far-louder window always wins both its comparisons: forcing
+    // max amplitude flips deterministically when neighbors are quieter
+    val loud = ch0.clone()
+    for (f <- (10 * 400 / 65) until (11 * 400 / 65)) loud(f) = 32766
+    val d2 = java.lang.Long.bitCount(
+      base ^ Multimodal.audioFingerprintFromSamples(loud))
+    assert(d2 >= 1 && d2 <= 2, s"max-amplitude window moved $d2 bits")
+  }
+
+  test("audio near-dup pairs are exactly the planted variants") {
+    val dir = MediaFixtures.ensure()
+    val pairs = Multimodal.audioNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (1 to MediaFixtures.Count).filter(_ % 4 == 0)
+      .map(id => (id.toLong, 9000L + id)).toSet
+    assert(pairs == planted)
   }
 
   test("image near-dup pairs are exactly the planted variants") {
