@@ -15,10 +15,13 @@ class DeterminismSpec extends SparkSpec {
   // banded minhash + exact verify, exploded decimal centroid mean,
   // two-phase prefix-sum packing, weighted hash sampling, histogram,
   // unrolled iterative graph fixpoint, sharded global rank
+  // ... plus: gaps-and-islands span merge, deletion-key fuzzy pairs,
+  // mergeable Count-Min counters
   private val sampled = Seq(
     "q05_groupby_agg", "q39_window_frames", "qd05_minhash_lsh",
     "qs07_label_centroids", "qc02_pack_budget", "qc05_weighted_sample",
-    "q59_histogram", "qt15_textrank", "qc09_corpus_shuffle")
+    "q59_histogram", "qt15_textrank", "qc09_corpus_shuffle",
+    "qd14_span_strip", "q68_fuzzy_pairs", "qa04_cms_bound")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get

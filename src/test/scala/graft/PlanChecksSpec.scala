@@ -285,4 +285,41 @@ class PlanChecksSpec extends SparkSpec {
         s"expected a runtime bloom filter on the probe side:\n${s.take(2000)}")
     }
   }
+
+  test("span dedup: gram-keyed equi-joins and DOC-partitioned windows, " +
+    "never a global window (qd13)") {
+    val nodes = collectAll(executed(q("qd13_dup_spans")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes.exists(_.toString.startsWith("CartesianProduct")),
+      "duplicated-window candidates must come from gram equi-semi-joins")
+    val windows = nodes.filter(_.toString.startsWith("Window "))
+    assert(windows.nonEmpty &&
+      windows.forall(_.toString.contains("doc_id")),
+      "the islands merge must run inside doc_id partitions")
+  }
+
+  test("fuzzy entity resolution joins on deletion keys, never all-pairs " +
+    "(q68)") {
+    val nodes = collectAll(executed(q("q68_fuzzy_pairs")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+      !nodes.exists(_.toString.startsWith("CartesianProduct")),
+      "FastSS candidates must come from an equi-join on the deletion key")
+  }
+
+  test("visual/audio near-dup pairs are banded equi-joins (qm11, qm13)") {
+    Seq("qm11_image_neardup", "qm13_audio_neardup").foreach { name =>
+      val nodes = collectAll(executed(q(name)))
+      assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+        !nodes.exists(_.toString.startsWith("CartesianProduct")),
+        s"$name must stay (band, key) equi-join shaped")
+    }
+  }
+
+  test("Count-Min sketch rides an objectHashAgg with partial merge (qa04)") {
+    val nodes = collectAll(executed(q("qa04_cms_bound")))
+    assert(nodes.exists(n =>
+      n.toString.contains("ObjectHashAggregate") &&
+        n.toString.contains("countminagg")),
+      "the sketch must aggregate through ObjectHashAggregate partials")
+  }
 }
