@@ -138,6 +138,31 @@ object Text {
       graft.expressions.CountMinAgg(GraftColumnBridge.expression(c), width, depth)
         .toAggregateExpression())
 
+  /** Exact sparse bitmap over a Long key column (TypedImperativeAggregate;
+    * canonical blob — see [[graft.expressions.BitmapAgg]]).
+    */
+  def bitmapAgg(c: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BitmapAgg(GraftColumnBridge.expression(c))
+        .toAggregateExpression())
+
+  /** OR-union of stored bitmap blobs — rollup re-aggregation. */
+  def bitmapOr(c: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BitmapOrAgg(GraftColumnBridge.expression(c))
+        .toAggregateExpression())
+
+  /** Exact cardinality of a bitmap blob. */
+  def bitmapCount(c: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BitmapCount(GraftColumnBridge.expression(c)))
+
+  /** Intersection of two bitmap blobs. */
+  def bitmapAnd(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.BitmapAnd(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** Non-empty words of a text column. */
   def wordsExpr(textCol: String): String =
     s"filter(split($textCol, ' '), w -> w != '')"

@@ -887,5 +887,68 @@ object Extra {
       graft.operators.EntityResolution.editDistancePairs(
         Tables(s, dir, "customer"), "c_custkey", "c_name")
     },
+
+    // ----- exact bitmap distinct rollup -----------------------------------
+    // The EXACT twin of q54's HLL rollup: one bitmap per (day) at the
+    // stored granularity, re-aggregated to weeks by OR-merging the
+    // BLOBS (BitmapOrAgg) — the weekly distinct-user counts come out of
+    // stored per-day bitmaps with no raw-data rescan, and unlike the
+    // sketch they are exact (the oracle is plain COUNT(DISTINCT)).
+    // Bitmap OR is idempotent, so replaying a day into a stored rollup
+    // is a no-op — the same replay-safety HLL's register max buys,
+    // without the ~2% error. Cost trade documented in BitmapAgg's
+    // scaladoc: bytes grow with distinct keys (metadata-scale next to
+    // the raw events), where HLL stays 2 KB but cannot intersect.
+    Q("qa05_bitmap_distinct_rollup",
+      """SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |    AS week,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .select(datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast(LongType).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(graft.functions.Text.bitmapAgg(col("user_id")).as("bm"))
+      daily
+        .groupBy(expr("day div 7").as("week"))
+        .agg(graft.functions.Text.bitmapOr(col("bm")).as("bm"))
+        .select(col("week"),
+          graft.functions.Text.bitmapCount(col("bm")).as("n_users"))
+    },
+
+    // ----- exact bitmap intersection (week-over-week retention) -----------
+    // The operation NO cardinality sketch performs exactly: per-week
+    // user bitmaps self-joined on week+1, intersected with BitmapAnd,
+    // popcounted — users active in consecutive weeks, straight off the
+    // stored blobs. At 100 TB this is the Druid/ClickHouse segment-
+    // overlap pattern: the join moves kilobyte blobs, never user rows.
+    // The oracle keeps zero-retention weeks via LEFT JOIN + COUNT(match)
+    // to mirror the bitmap side, which emits a row for every week that
+    // HAS a successor week (popcount 0 when the intersection is empty).
+    Q("qa06_bitmap_retention",
+      """WITH base AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS week, user_id
+        |  FROM events),
+        |wu AS (SELECT DISTINCT week, user_id FROM base),
+        |wks AS (SELECT DISTINCT week FROM wu)
+        |SELECT a.week AS week, CAST(COUNT(b.user_id) AS BIGINT) AS n_retained
+        |FROM wu a
+        |JOIN wks n ON n.week = a.week + 1
+        |LEFT JOIN wu b ON b.week = a.week + 1 AND b.user_id = a.user_id
+        |GROUP BY a.week""".stripMargin) { (s, dir) =>
+      val weekly = Tables(s, dir, "events")
+        .select(expr(
+          "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("week"),
+          col("user_id"))
+        .groupBy("week")
+        .agg(graft.functions.Text.bitmapAgg(col("user_id")).as("bm"))
+      val nxt = weekly.select((col("week") - 1).as("week"), col("bm").as("bm2"))
+      weekly.join(nxt, "week")
+        .select(col("week"),
+          graft.functions.Text.bitmapCount(
+            graft.functions.Text.bitmapAnd(col("bm"), col("bm2")))
+            .as("n_retained"))
+    },
   )
 }

@@ -85,4 +85,51 @@ class SketchesSpec extends SparkSpec {
     assert(exact.filter(col("est") =!= col("cnt")).count() == 0,
       s"width $wide should be collision-free for $nDistinct words")
   }
+
+  test("bitmap: exact counts, partitioning-invariant blobs, idempotent " +
+    "replay, exact intersection incl. negative keys") {
+    import graft.functions.Text
+    import graft.expressions.BitmapOps
+    val ev = Tables(spark, sfDir, "events")
+    // exact: bitmap popcount == COUNT(DISTINCT) for every event_type
+    val byType = ev.groupBy("event_type").agg(
+      Text.bitmapCount(Text.bitmapAgg(col("user_id"))).as("bm"),
+      countDistinct(col("user_id")).as("exact"))
+    assert(byType.filter(col("bm") =!= col("exact")).count() == 0)
+    // canonical blobs: identical set under ANY partitioning → identical bytes
+    def blobOf(parts: Int): Seq[(String, Seq[Byte])] =
+      ev.repartition(parts).groupBy("event_type")
+        .agg(Text.bitmapAgg(col("user_id")).as("bm"))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1).toSeq)
+        .sortBy(_._1).toSeq
+    assert(blobOf(1) == blobOf(13))
+    // idempotent replay: OR-ing a day's blob into a rollup twice == once
+    val daily = ev.select(
+      datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"),
+      col("user_id"))
+      .groupBy("day").agg(Text.bitmapAgg(col("user_id")).as("bm"))
+    val once = daily.agg(Text.bitmapCount(Text.bitmapOr(col("bm")))).head.getLong(0)
+    val twice = daily.unionByName(daily)
+      .agg(Text.bitmapCount(Text.bitmapOr(col("bm")))).head.getLong(0)
+    assert(once == twice && once == ev.select("user_id").distinct().count())
+    // intersection == exact INTERSECT count, on a pair of segments
+    val a = ev.filter(col("event_type") === "view")
+    val b = ev.filter(col("event_type") === "click")
+    val both = a.agg(Text.bitmapAgg(col("user_id")).as("ba"))
+      .crossJoin(b.agg(Text.bitmapAgg(col("user_id")).as("bb")))
+      .select(Text.bitmapCount(Text.bitmapAnd(col("ba"), col("bb"))))
+      .head.getLong(0)
+    val exactBoth = a.select("user_id").intersect(b.select("user_id")).count()
+    assert(both == exactBoth)
+    // negative keys land in floor-divided words, round-trip exactly
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    Seq(-1L, -64L, -65L, 0L, 63L, 64L, Long.MinValue, Long.MaxValue)
+      .foreach(BitmapOps.set(m, _))
+    val blob = BitmapOps.toBytes(m)
+    assert(BitmapOps.count(blob) == 8)
+    assert(BitmapOps.count(BitmapOps.and(blob, blob)) == 8)
+    val n = scala.collection.mutable.LongMap.empty[Long]
+    Seq(-1L, 64L, 100L).foreach(BitmapOps.set(n, _))
+    assert(BitmapOps.count(BitmapOps.and(blob, BitmapOps.toBytes(n))) == 2)
+  }
 }
