@@ -888,6 +888,52 @@ object Extra {
         Tables(s, dir, "customer"), "c_custkey", "c_name")
     },
 
+    // ----- rolling anomaly detection (integer-exact z-score) --------------
+    // The monitoring staple over a metric stream: flag a day whose
+    // event count sits more than k=3 sample standard deviations from
+    // its own trailing-7-day mean. Everything stays in Long arithmetic
+    // — the flag is (n·x − Σ)² > k²·(n·Σx² − Σ²), the z-score
+    // inequality cross-multiplied so neither engine ever divides or
+    // takes a square root — which is what makes a BOOLEAN flag
+    // hash-comparable cross-engine (a double z-score would differ in
+    // the last ulp and flip knife-edge rows). One partitioned window
+    // per event_type (bounded ROWS frame, never a global sort); at
+    // 100 TB the partition key would be (metric, entity) with the same
+    // shape.
+    Q("q69_rolling_anomaly",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, x,
+        |    COUNT(x) OVER t AS n, SUM(x) OVER t AS s, SUM(x*x) OVER t AS q
+        |  FROM daily
+        |  WINDOW t AS (PARTITION BY event_type ORDER BY day
+        |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, x AS n_events,
+        |  (n >= 4 AND (n*x - s)*(n*x - s) > 9 * (n*q - s*s)) AS is_anomaly
+        |FROM w""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast(LongType).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val t = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("n", count(col("x")).over(t))
+        .withColumn("s", sum(col("x")).over(t))
+        .withColumn("q", sum(col("x") * col("x")).over(t))
+        .select(col("event_type"), col("day"), col("x").as("n_events"),
+          (col("n") >= 4 &&
+            (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+              > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+            .as("is_anomaly"))
+    },
+
     // ----- exact bitmap distinct rollup -----------------------------------
     // The EXACT twin of q54's HLL rollup: one bitmap per (day) at the
     // stored granularity, re-aggregated to weeks by OR-merging the
