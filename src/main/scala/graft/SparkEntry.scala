@@ -223,6 +223,51 @@ object SparkEntry {
       sources.Snapshots.read(s, table)
     },
 
+    // MERGE-ON-READ twin of qj12, against the IDENTICAL oracle: the
+    // same upsert+delete batch lands as a delta commit that writes
+    // ONLY change-proportional bytes (the builder REQUIRES v1 to carry
+    // every v0 file forward untouched, adding nothing but delta-v
+    // files), and the reader resolves the delta log transparently.
+    // Two opposite write/read cost profiles — qj12's copy-on-write
+    // rewrite vs this delta log — hash-gated to the same post-merge
+    // state, which is the lakehouse MoR contract stated as a test.
+    Q("qj14_mor_merge",
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 = 4 THEN c_name || '!' ELSE c_name END
+        |    AS c_name,
+        |  c_nationkey
+        |FROM customer WHERE c_custkey % 10 != 3
+        |UNION ALL
+        |SELECT c_custkey + 1000000, c_name, c_nationkey
+        |FROM customer WHERE c_custkey % 10 = 5""".stripMargin) { (s, dir) =>
+      val table = morTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_snapmor_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val cust = Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        sources.Snapshots.commit(s, t, cust) // v0
+        val dels = cust.filter(col("c_custkey") % 10 === 3L)
+          .withColumn("__del", lit(true))
+        val upds = cust.filter(col("c_custkey") % 10 === 4L)
+          .withColumn("c_name", concat(col("c_name"), lit("!")))
+          .withColumn("__del", lit(false))
+        val ins = cust.filter(col("c_custkey") % 10 === 5L)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("__del", lit(false))
+        val v = sources.Snapshots.commitDelta(s, t,
+          dels.unionByName(upds).unionByName(ins),
+          Seq("c_custkey"), deleteCol = Some("__del"))
+        require(v == 1, s"delta should commit version 1, got $v")
+        val f0 = sources.Snapshots.files(s, t, Some(0)).toSet
+        val f1 = sources.Snapshots.files(s, t, Some(1)).toSet
+        require(f0.subsetOf(f1) && (f1 -- f0).forall(_.startsWith("delta-v")),
+          "delta commit must carry the base forward and add only delta files")
+        t
+      })
+      sources.Snapshots.read(s, table)
+    },
+
     // Incremental view maintenance from the CDC feed: patch a v0
     // per-nation rollup with diffWide's retractions (old values of
     // updates/deletes) and additions (new values of inserts/updates)
@@ -487,6 +532,10 @@ object SparkEntry {
 
   /** qj12's merged snapshot table per sfDir. */
   private val mergeTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj14's merge-on-read snapshot table per sfDir. */
+  private val morTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def wipeDir(t: String): Unit = {

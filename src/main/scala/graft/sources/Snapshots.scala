@@ -140,11 +140,24 @@ object Snapshots {
     require(newFiles.nonEmpty, "refusing to commit an empty snapshot")
     val carried =
       if (mode == "append" && prev.nonEmpty) files(spark, table, prev) else Nil
+    publishManifest(spark, table, next, carried ++ newFiles, withMeta)
+    next
+  }
+
+  /** Write + atomically publish the manifest for `v` listing `relFiles`
+    * with `withMeta` header lines. Shared by [[commit]] and
+    * [[commitDelta]].
+    */
+  private def publishManifest(spark: SparkSession, table: String, v: Int,
+                              relFiles: Seq[String],
+                              withMeta: Map[String, String]): Unit = {
+    val fs = fsOf(spark, table)
+    val token = java.util.UUID.randomUUID().toString.take(8)
     val header = withMeta.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"#${enc(k)}=${enc(v)}" }
+      .map { case (k, value) => s"#${enc(k)}=${enc(value)}" }
     val content =
-      (header ++ (carried ++ newFiles).map(enc)).mkString("", "\n", "\n")
-    val tmp = new Path(snapDir(table), f".v$next%08d.tmp-$token")
+      (header ++ relFiles.map(enc)).mkString("", "\n", "\n")
+    val tmp = new Path(snapDir(table), f".v$v%08d.tmp-$token")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     // publish onto a FRESH path. On local filesystems Hadoop's rename
@@ -154,7 +167,7 @@ object Snapshots {
     // fully-written file) and let EEXIST name the losing writer.
     // Non-local filesystems (HDFS and kin) reject rename-onto-existing
     // themselves.
-    val target = manifestPath(table, next)
+    val target = manifestPath(table, v)
     val won =
       if (fs.getScheme == "file") {
         try {
@@ -167,18 +180,120 @@ object Snapshots {
     fs.delete(tmp, false)
     if (!won)
       throw new java.io.IOException(
-        s"snapshot v$next already committed under $table (concurrent writer)")
-    next
+        s"snapshot v$v already committed under $table (concurrent writer)")
   }
 
   /** Read `version` (latest when None) as a DataFrame whose file set is
     * pinned NOW — concurrent later commits or vacuums of OTHER
     * versions cannot change what this plan reads.
+    *
+    * MERGE-ON-READ aware: when the pinned file set carries
+    * [[commitDelta]] delta files, the read applies them transparently —
+    * per key, the highest delta version wins over lower deltas and the
+    * base; winners flagged deleted are dropped. Callers never see the
+    * layout detail (diff/merge/compact all route through here), exactly
+    * like Iceberg/Delta readers hide their delete files. Plan shape:
+    * the base pays one anti-join against the delta key set — broadcast
+    * while deltas are small (their whole point), so the base is neither
+    * shuffled nor rewritten until [[compactDeltas]] folds the log.
     */
   def read(spark: SparkSession, table: String,
            version: Option[Int] = None): DataFrame = {
-    val abs = files(spark, table, version).map(f => s"$table/$f")
-    spark.read.parquet(abs: _*)
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val rel = files(spark, table, version)
+    val (deltaRel, baseRel) = rel.partition(_.startsWith("delta-v"))
+    val base =
+      if (baseRel.isEmpty) {
+        require(deltaRel.isEmpty, s"delta files with no base under $table")
+        throw new IllegalArgumentException(s"empty snapshot under $table")
+      } else spark.read.parquet(baseRel.map(f => s"$table/$f"): _*)
+    if (deltaRel.isEmpty) return base
+    val keys = meta(spark, table, version).getOrElse("mor.keys",
+      throw new IllegalStateException(
+        s"delta files but no mor.keys meta under $table")).split(',').toSeq
+    // one frame per delta version, stamped with its version for the
+    // last-writer-wins resolution
+    val deltas = deltaRel.groupBy(f => f.takeWhile(_ != '/')).toSeq
+      .map { case (dir, fs) =>
+        val v = dir.stripPrefix("delta-v").takeWhile(_.isDigit).toInt
+        spark.read.parquet(fs.map(f => s"$table/$f"): _*)
+          .withColumn("__v", lit(v))
+      }
+      .reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__v").desc)
+    val winners = deltas
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+    base.join(winners.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(
+        winners.filter(!col("__del")).drop("__del", "__v", "__rn"))
+  }
+
+  /** MERGE-ON-READ commit: write ONLY the change set as a delta file
+    * group and carry every previous file forward — bytes written are
+    * proportional to the CHANGE, not the table (the 100 TB write-side
+    * story; [[merge]] is the copy-on-write alternative that rewrites
+    * the table for read-side purity). Source rows upsert by `keyCols`;
+    * rows flagged true in `deleteCol` delete. Readers apply the delta
+    * log transparently ([[read]]) until [[compactDeltas]] folds it.
+    * Within one delta batch keys must be unique (enforced — the
+    * resolution orders across versions, not within one). Returns the
+    * new version.
+    */
+  def commitDelta(spark: SparkSession, table: String, source: DataFrame,
+                  keyCols: Seq[String],
+                  deleteCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val fs = fsOf(spark, table)
+    val prev = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"commitDelta needs an existing table under $table"))
+    val prevMeta = meta(spark, table, Some(prev))
+    prevMeta.get("mor.keys").foreach(k =>
+      require(k == keyCols.mkString(","),
+        s"pending deltas use keys [$k], got [${keyCols.mkString(",")}]"))
+    // withColumnRenamed, not withColumn+drop: when the caller's flag is
+    // already named __del, the latter would drop the flag entirely
+    val normalized = deleteCol
+      .map(c => source.withColumnRenamed(c, "__del"))
+      .getOrElse(source.withColumn("__del", lit(false)))
+    val dup = normalized.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).count()
+    require(dup == 0, s"$dup duplicate keys within one delta batch")
+    // the merged read unions delta payloads with the base by name — a
+    // source that drops or invents columns must fail at WRITE time, not
+    // in some later reader's plan
+    val tableCols = read(spark, table, Some(prev)).columns.toSet
+    val srcCols = normalized.drop("__del").columns.toSet
+    require(srcCols == tableCols,
+      s"delta columns $srcCols must match table columns $tableCols")
+    val next = prev + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = f"delta-v$next%08d-$token"
+    normalized.write.parquet(s"$table/$dataDir")
+    val newFiles = fs.listStatus(new Path(table, dataDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$dataDir/$n")
+    require(newFiles.nonEmpty, "refusing to commit an empty delta")
+    val carried = files(spark, table, Some(prev))
+    val withMeta = prevMeta + ("mor.keys" -> keyCols.mkString(","))
+    publishManifest(spark, table, next, carried ++ newFiles, withMeta)
+    next
+  }
+
+  /** Fold the pending delta log into a full base version (major
+    * compaction): materializes the merged view as a fresh snap commit,
+    * so reads drop the anti-join and range/stats pruning applies again.
+    * Prior versions — including the delta manifests — stay readable
+    * until vacuumed. No-op (returns the current version) when no
+    * deltas are pending.
+    */
+  def compactDeltas(spark: SparkSession, table: String): Int = {
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $table"))
+    if (!files(spark, table, Some(v)).exists(_.startsWith("delta-v"))) return v
+    commit(spark, table, read(spark, table), "overwrite",
+      withMeta = meta(spark, table) - "mor.keys")
   }
 
   /** Manifest-pruned range read of a snapshot VERSION: the version
@@ -194,7 +309,18 @@ object Snapshots {
                 lo: String, hi: String,
                 version: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val abs = files(spark, table, version).map(f => s"$table/$f")
+    val rel = files(spark, table, version)
+    // pending merge-on-read deltas override base rows, so a file-pruned
+    // scan of the raw set would be WRONG (a pruned-in base row may be
+    // deleted/updated by a delta): degrade to the correct filter over
+    // the merged view until compactDeltas restores pruned reads
+    if (rel.exists(_.startsWith("delta-v"))) {
+      val merged = read(spark, table, version)
+      val t = merged.schema(column).dataType
+      return merged.filter(
+        col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
+    }
+    val abs = rel.map(f => s"$table/$f")
     val cand = StatsManifest.filterByStats(spark, table, abs, column, lo, hi)
     val base =
       if (cand.isEmpty) read(spark, table, version).limit(0)
@@ -319,9 +445,11 @@ object Snapshots {
     val referenced = keep.flatMap(v => files(spark, table, Some(v))).toSet
     var removed = 0
     // data dirs are the unit of deletion: a dir with no referenced file
-    // (crashed commit, or only-dropped-version data) goes entirely
+    // (crashed commit, or only-dropped-version data) goes entirely;
+    // merge-on-read delta dirs are data dirs like any other
     fs.listStatus(new Path(table)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snap-v"))
+      .filter(s => s.isDirectory && (s.getPath.getName.startsWith("snap-v") ||
+        s.getPath.getName.startsWith("delta-v")))
       .foreach { d =>
         val dir = d.getPath.getName
         val live = referenced.exists(_.startsWith(dir + "/"))

@@ -233,4 +233,55 @@ class SnapshotsSpec extends SparkSpec {
       (3L, Some("c"), None, "delete"),
       (4L, None, Some("d"), "insert")))
   }
+
+  test("merge-on-read: stacked deltas resolve last-writer-wins, " +
+    "compaction folds the log, pruned reads degrade correctly meanwhile") {
+    import spark.implicits._
+    import graft.sources.StatsManifest
+    val dir = freshTable()
+    Snapshots.commit(spark,
+      dir, (1L to 100L).map(k => (k, s"v$k")).toDF("k", "s")) // v0
+    // delta 1: update k=2, delete k=3, insert k=200
+    Snapshots.commitDelta(spark, dir,
+      Seq((2L, "B", false), (3L, "x", true), (200L, "new", false))
+        .toDF("k", "s", "__del"), Seq("k"), Some("__del"))
+    // delta 2: update k=2 AGAIN, resurrect k=3
+    Snapshots.commitDelta(spark, dir,
+      Seq((2L, "BB", false), (3L, "back", false)).toDF("k", "s", "__del"),
+      Seq("k"), Some("__del"))
+    def rows(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val merged = rows(Snapshots.read(spark, dir))
+    assert(merged.size == 101 && merged(2L) == "BB" && merged(3L) == "back"
+      && merged(200L) == "new" && merged(1L) == "v1")
+    // pinned history: v0 pre-delta, v1 sees delta 1 only (k=3 deleted)
+    assert(rows(Snapshots.read(spark, dir, Some(0))).size == 100)
+    val v1 = rows(Snapshots.read(spark, dir, Some(1)))
+    assert(v1.size == 100 && v1(2L) == "B" && !v1.contains(3L))
+    // rangeRead with pending deltas: correct (delta-aware), even though
+    // unpruned — the updated k=2 must surface its DELTA value
+    val rr = rows(Snapshots.rangeRead(spark, dir, "k", "1", "5"))
+    assert(rr == Map(1L -> "v1", 2L -> "BB", 3L -> "back", 4L -> "v4", 5L -> "v5"))
+    // compaction folds the log: same rows, no delta files, meta cleared
+    val cv = Snapshots.compactDeltas(spark, dir)
+    assert(rows(Snapshots.read(spark, dir)) == merged)
+    assert(!Snapshots.files(spark, dir, Some(cv)).exists(_.startsWith("delta-v")))
+    assert(!Snapshots.meta(spark, dir).contains("mor.keys"))
+    // and a second compactDeltas is a no-op
+    assert(Snapshots.compactDeltas(spark, dir) == cv)
+    // stats-manifest pruning applies again on the folded layout
+    StatsManifest.appendMissing(spark, dir, Seq("k"))
+    assert(rows(Snapshots.rangeRead(spark, dir, "k", "1", "5")).size == 5)
+    // guards: duplicate keys within one batch, and schema drift, fail loud
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDelta(spark, dir,
+        Seq((7L, "a", false), (7L, "b", false)).toDF("k", "s", "__del"),
+        Seq("k"), Some("__del"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.commitDelta(spark, dir,
+        Seq((7L, "a", 1L, false)).toDF("k", "s", "extra", "__del"),
+        Seq("k"), Some("__del"))
+    }
+  }
 }
