@@ -242,7 +242,8 @@ object Snapshots {
     */
   def commitDelta(spark: SparkSession, table: String, source: DataFrame,
                   keyCols: Seq[String],
-                  deleteCol: Option[String] = None): Int = {
+                  deleteCol: Option[String] = None,
+                  extraMeta: Map[String, String] = Map.empty): Int = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val fs = fsOf(spark, table)
     val prev = latestVersion(spark, table).getOrElse(
@@ -276,7 +277,8 @@ object Snapshots {
       .map(n => s"$dataDir/$n")
     require(newFiles.nonEmpty, "refusing to commit an empty delta")
     val carried = files(spark, table, Some(prev))
-    val withMeta = prevMeta + ("mor.keys" -> keyCols.mkString(","))
+    val withMeta =
+      prevMeta ++ extraMeta + ("mor.keys" -> keyCols.mkString(","))
     publishManifest(spark, table, next, carried ++ newFiles, withMeta)
     next
   }
