@@ -962,6 +962,45 @@ object Extra {
           graft.functions.Text.bitmapCount(col("bm")).as("n_users"))
     },
 
+    // ----- exact sliding-window distinct via bitmaps ----------------------
+    // COUNT(DISTINCT) OVER a moving window is unsupported in Spark SQL
+    // (and quadratic done naively: every day re-scans its 7 days of
+    // raw rows). The bitmap rollup makes it exact AND linear in the
+    // stored granularity: per-day blobs, a bounded range self-join
+    // (each day joins its ≤7 trailing days — kilobyte blobs, never
+    // user rows), OR-merge per day, popcount. The same stored table
+    // answers ANY window length; the oracle re-derives each day's
+    // trailing set from raw rows.
+    Q("qa07_windowed_distinct",
+      """WITH daily AS (
+        |  SELECT DISTINCT
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT day FROM daily)
+        |SELECT d.day AS day,
+        |  CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_users_7d
+        |FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin) { (s, dir) =>
+      // day-grain blob table, materialized ONCE (localCheckpoint): both
+      // the anchor list and the range probe consume it, and without the
+      // cut each consumer re-scans raw events and re-builds the bitmaps
+      // (the qt15 invariant-subtree discipline). Days-sized — tiny.
+      val daily = Tables(s, dir, "events")
+        .select(datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast(LongType).as("day"), col("user_id"))
+        .groupBy("day")
+        .agg(graft.functions.Text.bitmapAgg(col("user_id")).as("bm"))
+        .localCheckpoint()
+      val anchors = daily.select(col("day").as("anchor"))
+      anchors.join(daily,
+          col("day").between(col("anchor") - 6, col("anchor")))
+        .groupBy(col("anchor").as("day"))
+        .agg(graft.functions.Text.bitmapOr(col("bm")).as("bm"))
+        .select(col("day"),
+          graft.functions.Text.bitmapCount(col("bm")).as("n_users_7d"))
+    },
+
     // ----- exact bitmap intersection (week-over-week retention) -----------
     // The operation NO cardinality sketch performs exactly: per-week
     // user bitmaps self-joined on week+1, intersected with BitmapAnd,
@@ -983,12 +1022,15 @@ object Extra {
         |JOIN wks n ON n.week = a.week + 1
         |LEFT JOIN wu b ON b.week = a.week + 1 AND b.user_id = a.user_id
         |GROUP BY a.week""".stripMargin) { (s, dir) =>
+      // weeks-sized blob table, consumed by both join sides — same
+      // materialize-once discipline as qa07
       val weekly = Tables(s, dir, "events")
         .select(expr(
           "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").as("week"),
           col("user_id"))
         .groupBy("week")
         .agg(graft.functions.Text.bitmapAgg(col("user_id")).as("bm"))
+        .localCheckpoint()
       val nxt = weekly.select((col("week") - 1).as("week"), col("bm").as("bm2"))
       weekly.join(nxt, "week")
         .select(col("week"),

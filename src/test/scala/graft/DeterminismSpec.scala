@@ -16,12 +16,15 @@ class DeterminismSpec extends SparkSpec {
   // two-phase prefix-sum packing, weighted hash sampling, histogram,
   // unrolled iterative graph fixpoint, sharded global rank
   // ... plus: gaps-and-islands span merge, deletion-key fuzzy pairs,
-  // mergeable Count-Min counters
+  // mergeable Count-Min counters, canonical bitmap blobs (sorted-word
+  // serialization makes the OR-merge rollup partition-independent),
+  // integer-exact windowed anomaly flags
   private val sampled = Seq(
     "q05_groupby_agg", "q39_window_frames", "qd05_minhash_lsh",
     "qs07_label_centroids", "qc02_pack_budget", "qc05_weighted_sample",
     "q59_histogram", "qt15_textrank", "qc09_corpus_shuffle",
-    "qd14_span_strip", "q68_fuzzy_pairs", "qa04_cms_bound")
+    "qd14_span_strip", "q68_fuzzy_pairs", "qa04_cms_bound",
+    "qa05_bitmap_distinct_rollup", "q69_rolling_anomaly")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get

@@ -322,4 +322,19 @@ class PlanChecksSpec extends SparkSpec {
         n.toString.contains("countminagg")),
       "the sketch must aggregate through ObjectHashAggregate partials")
   }
+
+  test("bitmap rollup: partial ObjectHashAggregate, and the day-grain " +
+    "re-aggregation joins blobs, never raw rows (qa05, qa07)") {
+    val rollup = collectAll(executed(q("qa05_bitmap_distinct_rollup")))
+    assert(rollup.exists(n =>
+      n.toString.contains("ObjectHashAggregate") &&
+        n.toString.toLowerCase.contains("bitmapagg")),
+      "per-day bitmaps must build through ObjectHashAggregate partials")
+    // the windowed-distinct range join probes per-day BLOB rows (one
+    // row per day) — the raw events relation must appear exactly once
+    // in the plan, scanned only to build the day grain
+    val win = planString(q("qa07_windowed_distinct"))
+    val scans = "events\\.parquet".r.findAllIn(win).length
+    assert(scans <= 1, s"qa07 must scan raw events once, saw $scans scans")
+  }
 }
