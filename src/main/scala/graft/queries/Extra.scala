@@ -934,6 +934,119 @@ object Extra {
             .as("is_anomaly"))
     },
 
+    // ----- A/B experiment significance (integer-exact chi-square) ---------
+    // The experimentation primitive: users hash-split into two variants
+    // (the qc07 deterministic-split discipline), conversion = any
+    // purchase event, and the 2x2 chi-square test decided WITHOUT any
+    // floating point — the alpha=0.05 critical value 3.841459 rides as
+    // the rational 3841459/1e6 and the inequality is cross-multiplied:
+    //   1e6 · n · (ad−bc)² > 3841459 · (a+b)(c+d)(a+c)(b+d)
+    // in DECIMAL(38,0)/HUGEINT, so the significance BOOLEAN is
+    // hash-comparable cross-engine (a double chi-square statistic
+    // would flip knife-edge cases in the last ulp). At 100 TB the
+    // shape is two partial-agg passes over events — no per-user state.
+    Q("q71_ab_chisq",
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    ${graft.functions.Text.polyhashSql("CAST(user_id AS VARCHAR)")} % 2
+         |      AS variant,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY 1),
+         |c AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN variant = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(SUM(CASE WHEN variant = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+         |  FROM u)
+         |SELECT a, b, c, d,
+         |  1000000::HUGEINT * (a+b+c+d)::HUGEINT
+         |      * (a::HUGEINT*d::HUGEINT - b::HUGEINT*c::HUGEINT)
+         |      * (a::HUGEINT*d::HUGEINT - b::HUGEINT*c::HUGEINT)
+         |    > 3841459::HUGEINT * (a+b)::HUGEINT * (c+d)::HUGEINT
+         |      * (a+c)::HUGEINT * (b+d)::HUGEINT AS significant
+         |FROM c""".stripMargin) { (s, dir) =>
+      val dec = "DECIMAL(38,0)"
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id"),
+          pmod(graft.functions.Text.polyhash(col("user_id").cast("string")),
+            lit(2L)).as("variant"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      u.agg(
+          sum(when(col("variant") === 0 && col("conv") === 1, 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(col("variant") === 0 && col("conv") === 0, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("variant") === 1 && col("conv") === 1, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("variant") === 1 && col("conv") === 0, 1L)
+            .otherwise(0L)).as("d"))
+        .withColumn("significant", expr(
+          s"""CAST(1000000 AS $dec) * CAST(a+b+c+d AS $dec)
+             |  * (CAST(a AS $dec) * CAST(d AS $dec)
+             |     - CAST(b AS $dec) * CAST(c AS $dec))
+             |  * (CAST(a AS $dec) * CAST(d AS $dec)
+             |     - CAST(b AS $dec) * CAST(c AS $dec))
+             |> CAST(3841459 AS $dec) * CAST(a+b AS $dec) * CAST(c+d AS $dec)
+             |  * CAST(a+c AS $dec) * CAST(b+d AS $dec)""".stripMargin))
+    },
+
+    // ----- event transition matrix (Markov first-order) -------------------
+    // P(next | current) as exact counts: per-user event sequences via
+    // one partitioned lead() window (deterministic tie-break on
+    // event_id), then a grouped count per (current, next) pair — the
+    // behavioral-model / anomalous-flow primitive. One bounded window
+    // shuffle + one partial agg; never a per-user collect.
+    Q("q72_event_transitions",
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM seq WHERE nxt IS NOT NULL
+        |GROUP BY cur, nxt""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .select(col("event_type").as("cur"),
+          lead(col("event_type"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+    },
+
+    // ----- per-group trend slope (integer-exact least squares) ------------
+    // Trend detection over daily series: the OLS slope of count-vs-day
+    // per event_type, carried as the exact integer pair
+    //   (n·Σxy − Σx·Σy, n·Σx² − (Σx)²)
+    // instead of one lossy double division — consumers compare trends
+    // by cross-multiplying numerators/denominators, and the gate
+    // hash-compares exactly. One partial-agg pass over the daily
+    // grain; x rides as epoch day.
+    Q("q73_trend_slope",
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+        |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+        |FROM daily GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01"))
+            .cast(LongType).as("x"))
+        .agg(count(lit(1)).as("y"))
+      daily.groupBy("event_type")
+        .agg(
+          (count(lit(1)) * sum(col("x") * col("y"))
+            - sum(col("x")) * sum(col("y"))).as("slope_num"),
+          (count(lit(1)) * sum(col("x") * col("x"))
+            - sum(col("x")) * sum(col("x"))).as("slope_den"))
+    },
+
     // ----- exact bitmap distinct rollup -----------------------------------
     // The EXACT twin of q54's HLL rollup: one bitmap per (day) at the
     // stored granularity, re-aggregated to weeks by OR-merging the
