@@ -115,6 +115,59 @@ object Similarity {
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"), col("rnk"))
   }
 
+  /** Exact top-k by raw INNER PRODUCT (MIPS — recommendation scoring:
+    * user·item, no normalization). Output shape and tie discipline as
+    * [[cosineTopK]]. The documented O(n·q) baseline; [[mipsLshTopK]]
+    * is the scale path.
+    */
+  def mipsTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val sims = q.crossJoin(c)
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("ip", Text.dot(col("qv"), col("v")))
+    val w = Window.partitionBy("qid").orderBy(col("ip").desc, col("vid"))
+    sims.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        col("rnk"))
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction
+    * (Bachrach et al. / Shrivastava-Li): corpus vectors become
+    * [v, √(M²−|v|²)] with M = max corpus norm, queries [q, 0] — every
+    * augmented corpus vector has norm exactly M, so cosine in the
+    * augmented space is q·v/(|q|·M), MONOTONE in the inner product,
+    * and the existing random-hyperplane LSH machinery searches it
+    * unchanged. The augmentation is one broadcast scalar (the max
+    * norm) + a row-local array append; candidates and rerank ride
+    * [[lshCosineTopK]] in dim+1.
+    */
+  def mipsLshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planesPerTable: Int = 8, tables: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as(vecCol))
+    val m = c.agg(max(sqrt(Text.dot(col(vecCol), col(vecCol)))).as("__m"))
+    // greatest(0, ·) guards the max-norm vector itself, where rounding
+    // can push M²−|v|² a few ulps negative
+    val caug = c.crossJoin(broadcast(m))
+      .withColumn(vecCol, concat(col(vecCol),
+        array(sqrt(greatest(lit(0.0),
+          col("__m") * col("__m") - Text.dot(col(vecCol), col(vecCol)))))))
+      .drop("__m")
+    val qaug = queries.select(col(idCol),
+        col(vecCol).cast("array<double>").as(vecCol))
+      .withColumn(vecCol, concat(col(vecCol), array(lit(0.0))))
+    lshCosineTopK(caug, qaug, idCol, vecCol, k, planesPerTable, tables,
+      dim + 1)
+  }
+
   /** Per-query overlap between an ANN result and the exact top-k:
     * (query_id, hits). Groups on the exact side so a query the ANN path
     * missed entirely still appears with hits = 0. Both ANN paths are

@@ -504,6 +504,28 @@ object Pipeline {
         .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
     },
 
+    // ----- MIPS: max-inner-product search via norm augmentation ----------
+    // The recommendation-scoring objective (user·item, unnormalized) is
+    // NOT a metric, so cosine LSH can't search it directly — the
+    // norm-augmentation reduction ([v, √(M²−|v|²)] / [q, 0]) makes
+    // every corpus vector's augmented norm exactly M, turning augmented
+    // cosine into a monotone function of the inner product; the
+    // UNCHANGED hyperplane-LSH machinery then searches dim+1. The gate
+    // runs the full reduction + LSH + exact-IP rerank against the
+    // brute-force inner-product top-k; floor measured (min hits@10: 10
+    // at sf0.001/sf0.01, 10 at sf0.1) with the qs05 safety margin.
+    Q("qs13_mips_recall",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.mipsTopK(emb, q, "vec_id", "embedding", k = 10)
+      val ann = Similarity.mipsLshTopK(emb, q, "vec_id", "embedding", k = 10,
+        planesPerTable = 3, tables = 24)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 5).cast("long").as("recall_ok"))
+    },
+
     // ----- IVF-PQ composed ANN (the billion-scale layout) ---------------
     // coarse cells (qs06's model) x PQ codes (qs09's): probe nprobe/8
     // of the corpus, ADC-scan only those cells' codes, exact-rerank the

@@ -80,4 +80,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ratio > 0.8 && ratio < 1.2,
       s"norm preservation in expectation violated: mean ratio $ratio")
   }
+
+  test("MIPS ranks by inner product, not angle, and the norm-augmented " +
+    "LSH reduction recovers the same order") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // v2 points 37° off the query but is 10x longer: inner product
+    // prefers it (8 > 1) while cosine prefers the aligned unit v1
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(8.0, 6.0)), (3L, Seq(0.5, -0.5)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    def order(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(order(Similarity.mipsTopK(corpus, q, "vec_id", "embedding", 3))
+      == Seq(2L, 1L, 3L), "inner product must rank the long vector first")
+    assert(order(Similarity.cosineTopK(corpus, q, "vec_id", "embedding", 3))
+      == Seq(1L, 2L, 3L), "cosine must rank the aligned unit vector first")
+    // augmented-LSH MIPS with enough tables recovers the exact IP order
+    assert(order(Similarity.mipsLshTopK(corpus, q, "vec_id", "embedding", 3,
+      planesPerTable = 2, tables = 16, dim = 2)) == Seq(2L, 1L, 3L))
+  }
 }
