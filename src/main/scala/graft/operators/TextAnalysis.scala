@@ -197,6 +197,44 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""),
         " +", " ")).as("norm_text"))
 
+  /** Accent-folding table, the single source of truth for BOTH engines:
+    * 1:1 Latin diacritic strips (applied as one `translate` pass) and
+    * the multi-char expansions (ß→ss, æ→ae, œ→oe, ø→o is 1:1 but Þ/þ
+    * expand). Deliberately a FIXED table, not locale-dependent libc
+    * collation — the fold must produce identical bytes on every engine
+    * and every deployment for normalized keys to join.
+    */
+  val FoldFrom: String =
+    "áàâäãåéèêëíìîïóòôöõúùûüýÿñçÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÑÇøØ"
+  val FoldTo: String =
+    "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNCoO"
+  val FoldExpansions: Seq[(String, String)] =
+    Seq("ß" -> "ss", "æ" -> "ae", "Æ" -> "AE", "œ" -> "oe", "Œ" -> "OE")
+
+  /** NFC-normalize then fold diacritics to ASCII: the canonical text
+    * key for joins/dedup over web text, where the same visible string
+    * arrives precomposed, decomposed, and accent-varied. NFC first is
+    * load-bearing — the translate table matches PRECOMPOSED code
+    * points, so a decomposed e+U+0301 must compose before folding.
+    * Row-local and codegen'd end to end.
+    */
+  def foldedKey(c: Column): Column = {
+    val nfc = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.expressions.NfcNormalize(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+    FoldExpansions.foldLeft(translate(nfc, FoldFrom, FoldTo)) {
+      case (acc, (from, to)) => regexp_replace(acc, from, to)
+    }
+  }
+
+  /** DuckDB text computing the IDENTICAL fold over `e`. */
+  def foldedKeySql(e: String): String = {
+    val base = s"translate(nfc_normalize($e), '$FoldFrom', '$FoldTo')"
+    FoldExpansions.foldLeft(base) {
+      case (acc, (from, to)) => s"replace($acc, '$from', '$to')"
+    }
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = withWords(df, textCol)
       .withColumn("__sh", expr(Text.shinglesExpr("__ws")))

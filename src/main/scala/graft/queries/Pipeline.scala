@@ -1149,6 +1149,43 @@ object Pipeline {
       TextAnalysis.redactPii(withPii, "doc_id", "text")
     },
 
+    // ----- Unicode canonical text keys (NFC + accent fold) ---------------
+    // Web text arrives precomposed (é = U+00E9), decomposed
+    // (e + U+0301), and accent-varied — three byte sequences, one
+    // visible string, which breaks every hash/join/dedup key upstream.
+    // The gate decorates each document with a deterministic accented
+    // phrase (cycling by doc_id, INCLUDING a decomposed variant that
+    // must collapse onto its precomposed twin) and folds through the
+    // custom codegen'd NFC expression + the shared translate table —
+    // both engines compute the fold from the same constants
+    // (TextAnalysis.FoldFrom/FoldTo/FoldExpansions), so the bytes must
+    // match exactly. Row-local, no shuffle.
+    Q("qt17_accent_fold",
+      s"""WITH p AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 7 AS INTEGER)
+         |    WHEN 0 THEN 'Café crème'
+         |    WHEN 1 THEN 'Café crème'
+         |    WHEN 2 THEN 'Straße'
+         |    WHEN 3 THEN 'Æsop œuvre'
+         |    WHEN 4 THEN 'naïve piñata søster'
+         |    WHEN 5 THEN 'ÀÉÎÕÜ'
+         |    ELSE 'plain ascii' END || ' ' || text AS t
+         |  FROM documents)
+         |SELECT doc_id, ${TextAnalysis.foldedKeySql("t")} AS folded
+         |FROM p""".stripMargin) { (s, dir) =>
+      val variants = Seq("Café crème", "Café crème",
+        "Straße", "Æsop œuvre",
+        "naïve piñata søster",
+        "ÀÉÎÕÜ", "plain ascii")
+      val decorated = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          element_at(array(variants.map(lit): _*),
+            pmod(col("doc_id"), lit(7)).cast("int") + 1),
+          lit(" "), col("text")).as("t"))
+      decorated.select(col("doc_id"),
+        TextAnalysis.foldedKey(col("t")).as("folded"))
+    },
+
     // ----- scalar quantization reconstruction bound ----------------------
     Q("qs08_quantization_bound",
       "SELECT vec_id, TRUE AS within_bound FROM embeddings") { (s, dir) =>

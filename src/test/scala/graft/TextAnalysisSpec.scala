@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 /** Unit coverage for the PII scrub's ordering and boundary edges — the
@@ -86,5 +87,24 @@ class TextAnalysisSpec extends SparkSpec {
     val five = graft.operators.TextAnalysis.textRank(
         df, "doc_id", "text", minCount = 2, iters = 5, k = 1).collect()
     assert(five.head.getString(0) == "a")
+  }
+
+  test("foldedKey: NFC-composes then folds accents; expansions expand") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val pre = "Caf\u00e9 cr\u00e8me"          // precomposed
+    val dec = "Cafe\u0301 cre\u0300me"        // decomposed twin
+    val rows = Seq((1L, pre), (2L, dec), (3L, "Stra\u00dfe"),
+      (4L, "\u00c6sop \u0153uvre"), (5L, "plain"))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.foldedKey(col("t")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == "Cafe creme")
+    assert(rows(2L) == rows(1L), "decomposed twin must collapse onto precomposed")
+    assert(rows(3L) == "Strasse")
+    assert(rows(4L) == "AEsop oeuvre")
+    assert(rows(5L) == "plain")
+    // fold table sanity: translate source/target same length
+    assert(TextAnalysis.FoldFrom.length == TextAnalysis.FoldTo.length)
   }
 }
