@@ -235,6 +235,65 @@ object TextAnalysis {
     }
   }
 
+  /** URL canonicalization — the web-corpus dedup key: lowercase scheme
+    * and host, strip the scheme's default port and a leading `www.`,
+    * drop the fragment, strip trailing path slashes (empty path → `/`),
+    * drop `utm_`-prefixed tracking params, and SORT the surviving query
+    * params so parameter order can't split a page into two keys. Two
+    * crawls of the same page then collapse onto one canonical string —
+    * the URL-level dedup that runs before any content hash at 100 TB
+    * (cheaper than fetching, catches the redirect/tracking-link
+    * explosion). Row-local, regex + array ops only, no shuffle; the
+    * [[canonicalUrlSql]] twin computes the identical bytes in DuckDB.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val url = c
+    val scheme = lower(regexp_extract(url, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z]+://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val noPort = when(scheme === "https",
+        regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val host = regexp_replace(noPort, "^www\\.", "")
+    val pathqf = regexp_replace(regexp_replace(rest, "^[^/?#]*", ""),
+      "#.*$", "")
+    val rawPath = regexp_extract(pathqf, "^([^?]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val query = regexp_extract(pathqf, "\\?(.*)$", 1)
+    val qs = array_join(array_sort(filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** DuckDB text computing the IDENTICAL canonicalization over `e`. */
+  def canonicalUrlSql(e: String): String = {
+    val scheme = s"lower(regexp_extract($e, '^([A-Za-z]+)://', 1))"
+    val rest = s"regexp_replace($e, '^[A-Za-z]+://', '')"
+    val hostport = s"lower(regexp_extract($rest, '^([^/?#]*)', 1))"
+    val noPort =
+      s"""CASE WHEN $scheme = 'https' THEN regexp_replace($hostport, ':443$$', '')
+         |  WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '')
+         |  ELSE $hostport END""".stripMargin
+    val host = s"regexp_replace($noPort, '^www\\.', '')"
+    val pathqf =
+      s"regexp_replace(regexp_replace($rest, '^[^/?#]*', ''), '#.*$$', '')"
+    val rawPath = s"regexp_extract($pathqf, '^([^?]*)', 1)"
+    val path =
+      s"""CASE WHEN regexp_replace($rawPath, '/+$$', '') = '' THEN '/'
+         |  ELSE regexp_replace($rawPath, '/+$$', '') END""".stripMargin
+    val query = s"regexp_extract($pathqf, '\\?(.*)$$', 1)"
+    // coalesce: DuckDB's array_to_string returns NULL (not '') for an
+    // empty list, unlike Spark's array_join
+    val qs = s"coalesce(array_to_string(list_sort(list_filter(" +
+      s"string_split($query, '&'), " +
+      s"p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '')"
+    s"""$scheme || '://' || $host || $path ||
+       |  CASE WHEN $qs = '' THEN '' ELSE '?' || $qs END""".stripMargin
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = withWords(df, textCol)
       .withColumn("__sh", expr(Text.shinglesExpr("__ws")))

@@ -151,6 +151,55 @@ object Pipeline {
         l = 8, minDocs = 2)
     },
 
+    // ----- URL canonicalization (web-corpus dedup keys) ------------------
+    // Two crawls of one page rarely share URL bytes: scheme/host case,
+    // default ports, www, trailing slashes, fragments, tracking params
+    // and query-param ORDER all vary. The gate synthesizes six URL
+    // variants per page id (three of which are the same page in
+    // different disguises) and canonicalizes through the shared spec
+    // (TextAnalysis.canonicalUrl / canonicalUrlSql — lowercase, strip
+    // :443/:80 + www + fragment + utm_*, sort params, normalize path),
+    // emitting each doc's canonical key and its collapse-group size.
+    // Variants 0/1/3 MUST land identical canon strings or the group
+    // counts (and the hash) break. Row-local canon + one partitioned
+    // window; the dedup itself is then qd01's exact groupBy.
+    Q("qd15_url_canon", {
+      val v = "CAST(doc_id % 6 AS INTEGER)"
+      val pid = "CAST(doc_id // 6 AS VARCHAR)"
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE $v
+         |    WHEN 0 THEN 'https://www.example.com/articles/' || $pid || '?a=1&b=2'
+         |    WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/articles/' || $pid || '/?b=2&a=1#section'
+         |    WHEN 2 THEN 'http://example.com:80/articles/' || $pid || '?utm_source=feed&a=1&b=2'
+         |    WHEN 3 THEN 'https://example.com/articles/' || $pid || '?b=2&utm_campaign=x&a=1'
+         |    WHEN 4 THEN 'https://example.com/other/' || $pid
+         |    ELSE 'https://blog.example.com/articles/' || $pid
+         |  END AS url FROM documents)
+         |SELECT doc_id, ${TextAnalysis.canonicalUrlSql("url")} AS canon_url,
+         |  COUNT(*) OVER (PARTITION BY ${TextAnalysis.canonicalUrlSql("url")})
+         |    AS n_same
+         |FROM u""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pid = expr("doc_id div 6").cast("string")
+      val url = element_at(array(
+        concat(lit("https://www.example.com/articles/"), pid, lit("?a=1&b=2")),
+        concat(lit("HTTPS://WWW.EXAMPLE.COM:443/articles/"), pid,
+          lit("/?b=2&a=1#section")),
+        concat(lit("http://example.com:80/articles/"), pid,
+          lit("?utm_source=feed&a=1&b=2")),
+        concat(lit("https://example.com/articles/"), pid,
+          lit("?b=2&utm_campaign=x&a=1")),
+        concat(lit("https://example.com/other/"), pid),
+        concat(lit("https://blog.example.com/articles/"), pid)),
+        pmod(col("doc_id"), lit(6)).cast("int") + 1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.canonicalUrl(url).as("canon_url"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("canon_url"))))
+    },
+
     // ----- span-strip cleaned corpus (composition on qd13) ---------------
     // Cut every duplicated span's tokens and reassemble each doc —
     // substring-level dedup as a TRANSFORM, not a filter. The oracle

@@ -107,4 +107,27 @@ class TextAnalysisSpec extends SparkSpec {
     // fold table sanity: translate source/target same length
     assert(TextAnalysis.FoldFrom.length == TextAnalysis.FoldTo.length)
   }
+
+  test("canonicalUrl: disguised variants collapse, distinct pages stay apart") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val urls = Seq(
+      (1L, "https://www.example.com/articles/7?a=1&b=2"),
+      (2L, "HTTPS://WWW.EXAMPLE.COM:443/articles/7/?b=2&a=1#sec"),
+      (3L, "https://example.com/articles/7?b=2&utm_campaign=x&a=1"),
+      (4L, "http://example.com:80/articles/7?a=1&b=2"),   // scheme differs
+      (5L, "https://example.com/articles/8?a=1&b=2"),     // page differs
+      (6L, "https://example.com"),                        // empty path -> /
+      (7L, "https://example.com/?utm_source=x"))          // all-utm query dropped
+      .toDF("id", "u")
+      .select(col("id"), TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(urls(1L) == "https://example.com/articles/7?a=1&b=2")
+    assert(urls(2L) == urls(1L) && urls(3L) == urls(1L),
+      "case/port/www/slash/fragment/param-order/utm variants must collapse")
+    assert(urls(4L) == "http://example.com/articles/7?a=1&b=2")
+    assert(urls(5L) != urls(1L))
+    assert(urls(6L) == "https://example.com/")
+    assert(urls(7L) == "https://example.com/")
+  }
 }
