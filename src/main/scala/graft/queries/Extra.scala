@@ -934,6 +934,36 @@ object Extra {
             .as("is_anomaly"))
     },
 
+    // ----- recursive CTE: transitive closure to a root --------------------
+    // Spark 4's WITH RECURSIVE, gated against DuckDB's: every customer
+    // walks the synthesized referral chain parent(c) = c div 2 (a
+    // binary tree over the key space) and reports its depth to the
+    // root — transitive closure expressed IN SQL, no driver loop, no
+    // mapPartitions fixpoint. Each iteration is a narrow map over the
+    // frontier (rows leave the frontier when they hit the root), so
+    // the recursion runs log₂(maxkey) rounds of frontier-sized work —
+    // the engine-managed counterpart to the manual pointer-jumping in
+    // Dedup.connectedComponents, which remains the scale path for
+    // general graphs (this one is depth-bounded by construction).
+    Q("q74_recursive_cte",
+      """WITH RECURSIVE anc AS (
+        |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS d
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT node, cur // 2, d + 1 FROM anc WHERE cur > 1)
+        |SELECT node AS c_custkey, CAST(MAX(d) AS BIGINT) AS depth_to_root
+        |FROM anc GROUP BY node""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("__rec_customer")
+      s.sql(
+        """WITH RECURSIVE anc AS (
+          |  SELECT c_custkey AS node, c_custkey AS cur, CAST(0 AS BIGINT) AS d
+          |  FROM __rec_customer
+          |  UNION ALL
+          |  SELECT node, cur DIV 2, d + 1 FROM anc WHERE cur > 1)
+          |SELECT node AS c_custkey, MAX(d) AS depth_to_root
+          |FROM anc GROUP BY node""".stripMargin)
+    },
+
     // ----- A/B experiment significance (integer-exact chi-square) ---------
     // The experimentation primitive: users hash-split into two variants
     // (the qc07 deterministic-split discipline), conversion = any
