@@ -934,6 +934,76 @@ object Extra {
             .as("is_anomaly"))
     },
 
+    // ----- mergeable histogram quantile rollup ----------------------------
+    // The quantile member of the persisted-rollup family (q54 HLL =
+    // cardinality, qa04 CMS = frequency, qa05 bitmaps = exact sets):
+    // per-DAY fixed-width histograms of order value (decimal-exact
+    // cents, $5000 buckets over the scale-invariant price domain),
+    // re-aggregated over a date range by summing counts — any range's
+    // quantiles come from stored day-grain rows with no raw rescan,
+    // with error bounded by the bucket width BY CONSTRUCTION. The
+    // quantile walk is the cross-multiplied integer inequality
+    // 100·cum ≥ p·n (no ceil, no division), and the bucket counts
+    // themselves are part of the hash-gated output — so the bound
+    // claim rests on oracle-verified integers, not on a replicated
+    // float percentile. KLL/t-digest were rejected deliberately:
+    // their compactions are merge-order-dependent, which breaks the
+    // partition-independence discipline every gate here holds.
+    Q("qa08_quantile_rollup",
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 500000
+        |      AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM daily
+        |  WHERE day BETWEEN
+        |      datediff('day', DATE '1970-01-01', DATE '1997-01-01')
+        |    AND datediff('day', DATE '1970-01-01', DATE '1997-12-31')
+        |  GROUP BY bucket),
+        |cum AS (
+        |  SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum,
+        |    (SELECT SUM(cnt) FROM merged) AS n
+        |  FROM merged)
+        |SELECT CAST(p.pct AS BIGINT) AS pct,
+        |  CAST(MIN(c.bucket) AS BIGINT) AS bucket,
+        |  CAST(MIN(c.bucket) * 500000 AS BIGINT) AS lo_cents,
+        |  CAST((MIN(c.bucket) + 1) * 500000 AS BIGINT) AS hi_cents
+        |FROM (VALUES (25), (50), (90)) p(pct) JOIN cum c
+        |  ON 100 * c.cum >= p.pct * c.n
+        |GROUP BY p.pct""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val W = 500000L
+      val daily = Tables(s, dir, "orders")
+        .select(
+          datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+            .cast(LongType).as("day"),
+          expr(s"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            s" div $W").as("bucket"))
+        .groupBy("day", "bucket").agg(count(lit(1)).as("cnt"))
+      val lo = datediff(lit("1997-01-01").cast("date"), lit("1970-01-01"))
+      val hi = datediff(lit("1997-12-31").cast("date"), lit("1970-01-01"))
+      val merged = daily.filter(col("day").between(lo, hi))
+        .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      val n = merged.agg(sum("cnt").as("n"))
+      // cumulative walk over ~100 buckets: the tiny-dim global-window
+      // precedent (SURVEY §7.3) — bounded by the bucket count, not data
+      val cum = merged
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(n))
+      Seq(25L, 50L, 90L).toDF("pct")
+        .join(cum, lit(100) * col("cum") >= col("pct") * col("n"))
+        .groupBy("pct")
+        .agg(min("bucket").as("bucket"),
+          (min("bucket") * W).as("lo_cents"),
+          ((min("bucket") + 1) * W).as("hi_cents"))
+    },
+
     // ----- recursive CTE: transitive closure to a root --------------------
     // Spark 4's WITH RECURSIVE, gated against DuckDB's: every customer
     // walks the synthesized referral chain parent(c) = c div 2 (a
