@@ -434,6 +434,50 @@ object Snapshots {
       withMeta = meta(spark, table))
   }
 
+  /** INCREMENTAL compaction: rewrite ONLY the dirty files (smaller than
+    * `targetBytes`/2) into ~`targetBytes` files and carry every
+    * compliant file forward BY REFERENCE — the new manifest lists old
+    * clean files + new compacted files, so maintenance cost is
+    * proportional to the small-file debt, never the table (at 100 TB,
+    * full-table `compact` is a non-starter once the table is mostly
+    * well-laid-out; continuous ingest only ever dirties the tail).
+    * Crash-safe for free: files are immutable and readers plan from
+    * manifests, so a crashed run leaves an unreferenced data dir for
+    * vacuum, exactly like any commit. No-ops (returns the current
+    * version) when fewer than two files are dirty. Refuses a table
+    * with pending merge-on-read deltas — fold them first
+    * ([[compactDeltas]]); silently compacting half a delta log would
+    * break the version-ordered resolution.
+    */
+  def compactIncremental(spark: SparkSession, table: String,
+                         targetBytes: Long): Int = {
+    val fs = fsOf(spark, table)
+    val v = latestVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no snapshots under $table"))
+    val rel = files(spark, table, Some(v))
+    require(!rel.exists(_.startsWith("delta-v")),
+      "pending merge-on-read deltas: run compactDeltas before " +
+        "compactIncremental")
+    val sized = rel.map(f =>
+      f -> fs.getFileStatus(new Path(table, f)).getLen)
+    val (dirty, clean) = sized.partition(_._2 < targetBytes / 2)
+    if (dirty.size <= 1) return v
+    val dirtyBytes = dirty.map(_._2).sum
+    val nOut = math.max(1, math.ceil(dirtyBytes.toDouble / targetBytes).toInt)
+    val next = v + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = f"snap-v$next%08d-$token"
+    spark.read.parquet(dirty.map { case (f, _) => s"$table/$f" }: _*)
+      .repartition(nOut)
+      .write.parquet(s"$table/$dataDir")
+    val newFiles = fs.listStatus(new Path(table, dataDir)).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(n => s"$dataDir/$n")
+    publishManifest(spark, table, next,
+      clean.map(_._1) ++ newFiles, meta(spark, table, Some(v)))
+    next
+  }
+
   /** Delete all but the last `keepLast` versions and every data file no
     * kept manifest references (including orphans from crashed
     * commits). Readers of kept versions are unaffected — their files

@@ -284,4 +284,41 @@ class SnapshotsSpec extends SparkSpec {
         Seq("k"), Some("__del"))
     }
   }
+
+  test("incremental compaction rewrites only the small-file debt; " +
+    "compliant files carry forward by reference") {
+    import spark.implicits._
+    val dir = freshTable()
+    // v0: one well-sized file; v1..v3: append dribbles (small files)
+    Snapshots.commit(spark, dir,
+      (1L to 20000L).map(k => (k, s"v$k")).toDF("k", "s").repartition(1))
+    (1 to 3).foreach { i =>
+      Snapshots.commit(spark, dir,
+        (1L to 50L).map(j => (100000L * i + j, "x")).toDF("k", "s")
+          .repartition(1), "append")
+    }
+    val before = Snapshots.files(spark, dir).toSet
+    val bigFile = Snapshots.files(spark, dir, Some(0)).head
+    val bigMtime = new java.io.File(s"$dir/$bigFile").lastModified()
+    val rows0 = Snapshots.read(spark, dir).count()
+    // target sized so v0's file is compliant and the dribbles are dirty
+    val bigLen = new java.io.File(s"$dir/$bigFile").length()
+    val cv = Snapshots.compactIncremental(spark, dir, targetBytes = bigLen)
+    val after = Snapshots.files(spark, dir, Some(cv)).toSet
+    assert(after.contains(bigFile), "compliant file must carry by reference")
+    assert(new java.io.File(s"$dir/$bigFile").lastModified() == bigMtime
+      && new java.io.File(s"$dir/$bigFile").length() == bigLen,
+      "compliant file must be byte-untouched")
+    assert((before -- after).forall(f =>
+        new java.io.File(s"$dir/$f").length() < bigLen / 2),
+      "only small files may be rewritten")
+    assert(after.size < before.size, "small-file debt must shrink")
+    assert(Snapshots.read(spark, dir).count() == rows0, "rows preserved")
+    // debt-free table: another run is a no-op version-wise
+    assert(Snapshots.compactIncremental(spark, dir, bigLen) == cv ||
+      Snapshots.files(spark, dir).count(f =>
+        new java.io.File(s"$dir/$f").length() < bigLen / 2) <= 1)
+    // prior versions still pinned and readable
+    assert(Snapshots.read(spark, dir, Some(0)).count() == 20000L)
+  }
 }
