@@ -902,6 +902,82 @@ object Pipeline {
     // survivor counts and kept-token volume — one oracle over the
     // whole chain proves stripDupSpans plugs into the corpus pipeline,
     // not just passes alone.
+    // ----- web-corpus release pipeline (composition on the canonical
+    // keys) ---------------------------------------------------------------
+    // The crawl-to-release chain under ONE oracle: synthesize each
+    // doc's six URL disguises (the qd15 fixture), canonicalize and
+    // keep one doc per canonical page (URL-level dedup — runs before
+    // any content read at 100 TB), quality-filter by token count,
+    // dedup again on the NFC+accent-folded text key (the content-level
+    // pass that catches what URL dedup can't), then hash-split
+    // train/val/test and report per-(lang, split) doc and token
+    // counts. Every stage is a primitive gated elsewhere (qd15, qt17,
+    // qc07, qd01's groupBy-min); the composition gate proves they
+    // CHAIN — one hash over the final report.
+    Q("qp07_web_release", {
+      val v = "CAST(doc_id % 6 AS INTEGER)"
+      val pid = "CAST(doc_id // 6 AS VARCHAR)"
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE $v
+         |    WHEN 0 THEN 'https://www.example.com/articles/' || $pid || '?a=1&b=2'
+         |    WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM:443/articles/' || $pid || '/?b=2&a=1#section'
+         |    WHEN 2 THEN 'http://example.com:80/articles/' || $pid || '?utm_source=feed&a=1&b=2'
+         |    WHEN 3 THEN 'https://example.com/articles/' || $pid || '?b=2&utm_campaign=x&a=1'
+         |    WHEN 4 THEN 'https://example.com/other/' || $pid
+         |    ELSE 'https://blog.example.com/articles/' || $pid
+         |  END AS url FROM documents),
+         |c AS (SELECT doc_id, ${TextAnalysis.canonicalUrlSql("url")} AS canon
+         |      FROM u),
+         |k1 AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY canon),
+         |q AS (SELECT d.doc_id, d.lang, d.text,
+         |        CAST(len(${Text.wordsSql("d.text")}) AS BIGINT) AS tokens
+         |      FROM documents d JOIN k1 USING (doc_id)
+         |      WHERE len(${Text.wordsSql("d.text")}) >= 20),
+         |f AS (SELECT doc_id, lang, tokens,
+         |        ${TextAnalysis.foldedKeySql("text")} AS fk FROM q),
+         |k2 AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY fk),
+         |r AS (SELECT f.* FROM f JOIN k2 USING (doc_id)),
+         |sp AS (SELECT lang, tokens,
+         |  CASE WHEN ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 < 9800
+         |    THEN 'train'
+         |  WHEN ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")} % 10000 < 9900
+         |    THEN 'val' ELSE 'test' END AS split
+         |  FROM r)
+         |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens
+         |FROM sp GROUP BY lang, split""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pid = expr("doc_id div 6").cast("string")
+      val url = element_at(array(
+        concat(lit("https://www.example.com/articles/"), pid, lit("?a=1&b=2")),
+        concat(lit("HTTPS://WWW.EXAMPLE.COM:443/articles/"), pid,
+          lit("/?b=2&a=1#section")),
+        concat(lit("http://example.com:80/articles/"), pid,
+          lit("?utm_source=feed&a=1&b=2")),
+        concat(lit("https://example.com/articles/"), pid,
+          lit("?b=2&utm_campaign=x&a=1")),
+        concat(lit("https://example.com/other/"), pid),
+        concat(lit("https://blog.example.com/articles/"), pid)),
+        pmod(col("doc_id"), lit(6)).cast("int") + 1)
+      val canonKeep = docs
+        .select(col("doc_id"), TextAnalysis.canonicalUrl(url).as("canon"))
+        .groupBy("canon").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val quality = docs.join(canonKeep, "doc_id")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+        .filter(col("tokens") >= 20L)
+      val foldKeep = quality
+        .select(col("doc_id"),
+          TextAnalysis.foldedKey(col("text")).as("fk"))
+        .groupBy("fk").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      Curation.hashSplit(quality.join(foldKeep, "doc_id"), "doc_id",
+          valBp = 100, testBp = 100)
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"))
+    },
+
     Q("qp06_spanclean_corpus", {
       val L = 8
       s"""WITH ${spanChainSql(L)},
