@@ -90,5 +90,45 @@ object GraftExtensions {
         require(args.size == 2, "graft_dot(array, array)")
         graft.expressions.DotProduct(args(0), args(1))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_count"),
+      new ExpressionInfo(classOf[graft.expressions.BitmapCount].getName,
+        "graft_bitmap_count"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_bitmap_count(blob)")
+        graft.expressions.BitmapCount(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_and"),
+      new ExpressionInfo(classOf[graft.expressions.BitmapAnd].getName,
+        "graft_bitmap_and"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_bitmap_and(blob, blob)")
+        graft.expressions.BitmapAnd(args(0), args(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getName,
+        "graft_nfc"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_nfc(str)")
+        graft.expressions.NfcNormalize(args.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_agg"),
+      new ExpressionInfo(classOf[graft.expressions.BitmapAgg].getName,
+        "graft_bitmap_agg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_bitmap_agg(long)")
+        graft.expressions.BitmapAgg(args.head).toAggregateExpression()
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_bitmap_or_agg"),
+      new ExpressionInfo(classOf[graft.expressions.BitmapOrAgg].getName,
+        "graft_bitmap_or_agg"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_bitmap_or_agg(blob)")
+        graft.expressions.BitmapOrAgg(args.head).toAggregateExpression()
+      }))
   }
 }

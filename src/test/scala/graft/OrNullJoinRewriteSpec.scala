@@ -75,6 +75,24 @@ class OrNullJoinRewriteSpec extends SparkSpec {
         "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d))")
         .head().getDouble(0)
       assert(d == 32.0)
+      // bitmap family: build per-group blobs, OR-roll them up, count
+      // and intersect — the whole qa05/qa06 pipeline in pure SQL
+      s.range(0, 100).createOrReplaceTempView("__ids")
+      val cnt = s.sql(
+        """SELECT graft_bitmap_count(graft_bitmap_or_agg(bm)) FROM (
+          |  SELECT id % 3 AS g, graft_bitmap_agg(id) AS bm
+          |  FROM __ids GROUP BY id % 3)""".stripMargin).head().getLong(0)
+      assert(cnt == 100L)
+      val both = s.sql(
+        """SELECT graft_bitmap_count(graft_bitmap_and(a.bm, b.bm)) FROM
+          |  (SELECT graft_bitmap_agg(id) AS bm FROM __ids WHERE id < 60) a,
+          |  (SELECT graft_bitmap_agg(id) AS bm FROM __ids WHERE id >= 40) b"""
+          .stripMargin).head().getLong(0)
+      assert(both == 20L)
+      // graft_nfc: decomposed composes to the precomposed bytes
+      val nfc = s.sql("SELECT graft_nfc('Café') = 'Café'")
+        .head().getBoolean(0)
+      assert(nfc)
     }
   }
 }
