@@ -117,11 +117,38 @@ object Snapshots {
       }.toMap
   }
 
+  /** Version whose commit wall-clock is the latest ≤ `tsMillis` — the
+    * "AS OF TIMESTAMP" half of time travel (version pinning is the
+    * other). Commit times ride the manifest as `committed_at` meta;
+    * versions predating that meta (or clock-skewed under the
+    * single-writer discipline) are simply never resolved AFTER a
+    * later-stamped version, because resolution scans ascending and
+    * keeps the last qualifying stamp.
+    */
+  def versionAsOf(spark: SparkSession, table: String,
+                  tsMillis: Long): Option[Int] =
+    versions(spark, table).foldLeft(Option.empty[Int]) { (acc, v) =>
+      meta(spark, table, Some(v)).get(CommittedAtKey) match {
+        case Some(t) if t.toLong <= tsMillis => Some(v)
+        case _ => acc
+      }
+    }
+
+  /** [[read]] pinned to [[versionAsOf]]`(tsMillis)`. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version at or before $tsMillis under $table"))))
+
+  private val CommittedAtKey = "committed_at"
+
   /** Commit `df` as the next version. `overwrite` replaces the table's
     * contents; `append` carries the previous version's files forward
     * unchanged (an append commit rewrites ZERO existing bytes — the
     * new manifest just references them). Returns the committed
-    * version number.
+    * version number. Every commit records its wall-clock as
+    * `committed_at` meta (caller-supplied meta wins on collision —
+    * tests pin synthetic clocks through exactly that override).
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              mode: String = "overwrite",
@@ -153,7 +180,15 @@ object Snapshots {
                               withMeta: Map[String, String]): Unit = {
     val fs = fsOf(spark, table)
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val header = withMeta.toSeq.sortBy(_._1)
+    // every publish path (commit, delta, compaction) stamps its commit
+    // wall-clock for AS-OF-TIMESTAMP resolution. Caller meta wins so
+    // tests can pin synthetic clocks; the carry-forward paths all strip
+    // the previous stamp first, so a new commit never masquerades as
+    // its predecessor's time
+    val stamped =
+      if (withMeta.contains(CommittedAtKey)) withMeta
+      else withMeta + (CommittedAtKey -> System.currentTimeMillis().toString)
+    val header = stamped.toSeq.sortBy(_._1)
       .map { case (k, value) => s"#${enc(k)}=${enc(value)}" }
     val content =
       (header ++ relFiles.map(enc)).mkString("", "\n", "\n")
@@ -278,7 +313,8 @@ object Snapshots {
     require(newFiles.nonEmpty, "refusing to commit an empty delta")
     val carried = files(spark, table, Some(prev))
     val withMeta =
-      prevMeta ++ extraMeta + ("mor.keys" -> keyCols.mkString(","))
+      (prevMeta - CommittedAtKey) ++ extraMeta +
+        ("mor.keys" -> keyCols.mkString(","))
     publishManifest(spark, table, next, carried ++ newFiles, withMeta)
     next
   }
@@ -295,7 +331,7 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshots under $table"))
     if (!files(spark, table, Some(v)).exists(_.startsWith("delta-v"))) return v
     commit(spark, table, read(spark, table), "overwrite",
-      withMeta = meta(spark, table) - "mor.keys")
+      withMeta = meta(spark, table) - "mor.keys" - CommittedAtKey)
   }
 
   /** Manifest-pruned range read of a snapshot VERSION: the version
@@ -431,7 +467,7 @@ object Snapshots {
     // exactly-once ingest guard's applied batch id — so the compacted
     // version carries the previous version's meta forward verbatim
     commit(spark, table, read(spark, table).repartition(n), "overwrite",
-      withMeta = meta(spark, table))
+      withMeta = meta(spark, table) - CommittedAtKey)
   }
 
   /** INCREMENTAL compaction: rewrite ONLY the dirty files (smaller than
@@ -474,7 +510,8 @@ object Snapshots {
       .map(_.getPath.getName).filter(_.endsWith(".parquet"))
       .map(n => s"$dataDir/$n")
     publishManifest(spark, table, next,
-      clean.map(_._1) ++ newFiles, meta(spark, table, Some(v)))
+      clean.map(_._1) ++ newFiles,
+      meta(spark, table, Some(v)) - CommittedAtKey)
     next
   }
 

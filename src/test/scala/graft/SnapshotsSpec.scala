@@ -285,6 +285,27 @@ class SnapshotsSpec extends SparkSpec {
     }
   }
 
+  test("AS OF TIMESTAMP resolves pinned commit clocks; new commits " +
+    "never inherit their predecessor's stamp") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("k", "s"),
+      withMeta = Map("committed_at" -> "1000"))
+    Snapshots.commit(spark, dir, Seq((1L, "b")).toDF("k", "s"),
+      withMeta = Map("committed_at" -> "2000"))
+    assert(Snapshots.versionAsOf(spark, dir, 999L).isEmpty)
+    assert(Snapshots.versionAsOf(spark, dir, 1500L).contains(0))
+    assert(Snapshots.readAsOf(spark, dir, 1500L).head().getString(1) == "a")
+    assert(Snapshots.versionAsOf(spark, dir, 9999999999999L).contains(1))
+    // a delta commit must carry a FRESH stamp, not v1's pinned 2000
+    Snapshots.commitDelta(spark, dir,
+      Seq((1L, "c", false)).toDF("k", "s", "__del"), Seq("k"), Some("__del"))
+    val deltaStamp = Snapshots.meta(spark, dir, Some(2))("committed_at").toLong
+    assert(deltaStamp > 2000L, "delta stamp must be its own wall-clock")
+    assert(Snapshots.versionAsOf(spark, dir, 1999L).contains(0))
+    assert(Snapshots.readAsOf(spark, dir, deltaStamp).head().getString(1) == "c")
+  }
+
   test("incremental compaction rewrites only the small-file debt; " +
     "compliant files carry forward by reference") {
     import spark.implicits._
