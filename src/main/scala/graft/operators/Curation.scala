@@ -274,6 +274,55 @@ object Curation {
     * group-by; the single-row total broadcasts back (a scalar join,
     * not a shuffle).
     */
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling"): score every document by how much its unigram
+    * distribution resembles a TARGET domain relative to the raw
+    * corpus. Where DSIR ranks by the log likelihood ratio
+    * Σ k_w·log(p_t(w)/p_r(w)), this variant ranks by the LINEAR-space
+    * mean ratio Σ k_w·r_w / Σ k_w with r_w = (c_t(w)·N_r·scale) div
+    * (c_r(w)·N_t) — a fixed-point integer surrogate of the same
+    * monotone signal, chosen deliberately: log is the one function
+    * whose last-ulp behavior differs across engines, and every gate
+    * here is an exact hash (the qt14/qt15 log-free discipline). Words
+    * unseen in the target contribute 0 (the ratio's own zero —
+    * unsmoothed, so a doc of purely out-of-domain vocabulary scores
+    * exactly 0 rather than a library-dependent epsilon).
+    *
+    * Shape: two partial-agg passes over the tokenized corpus (per-doc
+    * word counts; corpus + target totals), one broadcast of the two
+    * scalar totals, one ratio join keyed on the word — vocabulary-
+    * sized, never corpus². The HUGEINT/DECIMAL(38,0) hop keeps
+    * c_t·N_r·scale exact past 2⁶³ at corpus scale.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column,
+                        scale: Long = 1000000L): DataFrame = {
+    val perDoc = df
+      .select(col(idCol), isTarget.as("__t"),
+        explode(expr(Text.wordsExpr(textCol))).as("w"))
+      .groupBy(col(idCol), col("__t"), col("w"))
+      .agg(count(lit(1)).as("k"))
+    val corpus = perDoc.groupBy("w").agg(sum("k").as("c_r"))
+    val target = perDoc.filter(col("__t"))
+      .groupBy("w").agg(sum("k").as("c_t"))
+    val nR = corpus.agg(sum("c_r").as("n_r"))
+    val nT = target.agg(sum("c_t").as("n_t"))
+    val ratios = corpus
+      .join(target, Seq("w"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .withColumn("rw", expr(
+        s"""CAST((CAST(coalesce(c_t, 0) AS DECIMAL(38,0))
+           |  * CAST(n_r AS DECIMAL(38,0)) * $scale)
+           |div (CAST(c_r AS DECIMAL(38,0)) * CAST(n_t AS DECIMAL(38,0)))
+           |AS BIGINT)""".stripMargin))
+      .select("w", "rw")
+    perDoc.join(ratios, "w")
+      .groupBy(col(idCol))
+      .agg(sum("k").cast("long").as("n_words"),
+        expr("sum(k * rw) div sum(k)").as("importance"))
+  }
+
   def mixingWeights(df: DataFrame, stratumCol: String, budget: Long,
                     halvings: Int = 1): DataFrame = {
     require(halvings >= 0 && halvings <= 6, "alpha = 2^-halvings in (0, 1]")

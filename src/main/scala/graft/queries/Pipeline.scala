@@ -1093,6 +1093,37 @@ object Pipeline {
     // under re-runs, repartitioning and corpus growth — a doc keeps its
     // split forever, which is what prevents train/test leakage across
     // pipeline versions.
+    // ----- DSIR-style importance weights (domain-targeted selection) -----
+    // Every doc scored by how target-like (lang='de' as the target
+    // domain) its unigram distribution is relative to the raw corpus —
+    // the linear-space fixed-point surrogate of DSIR's log likelihood
+    // ratio (see Curation.importanceWeights for why not log). All
+    // integers end to end; the HUGEINT/DECIMAL(38,0) hop keeps
+    // c_t·N_r·scale exact in both engines.
+    Q("qc10_importance_weights",
+      s"""WITH w AS ($wCte),
+         |wd AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+         |pd AS (SELECT doc_id, wrd, COUNT(*) AS k FROM wd GROUP BY 1, 2),
+         |tgt AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+         |cr AS (SELECT wrd, SUM(k) AS c_r FROM pd GROUP BY wrd),
+         |ct AS (SELECT p.wrd, SUM(p.k) AS c_t FROM pd p
+         |       JOIN tgt USING (doc_id) GROUP BY p.wrd),
+         |nr AS (SELECT SUM(c_r) AS n_r FROM cr),
+         |nt AS (SELECT SUM(c_t) AS n_t FROM ct),
+         |r AS (SELECT cr.wrd,
+         |  CAST((CAST(COALESCE(ct.c_t, 0) AS HUGEINT)
+         |      * CAST(n_r AS HUGEINT) * 1000000)
+         |    // (CAST(cr.c_r AS HUGEINT) * CAST(n_t AS HUGEINT))
+         |    AS BIGINT) AS rw
+         |  FROM cr LEFT JOIN ct USING (wrd), nr, nt)
+         |SELECT pd.doc_id, CAST(SUM(pd.k) AS BIGINT) AS n_words,
+         |  CAST(SUM(pd.k * r.rw) // SUM(pd.k) AS BIGINT) AS importance
+         |FROM pd JOIN r USING (wrd) GROUP BY pd.doc_id""".stripMargin) {
+      (s, dir) =>
+        Curation.importanceWeights(Tables(s, dir, "documents"),
+          "doc_id", "text", isTarget = col("lang") === "de")
+    },
+
     Q("qc07_hash_split",
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 9800 THEN 'train'

@@ -296,4 +296,31 @@ class CurationSpec extends SparkSpec {
     // doc2: bc = 1*100/2 = 50
     assert(got(1).getLong(1) == 1L && got(1).getDouble(2) == 50.0)
   }
+
+  test("importance weights rank in-domain vocabulary above out-of-domain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target docs speak "alpha beta"; the raw corpus mostly "gamma delta";
+    // doc 10 is pure in-domain vocab, doc 11 mixed, doc 12 pure out
+    val docs = Seq(
+      (1L, true,  "alpha beta alpha beta"),
+      (2L, true,  "alpha beta beta"),
+      (10L, false, "alpha beta alpha"),
+      (11L, false, "alpha gamma delta delta"),
+      (12L, false, "gamma delta gamma delta")).toDF("id", "tgt", "text")
+    val w = graft.operators.Curation
+      .importanceWeights(docs, "id", "text", isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w(10L) > w(11L) && w(11L) > w(12L),
+      s"in-domain must outrank mixed must outrank out-of-domain: $w")
+    assert(w(12L) == 0L, "pure out-of-domain vocabulary scores exactly 0")
+    // length-invariant: the mean-ratio of a doc repeated twice is itself
+    val rep = Seq((20L, false, "alpha beta"), (21L, false, "alpha beta alpha beta"))
+      .toDF("id", "tgt", "text")
+    val w2 = graft.operators.Curation
+      .importanceWeights(docs.unionByName(rep), "id", "text",
+        isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w2(20L) == w2(21L), "mean ratio must be length-invariant")
+  }
 }
