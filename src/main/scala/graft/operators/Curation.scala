@@ -135,6 +135,26 @@ object Curation {
       .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
   }
 
+  /** Length-bucketed batch packing — the padding-waste move every
+    * fixed-shape trainer makes (fairseq/HF "bucketed batching"):
+    * documents are grouped into length buckets (`tokenCol div
+    * bucketWidth`) and packed into `budget`-token shards WITHIN each
+    * bucket, so a shard's documents have near-equal lengths and the
+    * padding a batch pays (Σ per-doc max_len − len) collapses from
+    * the global length spread to at most `bucketWidth − 1` per doc.
+    * Deterministic (id-ordered within bucket) and entirely reuses
+    * [[packByBudget]]'s two-phase prefix sum — the bucket is just the
+    * packing stratum, so the sharding inherits its bounded-window,
+    * partition-independent shape.
+    */
+  def bucketedBatches(df: DataFrame, idCol: String, tokenCol: String,
+                      bucketWidth: Long, budget: Long): DataFrame = {
+    require(bucketWidth > 0 && budget > 0)
+    val b = df.withColumn("len_bucket",
+      expr(s"$tokenCol div ${bucketWidth}L"))
+    packByBudget(b, idCol, tokenCol, "len_bucket", budget)
+  }
+
   /** Fixed-token-window document chunking with overlap — the shape
     * long documents take before tokenization for a context-bounded
     * model: windows of `chunkTokens` words starting every

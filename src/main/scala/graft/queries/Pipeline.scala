@@ -1093,6 +1093,42 @@ object Pipeline {
     // under re-runs, repartitioning and corpus growth — a doc keeps its
     // split forever, which is what prevents train/test leakage across
     // pipeline versions.
+    // ----- length-bucketed batch packing (padding-waste control) ---------
+    // Fixed-shape training pads every sequence in a batch to the batch
+    // max, so batches drawn across the whole length spread burn
+    // compute on pad tokens. Bucketing by length (tokens div 16)
+    // before the qc02 shard packing caps per-doc padding at the
+    // bucket width; the gate reports per-(bucket, shard) doc/token
+    // counts AND the padding waste n·max−Σlen — the training-cost
+    // metric itself, exact integers both engines.
+    Q("qc11_bucketed_batches",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens FROM w),
+         |b AS (SELECT doc_id, tokens, tokens // 16 AS len_bucket FROM t),
+         |c AS (SELECT doc_id, len_bucket, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY len_bucket
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cb
+         |  FROM b),
+         |s AS (SELECT len_bucket, cb // 512 AS shard, tokens FROM c)
+         |SELECT len_bucket, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(MAX(tokens) AS BIGINT) AS max_tokens,
+         |  CAST(COUNT(*) * MAX(tokens) - SUM(tokens) AS BIGINT)
+         |    AS padding_waste
+         |FROM s GROUP BY len_bucket, shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      Curation.bucketedBatches(docs, "doc_id", "tokens",
+          bucketWidth = 16L, budget = 512L)
+        .groupBy("len_bucket", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("tokens").as("sum_tokens"),
+          max("tokens").as("max_tokens"),
+          (count(lit(1)) * max("tokens") - sum("tokens"))
+            .as("padding_waste"))
+    },
+
     // ----- DSIR-style importance weights (domain-targeted selection) -----
     // Every doc scored by how target-like (lang='de' as the target
     // domain) its unigram distribution is relative to the raw corpus —
