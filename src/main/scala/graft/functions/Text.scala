@@ -130,6 +130,16 @@ object Text {
       graft.expressions.SpaceSavingTopK(GraftColumnBridge.expression(c), capacity, k)
         .toAggregateExpression())
 
+  /** Exact per-group top-k (value desc, id asc) as a mergeable bounded
+    * buffer (TypedImperativeAggregate) — map-side pruning instead of a
+    * whole-group window sort.
+    */
+  def groupTopK(value: Column, id: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      graft.expressions.GroupTopK(
+        GraftColumnBridge.expression(value), GraftColumnBridge.expression(id), k)
+        .toAggregateExpression())
+
   /** Count-Min frequency sketch over a pre-hashed long column
     * (TypedImperativeAggregate; estimate via CountMinAgg.estimateExpr).
     */
