@@ -142,6 +142,29 @@ object Snapshots {
 
   private val CommittedAtKey = "committed_at"
 
+  /** Manifest meta key holding the version's declared schema (DDL
+    * string). The DECLARED schema governs reads — files are never
+    * footer-merged. Columns added by a later append are null-filled
+    * for files that predate them; columns dropped from the declared
+    * schema are pruned from older files at scan time; and time travel
+    * reads each version under the schema it was committed with
+    * (Iceberg's schema-on-read-from-the-log semantics, not Spark's
+    * mergeSchema footer crawl — at 100 TB a footer crawl over a
+    * million files is a job in itself).
+    */
+  private val SchemaKey = "schema"
+
+  /** Parquet reader pinned to `version`'s declared schema (plain
+    * reader for pre-evolution tables with no schema meta).
+    */
+  private def readerFor(spark: SparkSession, table: String,
+                        version: Option[Int]) =
+    meta(spark, table, version).get(SchemaKey) match {
+      case Some(ddl) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.read
+    }
+
   /** Commit `df` as the next version. `overwrite` replaces the table's
     * contents; `append` carries the previous version's files forward
     * unchanged (an append commit rewrites ZERO existing bytes — the
@@ -167,7 +190,17 @@ object Snapshots {
     require(newFiles.nonEmpty, "refusing to commit an empty snapshot")
     val carried =
       if (mode == "append" && prev.nonEmpty) files(spark, table, prev) else Nil
-    publishManifest(spark, table, next, carried ++ newFiles, withMeta)
+    // schema evolution guard: pending merge-on-read deltas were written
+    // under the OLD schema; evolving over them would break the merged
+    // read's unionByName — fold the log first
+    if (carried.exists(_.startsWith("delta-v"))) {
+      val prior = prev.flatMap(p => meta(spark, table, Some(p)).get(SchemaKey))
+      require(prior.forall(_ == df.schema.toDDL),
+        "schema change over pending merge-on-read deltas: run " +
+          "compactDeltas before evolving the schema")
+    }
+    publishManifest(spark, table, next, carried ++ newFiles,
+      withMeta + (SchemaKey -> df.schema.toDDL))
     next
   }
 
@@ -241,7 +274,8 @@ object Snapshots {
       if (baseRel.isEmpty) {
         require(deltaRel.isEmpty, s"delta files with no base under $table")
         throw new IllegalArgumentException(s"empty snapshot under $table")
-      } else spark.read.parquet(baseRel.map(f => s"$table/$f"): _*)
+      } else readerFor(spark, table, version)
+        .parquet(baseRel.map(f => s"$table/$f"): _*)
     if (deltaRel.isEmpty) return base
     val keys = meta(spark, table, version).getOrElse("mor.keys",
       throw new IllegalStateException(
@@ -362,7 +396,8 @@ object Snapshots {
     val cand = StatsManifest.filterByStats(spark, table, abs, column, lo, hi)
     val base =
       if (cand.isEmpty) read(spark, table, version).limit(0)
-      else spark.read.option("basePath", table).parquet(cand: _*)
+      else readerFor(spark, table, version)
+        .option("basePath", table).parquet(cand: _*)
     val t = base.schema(column).dataType
     base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
   }
@@ -503,7 +538,8 @@ object Snapshots {
     val next = v + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = f"snap-v$next%08d-$token"
-    spark.read.parquet(dirty.map { case (f, _) => s"$table/$f" }: _*)
+    readerFor(spark, table, Some(v))
+      .parquet(dirty.map { case (f, _) => s"$table/$f" }: _*)
       .repartition(nOut)
       .write.parquet(s"$table/$dataDir")
     val newFiles = fs.listStatus(new Path(table, dataDir)).toSeq

@@ -342,4 +342,65 @@ class SnapshotsSpec extends SparkSpec {
     // prior versions still pinned and readable
     assert(Snapshots.read(spark, dir, Some(0)).count() == 20000L)
   }
+
+  test("schema evolution: added column null-fills old files; dropped " +
+      "column prunes; each version reads under its own schema") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // v1 appends rows with an added column
+    Snapshots.commit(spark, dir,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "name", "extra"),
+      mode = "append")
+    val latest = Snapshots.read(spark, dir)
+    assert(latest.columns.toSeq == Seq("id", "name", "extra"))
+    val byId = latest.collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // time travel: v0 keeps its two-column schema
+    assert(Snapshots.read(spark, dir, Some(0)).columns.toSeq == Seq("id", "name"))
+    // v2 overwrites WITHOUT the column: declared schema narrows again
+    Snapshots.commit(spark, dir, Seq((9L, "z")).toDF("id", "name"))
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "name"))
+    // ...while v1 still reads wide
+    assert(Snapshots.read(spark, dir, Some(1)).columns.toSeq ==
+      Seq("id", "name", "extra"))
+  }
+
+  test("schema evolution over pending merge-on-read deltas is refused") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.commit(spark, dir, Seq((1L, "a")).toDF("id", "name"))
+    Snapshots.commitDelta(spark, dir, Seq((1L, "a2")).toDF("id", "name"),
+      keyCols = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(spark, dir,
+        Seq((2L, "b", 1L)).toDF("id", "name", "extra"), mode = "append")
+    }
+    assert(e.getMessage.contains("compactDeltas"))
+    // fold the log, then the evolution lands
+    Snapshots.compactDeltas(spark, dir)
+    Snapshots.commit(spark, dir,
+      Seq((2L, "b", 1L)).toDF("id", "name", "extra"), mode = "append")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "name", "extra"))
+    assert(Snapshots.read(spark, dir).count() == 2)
+  }
+
+  test("incremental compaction preserves the declared schema across " +
+      "mixed-schema file generations") {
+    import spark.implicits._
+    val dir = freshTable()
+    // v0: many small old-schema files; v1 appends one wide-schema row
+    Snapshots.commit(spark, dir,
+      (1L to 50L).map(i => (i, s"n$i")).toDF("id", "name").repartition(10))
+    Snapshots.commit(spark, dir,
+      Seq((99L, "wide", 7L)).toDF("id", "name", "extra"), mode = "append")
+    val before = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    Snapshots.compactIncremental(spark, dir, targetBytes = 1L << 20)
+    val after = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(after == before, "compaction must not change the merged view")
+    assert(Snapshots.read(spark, dir).columns.toSeq == Seq("id", "name", "extra"))
+  }
 }
