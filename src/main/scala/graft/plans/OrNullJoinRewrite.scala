@@ -74,6 +74,7 @@ object GraftExtensions {
 
   def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => OrNullJoinRewrite)
+    e.injectOptimizerRule(_ => RangeBinJoinRewrite)
     e.injectFunction((
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[graft.expressions.PolyHash].getName,
