@@ -28,6 +28,13 @@ object Round11 {
   private val evoTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj17's extensions-enabled session (one per JVM, shares the
+    * SparkContext; the active/default session is restored immediately
+    * so other gates never see it).
+    */
+  private val extendedSessions =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.SparkSession]()
+
   private def wipeDir(t: String): Unit = {
     def wipe(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(wipe)
@@ -75,6 +82,90 @@ object Round11 {
             .as("pos_weighted_len"),
           expr("exists(ws, w -> length(w) >= 8)").as("has_long_word"),
           expr("forall(ws, w -> length(w) <= 7)").as("all_short"))
+    },
+
+    // ----- map-typed column functions -----------------------------------
+    // Builds a per-document word→count map the SCALE way (explode →
+    // partial-agg count → map_from_entries over collect_list — never a
+    // per-element lambda re-scan of the words array), then exercises
+    // Spark's map surface on it: size / element_at / map_filter /
+    // map_values / transform_values. Outputs are plain integer columns
+    // so the gate hashes engine-portably; DuckDB derives the same
+    // values from list algebra.
+    Q("qf02_map_funcs",
+      s"""WITH w AS ($wCte)
+         |SELECT doc_id,
+         |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_keys,
+         |  CAST(len(list_filter(ws, x -> x = 'the')) AS BIGINT) AS the_count,
+         |  CAST(len(list_filter(list_distinct(ws),
+         |    w -> len(list_filter(ws, x -> x = w)) = 1)) AS BIGINT) AS n_singletons,
+         |  CAST(len(ws) AS BIGINT) AS sum_counts,
+         |  CAST(2 * len(list_filter(ws, x -> x = 'the')) AS BIGINT) AS doubled_the,
+         |  CAST(len(list_filter(list_distinct(ws), w -> length(w) >= 6)) AS BIGINT)
+         |    AS n_long_keys
+         |FROM w""".stripMargin) { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(Text.wordsExpr("text"))).as("w"))
+      val maps = words.groupBy("doc_id", "w").count()
+        .groupBy("doc_id")
+        .agg(map_from_entries(collect_list(struct(col("w"), col("count")))).as("m"))
+      maps.select(
+        col("doc_id"),
+        size(col("m")).cast(LongType).as("n_keys"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("the_count"),
+        size(expr("map_filter(m, (k, v) -> v = 1)")).cast(LongType).as("n_singletons"),
+        expr("aggregate(map_values(m), CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("sum_counts"),
+        coalesce(element_at(expr("transform_values(m, (k, v) -> v * 2)"), "the"),
+          lit(0L)).as("doubled_the"),
+        size(expr("map_filter(m, (k, v) -> length(k) >= 6)")).cast(LongType)
+          .as("n_long_keys"))
+    },
+
+    // ----- exact grouped percentiles ------------------------------------
+    // ANSI inverse-distribution functions: percentile_disc (the exact
+    // order statistic — smallest value whose cume_dist reaches p) and
+    // percentile_cont's interpolated median, grouped by returnflag,
+    // against DuckDB's quantile_disc/quantile_cont. Quantities are
+    // integral doubles so the one interpolated value is exactly
+    // representable (a midpoint of integers) — no ulp drift. Spark
+    // computes these with a single partial-aggregable pass, no window.
+    Q("q78_percentiles",
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.25) AS q25,
+        |  quantile_disc(l_quantity, 0.5) AS q50,
+        |  quantile_disc(l_quantity, 0.75) AS q75,
+        |  quantile_cont(l_quantity, 0.5) AS c50
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val view = s"li_pct_${ProcessHandle.current().pid()}"
+      Tables(s, dir, "lineitem").createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT l_returnflag,
+           |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+           |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS q50,
+           |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
+           |  percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS c50
+           |FROM $view GROUP BY l_returnflag""".stripMargin)
+    },
+
+    // ----- null-preserving lateral explode ------------------------------
+    // explode_outer keeps the parent row (with NULL) when the array is
+    // empty — the LATERAL VIEW OUTER semantics a flattening pipeline
+    // needs so empty-feature documents don't silently vanish. The
+    // 8-char word filter leaves a mix of matching and empty arrays, so
+    // both branches are exercised; DuckDB emulates the outer explode
+    // with a CASE-to-[NULL] before unnest.
+    Q("qf03_explode_outer",
+      s"""WITH w AS ($wCte),
+         |x AS (SELECT doc_id, list_filter(ws, w -> length(w) >= 8) AS xs FROM w)
+         |SELECT doc_id,
+         |  unnest(CASE WHEN len(xs) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE xs END)
+         |    AS word
+         |FROM x""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode_outer(expr("filter(" + Text.wordsExpr("text") +
+            ", w -> length(w) >= 8)")).as("word"))
     },
 
     // ----- FULL OUTER join ----------------------------------------------
@@ -126,6 +217,42 @@ object Round11 {
           .select(col("c_nationkey").as("nationkey")))
     },
 
+    // ----- exact weighted median ----------------------------------------
+    // Weighted order statistic (the token-weighted quantile a corpus
+    // budgeter needs): smallest value whose cumulative weight reaches
+    // half the group total, decided by cross-multiplication
+    // (2·cumw >= totw) so no engine divides. Scale shape: weights
+    // collapse to one row per (group, value) FIRST (partial-agg
+    // shuffle), and the window then runs over the value-distinct
+    // table — cardinality |values|, not |rows|.
+    Q("qa10_weighted_median",
+      """WITH g AS (SELECT l_returnflag, l_quantity,
+        |  CAST(SUM(l_linenumber) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |c AS (SELECT l_returnflag, l_quantity, w,
+        |  CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+        |    AS BIGINT) AS cumw,
+        |  CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS totw
+        |FROM g)
+        |SELECT l_returnflag, MIN(l_quantity) AS wmedian,
+        |  MIN(totw) AS tot_weight
+        |FROM c WHERE 2 * cumw >= totw GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(sum(col("l_linenumber").cast(LongType)).as("w"))
+      val byFlag = Window.partitionBy("l_returnflag")
+      val c = g
+        .withColumn("cumw", sum(col("w")).over(
+          byFlag.orderBy("l_quantity")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("w")).over(byFlag))
+      c.filter(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_quantity")).as("wmedian"),
+          min(col("totw")).as("tot_weight"))
+    },
+
     // ----- per-group top-k WITHOUT a window sort ------------------------
     // The ROW_NUMBER-window idiom (the oracle) shuffles every order row
     // to its priority's partition and sorts whole groups; the
@@ -150,6 +277,100 @@ object Round11 {
           (col("pos") + 1).cast(LongType).as("rk"),
           col("e.id").as("o_orderkey"),
           col("e.value").as("o_totalprice"))
+    },
+
+    // ----- runtime bloom-filter semi-join reduction ---------------------
+    // Catalyst's InjectRuntimeFilter turns the dim side's selective
+    // predicate into a bloom filter evaluated on the FACT side before
+    // its shuffle, so the exchange moves only probably-matching rows —
+    // at 100 TB this is the difference between shuffling the whole fact
+    // and shuffling the ~1/5 that can join. The builder REQUIRES both
+    // halves in the optimized plan (bloom_filter_agg on the dim,
+    // might_contain on the fact) so the row goes red if injection ever
+    // regresses, then materializes under the tuned confs and restores
+    // them (the broadcast threshold must stay default for every other
+    // gate; at production scan sizes the default thresholds trigger the
+    // same plan without tuning). The oracle is the plain join — the
+    // bloom filter must be a pure reduction, never wrong rows.
+    Q("qj16_runtime_filter",
+      """SELECT l_orderkey, l_quantity, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin) { (s, dir) =>
+      val conf = s.conf
+      val saved = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> conf.getOption(k)).toMap
+      try {
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = Tables(s, dir, "lineitem")
+        val ords = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val joined = li.join(ords, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_quantity", "o_totalprice")
+        val opt = joined.queryExecution.optimizedPlan.toString
+        require(opt.contains("bloom_filter_agg"),
+          "runtime bloom filter not injected on the creation side: " + opt.take(1000))
+        require(opt.contains("might_contain"),
+          "runtime bloom filter not applied on the fact side: " + opt.take(1000))
+        // execute while the tuned confs are live; later consumers replan,
+        // so hand them the materialized result instead
+        joined.localCheckpoint()
+      } finally saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _))
+      }
+    },
+
+    // ----- automatic range-join binning (optimizer rule) ----------------
+    // A pure interval join (event time BETWEEN band lo AND hi, no equi
+    // keys) is a nested-loop plan in stock Spark — O(n·m) comparisons.
+    // plans.RangeBinJoinRewrite, injected via SparkSessionExtensions,
+    // rewrites it into the binned equi-join (the automatic form of
+    // q43's manual composition): intervals explode into width-W bins,
+    // points bin once, hash join on the bin, range re-checked. The
+    // builder runs the join in an extensions-enabled session with
+    // W = 1 hour, REQUIRES the rewrite fired (bin attribute in the
+    // optimized plan, no nested loop in the physical plan), and the
+    // DuckDB oracle runs the plain range join — the rewrite must be
+    // row-for-row invisible.
+    Q("qj17_range_bin_join",
+      """WITH m AS (SELECT epoch_us(min(ts)) AS t0 FROM events),
+        |b AS (SELECT CAST(i AS BIGINT) AS band,
+        |        t0 + i * 3600000000 AS lo,
+        |        t0 + (i + 1) * 3600000000 - 1 AS hi
+        |      FROM m, range(0, 24) r(i)),
+        |e AS (SELECT event_id, epoch_us(ts) AS t FROM events)
+        |SELECT band, COUNT(*) AS n
+        |FROM e JOIN b ON t >= lo AND t <= hi
+        |GROUP BY band""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.SparkSession
+      val s2 = extendedSessions.computeIfAbsent("ext", { _ =>
+        val prev = SparkSession.getActiveSession
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        val es = SparkSession.builder()
+          .withExtensions(graft.plans.GraftExtensions.apply)
+          .getOrCreate()
+        prev.foreach(SparkSession.setActiveSession)
+        prev.foreach(SparkSession.setDefaultSession)
+        es.conf.set("spark.graft.rangeJoin.binWidth", "3600000000")
+        es
+      })
+      val ev = Tables(s2, dir, "events")
+        .select(col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("t"))
+      val t0 = ev.agg(min(col("t"))).head().getLong(0)
+      import s2.implicits._
+      val bands = (0 until 24).map { i =>
+        (i.toLong, t0 + i * 3600000000L, t0 + (i + 1) * 3600000000L - 1)
+      }.toDF("band", "lo", "hi")
+      val joined = ev.join(bands, col("t") >= col("lo") && col("t") <= col("hi"))
+      require(joined.queryExecution.optimizedPlan.toString.contains("__range_bin"),
+        "RangeBinJoinRewrite did not fire")
+      require(!joined.queryExecution.executedPlan.toString.contains("NestedLoopJoin"),
+        "binned range join must not nested-loop")
+      joined.groupBy("band").agg(count(lit(1)).as("n"))
     },
 
     // ----- snapshot schema evolution ------------------------------------
