@@ -470,16 +470,29 @@ object Snapshots {
     * hash-partitioned on the key). Returns the new version.
     */
   def merge(spark: SparkSession, table: String, source: DataFrame,
-            keyCols: Seq[String], deleteCol: Option[String] = None): Int = {
+            keyCols: Seq[String], deleteCol: Option[String] = None,
+            autoEvolve: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val cur = read(spark, table)
     val upserts = deleteCol
       .map(c => source.filter(!col(c)).drop(c)).getOrElse(source)
+    if (!autoEvolve)
+      require(upserts.columns.toSet == cur.columns.toSet,
+        s"merge source columns ${upserts.columns.toSet} must match table " +
+          s"columns ${cur.columns.toSet}; pass autoEvolve = true to widen " +
+          "the declared schema (added columns null-fill existing rows)")
     val touched = deleteCol
       .map(c => source.drop(c)).getOrElse(source)
       .select(keyCols.map(col): _*).distinct()
     val keep = cur.join(touched, keyCols, "left_anti")
-    commit(spark, table, keep.unionByName(upserts))
+    // allowMissingColumns widens in BOTH directions: a source column
+    // the table lacks evolves the schema (kept rows null-fill), and a
+    // table column the source lacks null-fills the upserts — the
+    // standard MERGE WITH SCHEMA EVOLUTION contract. The commit stamps
+    // the widened schema, so later reads and time travel behave per
+    // the declared-schema rules.
+    commit(spark, table,
+      keep.unionByName(upserts, allowMissingColumns = autoEvolve))
   }
 
   /** Compact the LATEST version into ~`targetBytes` files, committed as

@@ -367,6 +367,31 @@ class SnapshotsSpec extends SparkSpec {
       Seq("id", "name", "extra"))
   }
 
+  test("MERGE with schema evolution widens the declared schema; without " +
+      "the flag a mismatched source is refused") {
+    import spark.implicits._
+    val dir = freshTable()
+    Snapshots.commit(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // no flag: mismatched source fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, dir,
+        Seq((2L, "b2", 20L)).toDF("id", "name", "extra"), keyCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("autoEvolve"))
+    // with the flag: upsert lands, schema widens, kept row null-fills
+    Snapshots.merge(spark, dir,
+      Seq((2L, "b2", 20L), (3L, "c", 30L)).toDF("id", "name", "extra"),
+      keyCols = Seq("id"), autoEvolve = true)
+    val rows = Snapshots.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b2", Some(20L)), (3L, "c", Some(30L))))
+    // and a later narrow source merges too: its missing column null-fills
+    Snapshots.merge(spark, dir, Seq((4L, "d")).toDF("id", "name"),
+      keyCols = Seq("id"), autoEvolve = true)
+    val r4 = Snapshots.read(spark, dir).filter($"id" === 4L).head()
+    assert(r4.getString(1) == "d" && r4.isNullAt(2))
+  }
+
   test("schema evolution over pending merge-on-read deltas is refused") {
     import spark.implicits._
     val dir = freshTable()
