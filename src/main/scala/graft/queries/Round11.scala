@@ -28,6 +28,10 @@ object Round11 {
   private val evoTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj18's evolved-merge snapshot table per sfDir. */
+  private val mergeEvoTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -253,6 +257,35 @@ object Round11 {
           min(col("totw")).as("tot_weight"))
     },
 
+    // ----- median absolute deviation (robust spread) --------------------
+    // MAD = median(|x − median(x)|) per group — the robust outlier
+    // scale estimate (q69's z-score flags assume a mean/stddev; MAD is
+    // what a contaminated 100 TB corpus actually needs). Two grouped
+    // median passes; the 3-row per-group median table broadcasts back
+    // onto the fact. Quantities are integral doubles, so medians land
+    // on 0.5 steps and deviation medians on 0.25 steps — all exactly
+    // representable, no ulp drift against DuckDB's quantile_cont.
+    Q("q79_mad",
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag),
+        |d AS (SELECT l.l_returnflag, abs(l.l_quantity - m.med) AS dev
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag)
+        |SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM d GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val view = s"li_mad_${ProcessHandle.current().pid()}"
+      Tables(s, dir, "lineitem").createOrReplaceTempView(view)
+      s.sql(
+        s"""WITH m AS (SELECT l_returnflag,
+           |    percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med
+           |  FROM $view GROUP BY l_returnflag)
+           |SELECT l.l_returnflag,
+           |  percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(l.l_quantity - m.med)) AS mad,
+           |  COUNT(*) AS n
+           |FROM $view l JOIN m ON l.l_returnflag = m.l_returnflag
+           |GROUP BY l.l_returnflag""".stripMargin)
+    },
+
     // ----- per-group top-k WITHOUT a window sort ------------------------
     // The ROW_NUMBER-window idiom (the oracle) shuffles every order row
     // to its priority's partition and sorts whole groups; the
@@ -404,6 +437,35 @@ object Round11 {
       require(Snapshots.read(s, table, Some(0)).columns.toSeq ==
         Seq("c_custkey", "c_name"),
         "v0 must keep its pre-evolution schema")
+      Snapshots.read(s, table)
+    },
+
+    // ----- MERGE with schema evolution ----------------------------------
+    // Delta's MERGE WITH SCHEMA EVOLUTION: the upsert source carries a
+    // column the table lacks (acctbal); autoEvolve widens the declared
+    // schema in the same commit — untouched rows null-fill, upserted
+    // rows land wide. The oracle reconstructs the same two-branch
+    // union. Composes qj12's merge with qj15's declared-schema rules.
+    Q("qj18_merge_evolution",
+      """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer WHERE c_custkey % 10 <> 4
+        |UNION ALL
+        |SELECT c_custkey, c_name || '!' AS c_name, c_acctbal
+        |FROM customer WHERE c_custkey % 10 = 4""".stripMargin) { (s, dir) =>
+      import graft.sources.Snapshots
+      val table = mergeEvoTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_mergeevo_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val cust = Tables(s, d, "customer")
+        Snapshots.commit(s, t, cust.select("c_custkey", "c_name"))
+        Snapshots.merge(s, t,
+          cust.filter(col("c_custkey") % 10 === 4)
+            .select(col("c_custkey"),
+              concat(col("c_name"), lit("!")).as("c_name"), col("c_acctbal")),
+          keyCols = Seq("c_custkey"), autoEvolve = true)
+        t
+      })
       Snapshots.read(s, table)
     },
 

@@ -337,4 +337,33 @@ class PlanChecksSpec extends SparkSpec {
     val scans = "events\\.parquet".r.findAllIn(win).length
     assert(scans <= 1, s"qa07 must scan raw events once, saw $scans scans")
   }
+
+  test("HOF battery is a pure scan-side projection: zero shuffles (qf01)") {
+    val nodes = collectAll(executed(q("qf01_array_hof")))
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "qf01 is row-local — any exchange is a regression")
+  }
+
+  test("weighted median aggregates to the value grain BEFORE its window " +
+    "(qa10) — the window input is |values|, not |rows|") {
+    val plan = planString(q("qa10_weighted_median"))
+    val winIdx = plan.indexOf("Window ")
+    val aggBelow = plan.indexOf("HashAggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx,
+      "expected a HashAggregate under the Window (plan prints top-down):\n" +
+        plan.take(3000))
+    // and the collapse aggregation itself is partial (map-side combine)
+    assert(plan.contains("partial_sum") || plan.contains("Partial"),
+      plan.take(2000))
+  }
+
+  test("map battery builds word counts through partial aggregates, " +
+    "never a lambda re-scan (qf02)") {
+    val plan = planString(q("qf02_map_funcs"))
+    assert(plan.contains("partial_count"),
+      "per-(doc, word) counts must map-side combine:\n" + plan.take(2000))
+    assert(plan.contains("partial_collect_list"),
+      "per-doc map entries must build through a partial ObjectHashAggregate:\n" +
+        plan.take(2000))
+  }
 }
