@@ -175,11 +175,18 @@ object Snapshots {
     */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              mode: String = "overwrite",
-             withMeta: Map[String, String] = Map.empty): Int = {
+             withMeta: Map[String, String] = Map.empty,
+             base: Option[Int] = None): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val fs = fsOf(spark, table)
-    val prev = latestVersion(spark, table)
-    val next = prev.map(_ + 1).getOrElse(0)
+    // `base` (default: the global latest) is the version an append
+    // carries files from — named refs (sources.Refs) commit onto their
+    // branch head while version NUMBERS stay one global sequence, the
+    // Iceberg shape (snapshots are global; refs are pointers into them)
+    val prev = base.orElse(latestVersion(spark, table))
+    // version NUMBERS always advance the global sequence, even when the
+    // carry base is an older (branch-head) version
+    val next = latestVersion(spark, table).map(_ + 1).getOrElse(0)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = f"snap-v$next%08d-$token"
     df.write.parquet(s"$table/$dataDir")
@@ -573,7 +580,12 @@ object Snapshots {
     require(keepLast >= 1, "must keep at least one version")
     val fs = fsOf(spark, table)
     val vs = versions(spark, table)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepLast))
+    // named refs (branches/tags) pin their target versions: a vacuum
+    // must never delete a version a ref still points to, no matter how
+    // old — exactly Iceberg's ref-retention rule
+    val pinned = Refs.all(spark, table).values.toSet
+    val (drop, keep0) = vs.splitAt(math.max(0, vs.length - keepLast))
+    val keep = (keep0 ++ drop.filter(pinned)).sorted
     val referenced = keep.flatMap(v => files(spark, table, Some(v))).toSet
     var removed = 0
     // data dirs are the unit of deletion: a dir with no referenced file
@@ -596,7 +608,8 @@ object Snapshots {
             .foreach { f => fs.delete(f.getPath, false); removed += 1 }
         }
       }
-    drop.foreach(v => fs.delete(manifestPath(table, v), false))
+    drop.filterNot(pinned)
+      .foreach(v => fs.delete(manifestPath(table, v), false))
     removed
   }
 }
