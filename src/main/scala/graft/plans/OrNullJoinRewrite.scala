@@ -124,6 +124,19 @@ object GraftExtensions {
         graft.expressions.BitmapAgg(args.head).toAggregateExpression()
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_group_topk"),
+      new ExpressionInfo(classOf[graft.expressions.GroupTopK].getName,
+        "graft_group_topk"),
+      (args: Seq[Expression]) => {
+        require(args.size == 3, "graft_group_topk(value, id, k)")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an integer literal, got $other")
+        }
+        graft.expressions.GroupTopK(args(0), args(1), k).toAggregateExpression()
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_bitmap_or_agg"),
       new ExpressionInfo(classOf[graft.expressions.BitmapOrAgg].getName,
         "graft_bitmap_or_agg"),

@@ -32,6 +32,10 @@ object Round11 {
   private val mergeEvoTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj19's branched snapshot table per sfDir. */
+  private val refTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -219,6 +223,31 @@ object Round11 {
         .exceptAll(Tables(s, dir, "customer")
           .filter(col("c_custkey") % 50 === 0)
           .select(col("c_nationkey").as("nationkey")))
+    },
+
+    // ----- exact multi-grain distinct counts in ONE pass ----------------
+    // GROUPING SETS × the exact bitmap aggregate: distinct users per
+    // event type, per day, AND overall in a single grouping-sets pass —
+    // the custom TypedImperativeAggregate composes with Catalyst's
+    // Expand exactly like a built-in, and each grain's count is EXACT
+    // (q54's HLL rollup carries 2% error; qa05 showed the per-day
+    // grain; this is the multi-grain report in one scan). COUNT
+    // (DISTINCT) over grouping sets would expand+shuffle per grain;
+    // the bitmap partials merge mid-shuffle instead.
+    Q("qa11_bitmap_grouping_sets",
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq,
+        |  COUNT(*) AS n_rows
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (CAST(ts AS DATE)), ())""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+          .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        ev.groupingSets(
+            Seq(Seq(col("event_type")), Seq(col("day")), Seq.empty),
+            col("event_type"), col("day"))
+          .agg(Text.bitmapCount(Text.bitmapAgg(col("user_id"))).as("uniq"),
+            count(lit(1)).as("n_rows"))
     },
 
     // ----- exact weighted median ----------------------------------------
@@ -440,6 +469,38 @@ object Round11 {
       Snapshots.read(s, table)
     },
 
+    // ----- branch/tag refs over the snapshot log ------------------------
+    // Iceberg's ref model: versions are one global immutable sequence,
+    // refs are named pointers. main and a feature branch fork from the
+    // same base; each side's append carries from ITS OWN head, so the
+    // branch read sees base + branch rows and the builder asserts main
+    // never leaks the branch's commit. The oracle reconstructs the
+    // branch view as a plain filter union.
+    Q("qj19_branch_refs",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 4 IN (0, 2)""".stripMargin) { (s, dir) =>
+      import graft.sources.{Refs, Snapshots}
+      val table = refTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_refs_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val cust = Tables(s, d, "customer").select("c_custkey", "c_name")
+        Snapshots.commit(s, t, cust.filter(col("c_custkey") % 4 === 0)) // v0
+        Refs.branch(s, t, "main")
+        Refs.branch(s, t, "feature")
+        Refs.commitTo(s, t, "main",
+          cust.filter(col("c_custkey") % 4 === 1), mode = "append")
+        Refs.commitTo(s, t, "feature",
+          cust.filter(col("c_custkey") % 4 === 2), mode = "append")
+        t
+      })
+      // main is isolated from the branch commit
+      require(Refs.read(s, table, "main")
+        .filter(col("c_custkey") % 4 === 2).count() == 0,
+        "main must not see the feature branch's rows")
+      Refs.read(s, table, "feature")
+    },
+
     // ----- MERGE with schema evolution ----------------------------------
     // Delta's MERGE WITH SCHEMA EVOLUTION: the upsert source carries a
     // column the table lacks (acctbal); autoEvolve widens the declared
@@ -512,6 +573,43 @@ object Round11 {
           Expectations.inRange("l_quantity", 1, 45),
           Expectations.Rule("l_tax_nonneg", col("l_tax") >= 0)),
         Seq(Expectations.fkExists("l_partkey", shrunkPart, "p_partkey")))
+    },
+
+    // ----- validated corpus release (expectations × dedup × split) ------
+    // The quality gate composed into the release chain: declarative
+    // expectations drop out-of-range/off-language docs (quarantine
+    // semantics proven by qq01 — here the clean side flows on), exact
+    // dedup keeps each text's min doc id, and the engine-portable hash
+    // split assigns train/val/test. ONE oracle replays the whole chain,
+    // so a change in any stage (rule predicates, dedup tie-break,
+    // split thresholds) breaks the composition gate, not just a unit.
+    Q("qp08_validated_corpus", {
+      val ph = Text.polyhashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (SELECT doc_id, lang, n_chars, text FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 100 AND n_chars <= 500
+         |    AND lang IN ('en', 'de', 'fr')),
+         |k AS (SELECT MIN(doc_id) AS doc_id FROM c GROUP BY text),
+         |j AS (SELECT c.doc_id, c.lang, c.n_chars FROM c
+         |      JOIN k ON c.doc_id = k.doc_id)
+         |SELECT doc_id, lang, n_chars, bucket,
+         |  CASE WHEN bucket < 9000 THEN 'train'
+         |       WHEN bucket < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, lang, n_chars, $ph % 10000 AS bucket FROM j)""".stripMargin
+    }) { (s, dir) =>
+      import graft.etl.Expectations
+      import graft.operators.Curation
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "text")
+      val (clean, _) = Expectations.validate(docs, Seq(
+        Expectations.inRange("n_chars", 100, 500),
+        Expectations.inSet("lang", Seq("en", "de", "fr"))))
+      val keep = clean.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val deduped = clean.join(keep, Seq("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+      Curation.hashSplit(deduped, "doc_id", valBp = 500, testBp = 500)
+        .select("doc_id", "lang", "n_chars", "bucket", "split")
     },
 
     // ----- per-domain quality selection (curation) ----------------------

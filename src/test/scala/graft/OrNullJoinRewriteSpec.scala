@@ -93,6 +93,14 @@ class OrNullJoinRewriteSpec extends SparkSpec {
       val nfc = s.sql("SELECT graft_nfc('Café') = 'Café'")
         .head().getBoolean(0)
       assert(nfc)
+      // graft_group_topk: per-group bounded top-k from pure SQL
+      val topk = s.sql(
+        """SELECT g, e.id FROM (
+          |  SELECT id % 2 AS g, graft_group_topk(CAST(id AS DOUBLE), id, 2) AS t
+          |  FROM __ids GROUP BY id % 2)
+          |LATERAL VIEW explode(t) AS e""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(topk == Set((0L, 98L), (0L, 96L), (1L, 99L), (1L, 97L)))
     }
   }
 }
