@@ -47,6 +47,37 @@ object Similarity {
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"), col("rnk"))
   }
 
+  /** Exact FILTERED vector search: top-k cosine neighbors per query
+    * among only the vectors sharing the query's `labelCol` value — the
+    * filtered-ANN pattern (metadata predicate + similarity search).
+    * The filter becomes the JOIN KEY: a label-blocked equi-join
+    * replaces cosineTopK's documented cross join, so candidate work is
+    * per-label density, not all-pairs; and the per-query top-k is the
+    * GroupTopK bounded-buffer aggregate (map-side pruning), never a
+    * whole-group window sort. Ordering contract matches cosineTopK
+    * (sim desc, neighbor id asc).
+    */
+  def filteredCosineTopK(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val n = df
+      .select(col(idCol).as("vid"), col(labelCol).as("lbl"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(Text.dot(col("v"), col("v"))))
+    val q = df.filter(queryPred)
+      .select(col(idCol).as("qid"), col(labelCol).as("lbl"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qnrm", sqrt(Text.dot(col("qv"), col("qv"))))
+    q.join(n, "lbl")
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("sim", Text.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .groupBy("qid")
+      .agg(Text.groupTopK(col("sim"), col("vid"), k).as("t"))
+      .select(col("qid"), posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("qid").as("query_id"), col("e.id").as("neighbor_id"),
+        (col("pos") + 1).cast(LongType).as("rnk"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: planes x dim matrix with
     * values in [-0.5, 0.5), derived from a splitmix64-style bit mixer
     * of the flat index so tests reproduce them exactly.

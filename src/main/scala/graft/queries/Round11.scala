@@ -575,6 +575,35 @@ object Round11 {
         Seq(Expectations.fkExists("l_partkey", shrunkPart, "p_partkey")))
     },
 
+    // ----- filtered vector search ----------------------------------------
+    // The filtered-ANN pattern: top-5 cosine neighbors per query among
+    // ONLY same-label vectors. The metadata predicate becomes the JOIN
+    // KEY (label-blocked equi-join — qs01's documented cross join never
+    // appears) and the per-query top-k rides GroupTopK's bounded
+    // buffer, not a window sort: the two scale moves filtered search
+    // needs, proven row-identical to the oracle's window formulation.
+    Q("qs14_filtered_topk",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, label, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+        |p AS (SELECT qid, vec_id AS nid,
+        |        list_dot_product(qv, v) / (qnrm * nrm) AS sim
+        |      FROM q JOIN n USING (label) WHERE vec_id <> qid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rnk FROM r WHERE rnk <= 5""".stripMargin) {
+      (s, dir) =>
+        val out = graft.operators.Similarity.filteredCosineTopK(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding", "label",
+          col("vec_id") % 100 === 0, k = 5)
+        val plan = out.queryExecution.optimizedPlan.toString
+        require(!plan.toLowerCase.contains("cartesianproduct") &&
+          !plan.contains("crossJoin"),
+          "filtered search must label-block, not cross join")
+        out
+    },
+
     // ----- validated corpus release (expectations × dedup × split) ------
     // The quality gate composed into the release chain: declarative
     // expectations drop out-of-range/off-language docs (quarantine

@@ -19,12 +19,18 @@ class DeterminismSpec extends SparkSpec {
   // mergeable Count-Min counters, canonical bitmap blobs (sorted-word
   // serialization makes the OR-merge rollup partition-independent),
   // integer-exact windowed anomaly flags
+  // ... plus this session's risk families: the bounded-buffer top-k
+  // (merge order varies with partitioning), the grouping-set bitmap
+  // composition, weighted-median cross-multiplication, and the
+  // filtered search's label-blocked GroupTopK
   private val sampled = Seq(
     "q05_groupby_agg", "q39_window_frames", "qd05_minhash_lsh",
     "qs07_label_centroids", "qc02_pack_budget", "qc05_weighted_sample",
     "q59_histogram", "qt15_textrank", "qc09_corpus_shuffle",
     "qd14_span_strip", "q68_fuzzy_pairs", "qa04_cms_bound",
-    "qa05_bitmap_distinct_rollup", "q69_rolling_anomaly")
+    "qa05_bitmap_distinct_rollup", "q69_rolling_anomaly",
+    "qa09_group_topk", "qa10_weighted_median",
+    "qa11_bitmap_grouping_sets", "qs14_filtered_topk")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
