@@ -156,6 +156,90 @@ object Round11 {
            |FROM $view GROUP BY l_returnflag""".stripMargin)
     },
 
+    // ----- scalar string-function battery -------------------------------
+    // The everyday ETL string surface in one gate — case, set-trim,
+    // padding, substring/split_part/left/right, replace/translate,
+    // position, reverse, repeat, concat_ws, and levenshtein — each
+    // hash-compared against DuckDB's implementation (ASCII inputs, so
+    // collation/locale can't blur the comparison).
+    Q("qf04_string_funcs",
+      """SELECT c_custkey,
+        |  lower(c_name) AS low,
+        |  trim(c_name, 'Cur') AS trimmed,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lp,
+        |  rpad(c_mktsegment, 12, '.') AS rp,
+        |  substring(c_name, 10, 5) AS sub,
+        |  split_part(c_name, '#', 2) AS part2,
+        |  left(c_name, 4) AS l4, right(c_name, 3) AS r3,
+        |  replace(c_name, 'Customer', 'Cust') AS repl,
+        |  translate(c_name, '0123456789', 'abcdefghij') AS tr,
+        |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+        |  reverse(c_mktsegment) AS rev,
+        |  repeat('ab', CAST(c_custkey % 3 AS INTEGER)) AS reps,
+        |  concat_ws('-', c_mktsegment, c_name) AS joined,
+        |  CAST(levenshtein(c_mktsegment, 'MACHINERY') AS BIGINT) AS lev
+        |FROM customer""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        lower(col("c_name")).as("low"),
+        expr("trim(BOTH 'Cur' FROM c_name)").as("trimmed"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        substring(col("c_name"), 10, 5).as("sub"),
+        expr("split_part(c_name, '#', 2)").as("part2"),
+        expr("left(c_name, 4)").as("l4"), expr("right(c_name, 3)").as("r3"),
+        expr("replace(c_name, 'Customer', 'Cust')").as("repl"),
+        translate(col("c_name"), "0123456789", "abcdefghij").as("tr"),
+        instr(col("c_name"), "#").cast(LongType).as("hash_pos"),
+        reverse(col("c_mktsegment")).as("rev"),
+        expr("repeat('ab', CAST(c_custkey % 3 AS INT))").as("reps"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        levenshtein(col("c_mktsegment"), lit("MACHINERY")).cast(LongType).as("lev"))
+    },
+
+    // ----- scalar date/time-function battery ----------------------------
+    // Calendar arithmetic both engines must agree on byte-for-byte:
+    // part extraction, month truncation, last_day, month addition with
+    // end-of-month clamping, day offsets and differences, day-of-week
+    // (Spark is 1=Sunday, DuckDB 0=Sunday — normalized in the oracle),
+    // ISO week, and strftime-style formatting.
+    Q("qf05_datetime_funcs",
+      """WITH d AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders)
+        |SELECT o_orderkey,
+        |  CAST(year(od) AS BIGINT) AS yr,
+        |  CAST(quarter(od) AS BIGINT) AS qt,
+        |  CAST(month(od) AS BIGINT) AS mo,
+        |  CAST(day(od) AS BIGINT) AS dy,
+        |  CAST(dayofyear(od) AS BIGINT) AS doy,
+        |  CAST(dayofweek(od) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(od) AS BIGINT) AS wk,
+        |  CAST(date_trunc('month', od) AS DATE) AS mstart,
+        |  last_day(od) AS mend,
+        |  CAST(od + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  od + 10 AS plus10d,
+        |  CAST(date_diff('day', od, DATE '1996-01-01') AS BIGINT) AS to_96,
+        |  strftime(od, '%Y-%m') AS ym
+        |FROM d""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        .select(
+          col("o_orderkey"),
+          year(col("od")).cast(LongType).as("yr"),
+          quarter(col("od")).cast(LongType).as("qt"),
+          month(col("od")).cast(LongType).as("mo"),
+          dayofmonth(col("od")).cast(LongType).as("dy"),
+          dayofyear(col("od")).cast(LongType).as("doy"),
+          dayofweek(col("od")).cast(LongType).as("dow"),
+          weekofyear(col("od")).cast(LongType).as("wk"),
+          date_trunc("month", col("od")).cast("date").as("mstart"),
+          last_day(col("od")).as("mend"),
+          add_months(col("od"), 2).as("plus2m"),
+          date_add(col("od"), 10).as("plus10d"),
+          datediff(lit("1996-01-01").cast("date"), col("od"))
+            .cast(LongType).as("to_96"),
+          date_format(col("od"), "yyyy-MM").as("ym"))
+    },
+
     // ----- null-preserving lateral explode ------------------------------
     // explode_outer keeps the parent row (with NULL) when the array is
     // empty — the LATERAL VIEW OUTER semantics a flattening pipeline
