@@ -197,6 +197,38 @@ object Round11 {
         levenshtein(col("c_mktsegment"), lit("MACHINERY")).cast(LongType).as("lev"))
     },
 
+    // ----- scalar math-function battery (exact-IEEE only) ---------------
+    // abs/ceil/floor/sign/greatest/least/mod/power-of-two/sqrt are all
+    // exactly-rounded IEEE-754 operations, so both engines produce
+    // bit-identical doubles; transcendentals (exp/ln/log) and ROUND's
+    // tie policy are NOT cross-libm stable and are deliberately
+    // excluded — the same discipline that keeps float aggregates on
+    // the DECIMAL hop.
+    Q("qf06_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS adisc,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS pceil,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS pfloor,
+        |  CAST(sign(l_quantity - 25) AS BIGINT) AS sgn,
+        |  greatest(l_quantity, l_discount * 100) AS gmax,
+        |  least(l_quantity, l_discount * 100) AS lmin,
+        |  l_orderkey % 7 AS m7,
+        |  power(2.0, l_linenumber) AS p2,
+        |  sqrt(l_quantity) AS sq
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("adisc"),
+        ceil(col("l_extendedprice")).cast(LongType).as("pceil"),
+        floor(col("l_extendedprice")).cast(LongType).as("pfloor"),
+        signum(col("l_quantity") - 25).cast(LongType).as("sgn"),
+        greatest(col("l_quantity"), col("l_discount") * 100).as("gmax"),
+        least(col("l_quantity"), col("l_discount") * 100).as("lmin"),
+        (col("l_orderkey") % 7).as("m7"),
+        pow(lit(2.0), col("l_linenumber")).as("p2"),
+        sqrt(col("l_quantity")).as("sq"))
+    },
+
     // ----- scalar date/time-function battery ----------------------------
     // Calendar arithmetic both engines must agree on byte-for-byte:
     // part extraction, month truncation, last_day, month addition with
