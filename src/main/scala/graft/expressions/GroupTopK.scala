@@ -26,7 +26,11 @@ import org.apache.spark.sql.types._
   * SMALLER `id` (row_number ... ORDER BY value DESC, id ASC). Rows
   * with a NULL value or id are skipped — the window idiom places
   * NULLs deterministically only under an explicit NULLS clause, and a
-  * ranked NULL measure is meaningless.
+  * ranked NULL measure is meaningless. NaN values are skipped for the
+  * same reason: IEEE comparisons make NaN outrank nothing (it could
+  * still slip into an under-filled board), while Spark's DESC sort
+  * places NaN FIRST — no single board behavior could match both, so a
+  * NaN measure is excluded rather than ranked arbitrarily.
   *
   * eval returns array<struct<value:double, id:bigint>> sorted best
   * first; posexplode() upstairs turns position into the rank.
@@ -58,7 +62,9 @@ case class GroupTopK(
     val v = value.eval(input)
     val i = id.eval(input)
     if (v == null || i == null) return b
-    val x = (v.asInstanceOf[Double], i.asInstanceOf[Long])
+    val d = v.asInstanceOf[Double]
+    if (d.isNaN) return b
+    val x = (d, i.asInstanceOf[Long])
     if (b.size < k) { b += x; return b }
     // full: replace the current worst only if x outranks it (O(k) scan —
     // k is a handful; the win is rows never leaving the partition)

@@ -52,12 +52,12 @@ class GroupTopKSpec extends SparkSpec {
     assert(out == Set(("a", 0, 11L), ("a", 1, 10L), ("b", 0, 20L)))
   }
 
-  test("ties break toward the smaller id; NULLs are skipped") {
+  test("ties break toward the smaller id; NULLs and NaNs are skipped") {
     import spark.implicits._
     val df = Seq(
       ("g", Some(7.0), Some(3L)), ("g", Some(7.0), Some(1L)),
       ("g", Some(7.0), Some(2L)), ("g", None, Some(99L)),
-      ("g", Some(9.0), None))
+      ("g", Some(9.0), None), ("g", Some(Double.NaN), Some(98L)))
       .toDF("g", "v", "id")
     val ids = df.groupBy("g")
       .agg(Text.groupTopK(col("v"), col("id"), 2).as("t"))

@@ -77,6 +77,30 @@ class RangeBinJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("duplicate rows keep their multiplicity through the rewrite") {
+    val mkPoints = (s: SparkSession) => {
+      import s.implicits._
+      Seq(5L, 5L, 7L).toDF("p") // duplicate point VALUE, two rows
+    }
+    val mkIv = (s: SparkSession) => {
+      import s.implicits._
+      Seq((1L, 0L, 10L), (2L, 0L, 10L)).toDF("iid", "lo", "hi") // dup intervals
+    }
+    val naive = mkPoints(spark).join(mkIv(spark),
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      .groupBy("p", "iid").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 2 rows of p=5 × 2 intervals → count 2 per (5, iid); p=7 → 1 each
+    assert(naive == Set((5L, 1L, 2L), (5L, 2L, 2L), (7L, 1L, 1L), (7L, 2L, 1L)))
+    withExtendedSession(4L) { s =>
+      val got = mkPoints(s).join(mkIv(s),
+          col("p") >= col("lo") && col("p") <= col("hi"))
+        .groupBy("p", "iid").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == naive, "rewrite must preserve row multiplicity exactly")
+    }
+  }
+
   test("rule is inert without the width conf and for equi joins") {
     withExtendedSession(0L) { s =>
       val plan = rangeJoin(s).queryExecution.executedPlan.toString
