@@ -791,6 +791,184 @@ object Round11 {
       ranked.filter(col("rn") * 4 <= col("cnt") + 3)
         .select(col("doc_id"), col("source"), col("n_distinct_words"),
           col("rn").cast(LongType).as("rn"))
+    },
+
+    // ----- array-function battery (set algebra + slicing) ---------------
+    // The non-lambda half of the array surface qf01 left open: sort,
+    // distinct, intersect/union/except, overlap, slice, flatten,
+    // position, contains, min/max, reverse — each computed row-locally
+    // (no shuffle; one codegen'd projection) and serialized to a
+    // space-joined string so the gate compares scalars. Ordering
+    // discipline: DuckDB's list_distinct/list_intersect reorder, so
+    // every set-valued result is explicitly sorted on BOTH sides;
+    // DuckDB's array_to_string([]) is NULL where Spark's array_join is
+    // '' — the oracle coalesces.
+    Q("qf07_array_funcs",
+      s"""WITH w AS ($wCte),
+         |m AS (SELECT doc_id, ws, ws[1:6] AS a, ws[4:12] AS b FROM w)
+         |SELECT doc_id,
+         |  COALESCE(array_to_string(list_sort(a), ' '), '') AS sorted_a,
+         |  COALESCE(array_to_string(list_sort(list_distinct(a)), ' '), '') AS distinct_a,
+         |  COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a, b))), ' '), '') AS inter_ab,
+         |  COALESCE(array_to_string(list_sort(list_distinct(a || b)), ' '), '') AS union_ab,
+         |  COALESCE(array_to_string(list_sort(list_distinct(
+         |    list_filter(a, x -> NOT list_contains(b, x)))), ' '), '') AS except_ab,
+         |  len(list_intersect(a, b)) > 0 AS overlap_ab,
+         |  COALESCE(array_to_string(flatten([a, b]), ' '), '') AS flat_ab,
+         |  COALESCE(array_to_string(list_reverse(a), ' '), '') AS rev_a,
+         |  CAST(list_position(ws, 'the') AS BIGINT) AS pos_the,
+         |  list_contains(ws, 'the') AS has_the,
+         |  CAST(len(a) AS BIGINT) AS len_a,
+         |  list_min(a) AS min_a,
+         |  list_max(a) AS max_a
+         |FROM m""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("ws", expr(Text.wordsExpr("text")))
+        .withColumn("a", expr("slice(ws, 1, 6)"))
+        .withColumn("b", expr("slice(ws, 4, 9)"))
+        .select(
+          col("doc_id"),
+          array_join(array_sort(col("a")), " ").as("sorted_a"),
+          array_join(array_sort(array_distinct(col("a"))), " ").as("distinct_a"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), " ").as("inter_ab"),
+          array_join(array_sort(array_union(col("a"), col("b"))), " ").as("union_ab"),
+          array_join(array_sort(array_except(col("a"), col("b"))), " ").as("except_ab"),
+          arrays_overlap(col("a"), col("b")).as("overlap_ab"),
+          array_join(flatten(array(col("a"), col("b"))), " ").as("flat_ab"),
+          array_join(reverse(col("a")), " ").as("rev_a"),
+          array_position(col("ws"), "the").as("pos_the"),
+          array_contains(col("ws"), "the").as("has_the"),
+          size(col("a")).cast(LongType).as("len_a"),
+          array_min(col("a")).as("min_a"),
+          array_max(col("a")).as("max_a"))
+    },
+
+    // ----- exact fixed-point PageRank over the navigation graph ---------
+    // The corpus-curation quality prior: PageRank over the page
+    // transition graph (consecutive events per user = one weighted
+    // edge, the q72 grain). Ranks are scaled BIGINTs and every step is
+    // integer multiply / truncating divide (operators.Graph scaladoc),
+    // so the 3-iteration result is bit-identical across engines,
+    // partitionings, and reruns — the oracle unrolls the identical
+    // integer recurrence as CTEs. Scale: per iteration one src-keyed
+    // equi-join + one dst-keyed partial-agg shuffle; N and dangling
+    // mass ride as broadcast 1-row scalars; no driver state.
+    Q("qg01_pagerank", pagerankOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("page").as("id")).distinct()
+      graft.operators.Graph.pagerankFp(nodes, edges, iters = 3)
+        .select(col("id").as("page"), col("r").as("rank_fp"))
+    },
+
+    // ----- exact triangle / degree counts (clustering signal) -----------
+    // Per-page triangle count + degree over the undirected navigation
+    // graph — the clustering-coefficient corpus-quality signal, kept as
+    // the integer pair (n_tri, deg) so nothing divides (q73
+    // discipline). The Spark side orients edges by (degree, id) so
+    // wedge fan-out is bounded by higher-degree-neighbor counts (hub
+    // safe — Graph.triangleCounts scaladoc); the oracle closes
+    // id-ordered triples — a different enumeration order of the SAME
+    // triangle set, so the per-vertex counts hash-match exactly.
+    Q("qg02_triangles",
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+         |  FROM events),
+         |seq AS (
+         |  SELECT page AS src,
+         |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM ev),
+         |nodes AS (SELECT DISTINCT page FROM ev),
+         |ud AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+         |deg AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT a AS v FROM ud UNION ALL SELECT b AS v FROM ud)
+         |  GROUP BY v),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ud e1
+         |  JOIN ud e2 ON e1.a = e2.a AND e1.b < e2.b
+         |  JOIN ud e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |tcnt AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+         |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |    UNION ALL SELECT z FROM tri)
+         |  GROUP BY v)
+         |SELECT n.page, COALESCE(d.deg, 0) AS deg,
+         |  COALESCE(t.n_tri, 0) AS n_tri
+         |FROM nodes n
+         |LEFT JOIN deg d ON n.page = d.v
+         |LEFT JOIN tcnt t ON n.page = t.v""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val nodes = ev.select(col("page").as("id")).distinct()
+      graft.operators.Graph.triangleCounts(nodes, edges)
+        .select(col("id").as("page"), col("deg"), col("n_tri"))
     }
   )
+
+  /** DuckDB oracle for qg01: the same integer fixed-point recurrence,
+    * unrolled. S=1e12, d=85/100, 3 iterations (must mirror
+    * Graph.pagerankFp's defaults exactly).
+    */
+  private def pagerankOracle: String = {
+    val S = "1000000000000"
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""d$p AS (
+         |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN outw ON r$p.page = outw.src
+         |  WHERE outw.src IS NULL),
+         |c$i AS (
+         |  SELECT e.dst AS page,
+         |    CAST(SUM((r.r * e.w * 85) // (o.ow * 100)) AS BIGINT) AS s
+         |  FROM edges e
+         |  JOIN r$p r ON e.src = r.page
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nd.page,
+         |    CAST(($S * 15) // (nn.n * 100)
+         |      + (d$p.dang * 85) // (nn.n * 100)
+         |      + COALESCE(c$i.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$p
+         |  LEFT JOIN c$i ON nd.page = c$i.page)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |seq AS (
+       |  SELECT page AS src,
+       |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT page FROM ev),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT nd.page, CAST($S // nn.n AS BIGINT) AS r
+       |       FROM nodes nd CROSS JOIN nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT page, r AS rank_fp FROM r3""".stripMargin
+  }
 }

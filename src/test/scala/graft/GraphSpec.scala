@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph.pagerankFp: exact agreement with a sequential integer
+  * reference on a hand graph WITH a dangling node (the data-derived
+  * gate's graph has none), partition invariance (fixed-point arithmetic
+  * makes the distributed sum order-free), and mass conservation.
+  */
+class GraphSpec extends SparkSpec {
+
+  // 1→2(w2) 1→3(w1) 2→3(w1) 3→1(w1); 4 dangles (no out-edges); 5 is
+  // isolated (no edges at all, only teleport + dangling share).
+  private val edgeList = Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L), (3L, 1L, 1L))
+  private val nodeList = Seq(1L, 2L, 3L, 4L, 5L)
+  // seed node 4's rank via an in-edge-free start: it still holds r0
+  // mass in iteration 1, so the dangling path is genuinely exercised.
+
+  /** Sequential reference: same recurrence in plain Scala. */
+  private def seqRanks(iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val n = nodeList.size.toLong
+    val outw = edgeList.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodeList.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodeList.filterNot(outw.contains).map(r).sum
+      val base = (scale * 15L) / (n * 100L) + (dang * 85L) / (n * 100L)
+      val nr = scala.collection.mutable.Map(nodeList.map(_ -> base): _*)
+      for ((s, d, w) <- edgeList)
+        nr(d) += (r(s) * w * 85L) / (outw(s) * 100L)
+      r = nr.toMap
+    }
+    r
+  }
+
+  private def sparkRanks(iters: Int, parts: Int): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = nodeList.toDF("id").repartition(parts)
+    val edges = edgeList.toDF("src", "dst", "w").repartition(parts)
+    Graph.pagerankFp(nodes, edges, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("matches the sequential integer reference exactly (dangling node present)") {
+    for (iters <- Seq(0, 1, 3)) {
+      assert(sparkRanks(iters, 3) == seqRanks(iters), s"iters=$iters")
+    }
+  }
+
+  test("partition count never changes a single rank unit") {
+    val a = sparkRanks(3, 1)
+    assert(sparkRanks(3, 7) == a)
+  }
+
+  test("mass is conserved up to truncation; dangling mass is redistributed") {
+    val r = sparkRanks(3, 3)
+    val total = r.values.sum
+    // each div truncates <1 unit; edges+nodes terms bound the loss
+    assert(total <= 1000000000000L)
+    assert(total > 1000000000000L - 1000L)
+    // node 5 is isolated: exactly teleport + dangling share, never 0
+    assert(r(5L) > 0L)
+    // node 4 (dangling, with no in-edges either) holds the same floor
+    assert(r(4L) == r(5L))
+  }
+
+  // --- triangleCounts ------------------------------------------------
+
+  /** Brute-force reference: enumerate all id-ordered triples. */
+  private def seqTriangles(
+      ns: Seq[Long], es: Seq[(Long, Long)]): Map[Long, (Long, Long)] = {
+    val ud = es.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val deg = ns.map(v => v -> ud.count(e => e._1 == v || e._2 == v).toLong).toMap
+    val tri = for {
+      (a, b) <- ud.toSeq; c <- ns
+      if c > b && ud.contains((a, c)) && ud.contains((b, c))
+    } yield (a, b, c)
+    val cnt = tri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    ns.map(v => v -> (deg(v), cnt.getOrElse(v, 0L))).toMap
+  }
+
+  private def sparkTriangles(
+      ns: Seq[Long], es: Seq[(Long, Long)], parts: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    val nodes = ns.toDF("id").repartition(parts)
+    val edges = es.toDF("src", "dst").repartition(parts)
+    Graph.triangleCounts(nodes, edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("triangleCounts matches brute force on a hub graph (degree-ordered orientation)") {
+    // hub 1 connected to all; rim cycle 2-3-4-5-2; plus self-loop and
+    // reverse duplicates that canonicalization must collapse
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L) // 6 isolated
+    val es = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 3L), (3L, 4L), (4L, 5L), (5L, 2L), (3L, 3L))
+    val exp = seqTriangles(ns, es)
+    assert(sparkTriangles(ns, es, 3) == exp)
+    // hub (degree 4) participates in all 4 triangles; isolated zeroed
+    assert(exp(1L) == (4L, 4L))
+    assert(exp(6L) == (0L, 0L))
+  }
+
+  test("triangleCounts is partition-invariant") {
+    val ns = (1L to 12L).toSeq
+    val es = for (a <- 1L to 12L; b <- (a + 1) to 12L
+      if (a + b) % 3 != 0) yield (b, a) // reversed on purpose
+    val one = sparkTriangles(ns, es, 1)
+    assert(sparkTriangles(ns, es, 7) == one)
+    assert(one == seqTriangles(ns, es))
+  }
+}
