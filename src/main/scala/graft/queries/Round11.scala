@@ -36,6 +36,10 @@ object Round11 {
   private val refTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj20's partition-evolved snapshot table per sfDir. */
+  private val pspecTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -791,6 +795,50 @@ object Round11 {
       ranked.filter(col("rn") * 4 <= col("cnt") + 3)
         .select(col("doc_id"), col("source"), col("n_distinct_words"),
           col("rn").cast(LongType).as("rn"))
+    },
+
+    // ----- partition-spec evolution + hidden-partition pruning ----------
+    // An Iceberg-style evolvable layout end to end: v0 commits the
+    // pre-1998 fact half partitioned by year(l_shipdate), v1 APPENDS
+    // the rest under a DIFFERENT spec (month since 1970-01) — the
+    // `__p_<transform>_<col>=v` path segments are self-describing, so
+    // one rangeRead prunes each file under the spec it was written
+    // with (builder-required below: the band keeps only 1997 year-dirs
+    // and 1998-01..03 month-dirs) and unions both layouts, with the
+    // derived columns never leaking into query semantics. The oracle
+    // is a plain filter over the same source rows — layout must be
+    // invisible to results, which is the whole point.
+    Q("qj20_partition_evolution",
+      s"""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${graft.functions.Exact.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+         |  AND l_shipdate <= TIMESTAMP '1998-03-31 00:00:00'
+         |GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.sources.{PartitionSpec, Snapshots}
+      val cut = "1998-01-01"
+      val table = pspecTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_pspec_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val li = Tables(s, d, "lineitem")
+        Snapshots.commit(s, t, li.filter(col("l_shipdate") < cut),
+          partitionBy = Seq(("year", "l_shipdate")))
+        Snapshots.commit(s, t, li.filter(col("l_shipdate") >= cut),
+          mode = "append", partitionBy = Seq(("month", "l_shipdate")))
+        t
+      })
+      val (lo, hi) = ("1997-06-01", "1998-03-31")
+      val rel = Snapshots.files(s, table)
+      val kept = rel.filter(PartitionSpec.mayContain(_, "l_shipdate", lo, hi))
+      require(rel.exists(_.contains("__p_year_")) &&
+        rel.exists(_.contains("__p_month_")), "both specs must be present")
+      require(kept.nonEmpty && kept.size < rel.size,
+        s"partition pruning must drop files (kept ${kept.size}/${rel.size})")
+      Snapshots.rangeRead(s, table, "l_shipdate", lo, hi)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("l_quantity")).as("sum_qty"))
     },
 
     // ----- array-function battery (set algebra + slicing) ---------------

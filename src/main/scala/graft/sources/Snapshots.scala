@@ -67,6 +67,18 @@ object Snapshots {
   private def fsOf(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Parquet files under `dir`, recursively, as `prefix`-relative paths
+    * (partitioned commits nest data files in `__p_*=v/` subdirs).
+    */
+  private def listParquet(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: Path, prefix: String): Seq[String] =
+    fs.listStatus(dir).toSeq.flatMap { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory) listParquet(fs, s.getPath, s"$prefix/$name")
+      else if (name.endsWith(".parquet")) Seq(s"$prefix/$name")
+      else Nil
+    }
+
   /** All committed versions, ascending (empty for a fresh table). */
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val fs = fsOf(spark, table)
@@ -176,7 +188,8 @@ object Snapshots {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              mode: String = "overwrite",
              withMeta: Map[String, String] = Map.empty,
-             base: Option[Int] = None): Int = {
+             base: Option[Int] = None,
+             partitionBy: Seq[(String, String)] = Nil): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val fs = fsOf(spark, table)
     // `base` (default: the global latest) is the version an append
@@ -189,11 +202,21 @@ object Snapshots {
     val next = latestVersion(spark, table).map(_ + 1).getOrElse(0)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = f"snap-v$next%08d-$token"
-    df.write.parquet(s"$table/$dataDir")
-    val newFiles = fs.listStatus(new Path(table, dataDir)).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(n => s"$dataDir/$n")
+    // hidden partitioning: each (transform, srcCol) pair becomes a
+    // derived `__p_*` column that exists ONLY in the path — the source
+    // column stays in the data files, so the layout never leaks into
+    // query semantics and later commits are free to use a DIFFERENT
+    // spec (partition evolution; see PartitionSpec)
+    if (partitionBy.isEmpty) df.write.parquet(s"$table/$dataDir")
+    else {
+      val derived = partitionBy.foldLeft(df) { case (acc, (t, c)) =>
+        acc.withColumn(PartitionSpec.fieldName(t, c), PartitionSpec.column(t, c))
+      }
+      derived.write
+        .partitionBy(partitionBy.map { case (t, c) => PartitionSpec.fieldName(t, c) }: _*)
+        .parquet(s"$table/$dataDir")
+    }
+    val newFiles = listParquet(fs, new Path(table, dataDir), dataDir)
     require(newFiles.nonEmpty, "refusing to commit an empty snapshot")
     val carried =
       if (mode == "append" && prev.nonEmpty) files(spark, table, prev) else Nil
@@ -281,8 +304,7 @@ object Snapshots {
       if (baseRel.isEmpty) {
         require(deltaRel.isEmpty, s"delta files with no base under $table")
         throw new IllegalArgumentException(s"empty snapshot under $table")
-      } else readerFor(spark, table, version)
-        .parquet(baseRel.map(f => s"$table/$f"): _*)
+      } else readBase(spark, table, version, baseRel)
     if (deltaRel.isEmpty) return base
     val keys = meta(spark, table, version).getOrElse("mor.keys",
       throw new IllegalStateException(
@@ -303,6 +325,43 @@ object Snapshots {
     base.join(winners.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(
         winners.filter(!col("__del")).drop("__del", "__v", "__rn"))
+  }
+
+  /** Scan an arbitrary mix of flat and hidden-partitioned base files as
+    * ONE frame under the version's declared schema. Flat files read
+    * through the declared-schema reader directly; partitioned files are
+    * grouped per data directory (each group reads under its OWN
+    * `basePath`, so Spark reconstitutes that directory's `__p_*`
+    * layout regardless of what any other commit used — this is what
+    * makes the partition spec evolvable), the derived `__p_*` columns
+    * are dropped, and the group is aligned to the declared schema
+    * (missing columns null-fill, dropped columns prune, same rules the
+    * flat path gets from the schema'd reader).
+    */
+  private def readBase(spark: SparkSession, table: String,
+                       version: Option[Int], baseRel: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (partRel, flatRel) =
+      baseRel.partition(_.contains("/" + PartitionSpec.Prefix))
+    val declared = meta(spark, table, version).get(SchemaKey)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    def align(df: DataFrame): DataFrame = declared match {
+      case Some(st) => df.select(st.fields.toSeq.map(f =>
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType).as(f.name)): _*)
+      case None => df
+    }
+    val flat =
+      if (flatRel.isEmpty) Nil
+      else Seq(readerFor(spark, table, version)
+        .parquet(flatRel.map(f => s"$table/$f"): _*))
+    val part = partRel.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (dir, fsq) =>
+        val raw = spark.read.option("basePath", s"$table/$dir")
+          .parquet(fsq.map(f => s"$table/$f"): _*)
+        align(raw.drop(raw.columns.filter(_.startsWith(PartitionSpec.Prefix)).toSeq: _*))
+      }
+    (flat ++ part).reduce(_ unionByName _)
   }
 
   /** MERGE-ON-READ commit: write ONLY the change set as a delta file
@@ -399,12 +458,21 @@ object Snapshots {
       return merged.filter(
         col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
     }
-    val abs = rel.map(f => s"$table/$f")
-    val cand = StatsManifest.filterByStats(spark, table, abs, column, lo, hi)
+    // two independent driver-side pruners compose: flat files drop by
+    // their stats-manifest [min,max]; hidden-partitioned files drop by
+    // their OWN path-declared transform (PartitionSpec.mayContain) —
+    // correct under partition evolution because each file is judged
+    // under the spec it was written with. Both are conservative
+    // (unknown → keep), so the read degrades, never lies.
+    val (partRel, flatRel) = rel.partition(_.contains("/" + PartitionSpec.Prefix))
+    val keptFlat = StatsManifest
+      .filterByStats(spark, table, flatRel.map(f => s"$table/$f"), column, lo, hi)
+      .map(_.stripPrefix(s"$table/"))
+    val keptPart = partRel.filter(PartitionSpec.mayContain(_, column, lo, hi))
+    val kept = keptFlat ++ keptPart
     val base =
-      if (cand.isEmpty) read(spark, table, version).limit(0)
-      else readerFor(spark, table, version)
-        .option("basePath", table).parquet(cand: _*)
+      if (kept.isEmpty) read(spark, table, version).limit(0)
+      else readBase(spark, table, version, kept)
     val t = base.schema(column).dataType
     base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t))
   }
@@ -598,7 +666,8 @@ object Snapshots {
         val dir = d.getPath.getName
         val live = referenced.exists(_.startsWith(dir + "/"))
         if (!live) {
-          removed += fs.listStatus(d.getPath).count(_.getPath.getName.endsWith(".parquet"))
+          // recursive count — partitioned commits nest their files
+          removed += listParquet(fs, d.getPath, dir).size
           fs.delete(d.getPath, true)
         } else {
           // referenced dirs may still hold individually-dead files
