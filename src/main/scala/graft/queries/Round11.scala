@@ -40,6 +40,10 @@ object Round11 {
   private val pspecTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj21's bucket-partitioned snapshot table per sfDir. */
+  private val bucketTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -841,6 +845,38 @@ object Round11 {
           graft.functions.Exact.dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ----- bucket-transform point read -----------------------------------
+    // The high-cardinality-key half of hidden partitioning: orders laid
+    // out by bucket16(o_custkey) (CRC32 of the canonical string form —
+    // the driver computes the bound's bucket with no cluster
+    // round-trip, PartitionSpec.bucketValue), so a point read touches
+    // ~1/16 of the files, builder-required below. Hashing destroys
+    // order, so ONLY equality bounds prune — a range over the key keeps
+    // everything (conservative), also asserted in the spec.
+    Q("qj21_bucket_point_read",
+      s"""SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${graft.functions.Exact.dsumSql("o_totalprice")} AS sum_total
+         |FROM orders WHERE o_custkey = 421
+         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      import graft.sources.{PartitionSpec, Snapshots}
+      val table = bucketTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_bucket_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        Snapshots.commit(s, t, Tables(s, d, "orders"),
+          partitionBy = Seq(("bucket16", "o_custkey")))
+        t
+      })
+      val rel = Snapshots.files(s, table)
+      val kept = rel.filter(PartitionSpec.mayContain(_, "o_custkey", "421", "421"))
+      require(kept.nonEmpty && kept.size * 4 <= rel.size,
+        s"bucket pruning must drop most files (kept ${kept.size}/${rel.size})")
+      Snapshots.rangeRead(s, table, "o_custkey", "421", "421")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Exact.dsum(col("o_totalprice")).as("sum_total"))
+    },
+
     // ----- array-function battery (set algebra + slicing) ---------------
     // The non-lambda half of the array surface qf01 left open: sort,
     // distinct, intersect/union/except, overlap, slice, flatten,
@@ -889,6 +925,42 @@ object Round11 {
           size(col("a")).cast(LongType).as("len_a"),
           array_min(col("a")).as("min_a"),
           array_max(col("a")).as("max_a"))
+    },
+
+    // ----- bitwise + null-conditional battery ---------------------------
+    // The remaining scalar surface qf04–qf06 left open: bitwise
+    // AND/OR/XOR/shifts/popcount (hash bucketing, bitmap flags, feature
+    // packing all live on these) and the null-conditional forms
+    // (ifnull/nullif composition, inline if, greatest/least across
+    // expressions — both engines skip NULLs). All row-local, one
+    // codegen'd projection, hash-compared against DuckDB bit for bit.
+    Q("qf08_bitwise_conditional",
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_orderkey & l_partkey AS BIGINT) AS band,
+        |  CAST(l_orderkey | l_linenumber AS BIGINT) AS bor,
+        |  CAST(xor(l_orderkey, l_suppkey) AS BIGINT) AS bxor,
+        |  CAST(l_linenumber << 3 AS BIGINT) AS shl,
+        |  CAST(l_orderkey >> 2 AS BIGINT) AS shr,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS bcnt,
+        |  ifnull(nullif(l_returnflag, 'N'), 'none') AS cond_flag,
+        |  if(l_quantity > 25, 'hi', 'lo') AS qband,
+        |  CAST(greatest(l_orderkey % 97, l_partkey % 97, l_suppkey % 97) AS BIGINT) AS g3,
+        |  CAST(least(l_orderkey % 97, l_partkey % 97, l_suppkey % 97) AS BIGINT) AS l3
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).cast(LongType).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_linenumber")).cast(LongType).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_suppkey")).cast(LongType).as("bxor"),
+        shiftleft(col("l_linenumber"), 3).cast(LongType).as("shl"),
+        shiftright(col("l_orderkey"), 2).cast(LongType).as("shr"),
+        bit_count(col("l_orderkey")).cast(LongType).as("bcnt"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("cond_flag"),
+        when(col("l_quantity") > 25, "hi").otherwise("lo").as("qband"),
+        greatest(col("l_orderkey") % 97, col("l_partkey") % 97,
+          col("l_suppkey") % 97).cast(LongType).as("g3"),
+        least(col("l_orderkey") % 97, col("l_partkey") % 97,
+          col("l_suppkey") % 97).cast(LongType).as("l3"))
     },
 
     // ----- exact fixed-point PageRank over the navigation graph ---------

@@ -39,7 +39,27 @@ object PartitionSpec {
     case "identity" => col(src)
     case "year" => year(col(src))
     case "month" => (year(col(src)) - 1970) * 12 + (month(col(src)) - 1)
+    case BucketN(n) => pmod(crc32(col(src).cast("string")), lit(n.toLong))
     case t => throw new IllegalArgumentException(s"unknown partition transform: $t")
+  }
+
+  /** `bucketN` hashes the key's canonical string form through CRC32
+    * mod N — computable identically on the driver (point-read pruning
+    * needs the bound's bucket with no cluster round-trip) and inside
+    * codegen'd Spark. Intended for integer/string keys; float keys are
+    * rejected by their own string-form instability.
+    */
+  private object BucketN {
+    def unapply(t: String): Option[Int] =
+      if (t.startsWith("bucket")) t.stripPrefix("bucket").toIntOption.filter(_ > 0)
+      else None
+  }
+
+  /** Driver-side twin of the bucketN transform. */
+  def bucketValue(v: String, n: Int): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(v.getBytes("UTF-8"))
+    c.getValue % n
   }
 
   /** Transform applied to a driver-side ISO-date bound (None = this
@@ -103,6 +123,9 @@ object PartitionSpec {
             case (Some(l), Some(h), Some(x)) => x >= l && x <= h
             case _ => true
           }
+        case BucketN(n) =>
+          // hashing destroys order: point reads only
+          lo != hi || v.toLongOption.forall(_ == bucketValue(lo, n))
         case _ => true
       }
     }

@@ -97,6 +97,30 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(rel.count(PartitionSpec.mayContain(_, "k", "a", "z")) == rel.size)
   }
 
+  test("bucket transform: point reads prune to one bucket; ranges never prune") {
+    val t = freshTable()
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    Snapshots.commit(spark, t, orders,
+      partitionBy = Seq(("bucket16", "o_custkey")))
+    val rel = Snapshots.files(spark, t)
+    val buckets = rel.flatMap(
+      PartitionSpec.segments(_).collectFirst { case (b, _, v) if b.startsWith("bucket") => v })
+      .toSet
+    assert(buckets.size > 8, s"expected most of 16 buckets, got $buckets")
+    // every present custkey lands in exactly its own bucket's files
+    val someKey = orders.select("o_custkey").limit(1).collect().head.getLong(0)
+    val kept = rel.filter(PartitionSpec.mayContain(_, "o_custkey", s"$someKey", s"$someKey"))
+    val expBucket = PartitionSpec.bucketValue(someKey.toString, 16).toString
+    assert(kept.nonEmpty && kept.forall(
+      PartitionSpec.segments(_).exists { case (_, _, v) => v == expBucket }))
+    assert(kept.size < rel.size)
+    val got = Snapshots.rangeRead(spark, t, "o_custkey", s"$someKey", s"$someKey")
+    assert(got.count() == orders.filter(col("o_custkey") === someKey).count())
+    // a RANGE over a hashed key must keep everything
+    assert(rel.count(PartitionSpec.mayContain(_, "o_custkey", "1", "99999")) == rel.size)
+  }
+
   test("vacuum reclaims a dropped partitioned version without touching the kept one") {
     val t = freshTable()
     Snapshots.commit(spark, t, li.filter(col("l_orderkey") % 2 === 0),
