@@ -366,4 +366,47 @@ class PlanChecksSpec extends SparkSpec {
       "per-doc map entries must build through a partial ObjectHashAggregate:\n" +
         plan.take(2000))
   }
+
+  test("scalar batteries are pure scan-side projections: zero shuffles " +
+    "(qf07, qf08)") {
+    for (name <- Seq("qf07_array_funcs", "qf08_bitwise_conditional")) {
+      val nodes = collectAll(executed(q(name)))
+      assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeExec]),
+        s"$name is row-local — any exchange is a regression")
+    }
+  }
+
+  test("PageRank iterations join on graph keys: the only loop-free plans " +
+    "are broadcast 1-row scalars (qg01)") {
+    val nodes = collectAll(executed(q("qg01_pagerank")))
+    // N / dangling-mass scalars ride condition-free broadcast joins;
+    // a CONDITIONAL nested-loop or cartesian would mean the rank-edge
+    // join degenerated off its equi keys
+    assert(!nodes.exists {
+      case b: BroadcastNestedLoopJoinExec => b.condition.nonEmpty
+      case _ => false
+    }, "conditional BNLJ in the PageRank loop")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "cartesian product in the PageRank loop")
+    // contrib/degree sums must map-side combine — rows stay put until
+    // one keyed exchange per iteration
+    assert(planStringOf(nodes).contains("partial_sum"),
+      "edge contributions must partial-aggregate")
+  }
+
+  test("triangle counting is all-equi-join (qg02) — the degree-ordered " +
+    "wedge join never nested-loops") {
+    val nodes = collectAll(executed(q("qg02_triangles")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "BNLJ in triangle counting")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "cartesian in triangle counting")
+    assert(planStringOf(nodes).contains("partial_count"),
+      "degree/triangle counts must map-side combine")
+  }
+
+  private def planStringOf(nodes: Seq[SparkPlan]): String =
+    nodes.map(_.toString).mkString("\n")
 }
