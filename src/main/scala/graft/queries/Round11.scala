@@ -44,6 +44,10 @@ object Round11 {
   private val bucketTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj22's restored snapshot table per sfDir. */
+  private val restoreTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -875,6 +879,38 @@ object Round11 {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           graft.functions.Exact.dsum(col("o_totalprice")).as("sum_total"))
+    },
+
+    // ----- zero-copy rollback (Delta RESTORE) ---------------------------
+    // A bad overwrite lands as v1; restore(0) publishes a NEW head
+    // whose manifest re-references v0's files verbatim — zero bytes
+    // copied, the bad version stays readable for forensics, and the
+    // rollback is itself an auditable commit (builder-required: the
+    // restored head's file list IS v0's, and history shows 3 versions
+    // with only the head current). The oracle rebuilds the good state
+    // from source — a reader of the restored table must be unable to
+    // tell the incident ever happened.
+    Q("qj22_restore",
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      import graft.sources.Snapshots
+      val table = restoreTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_restore_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val cust = Tables(s, d, "customer")
+          .select("c_custkey", "c_name", "c_nationkey")
+        Snapshots.commit(s, t, cust.filter(col("c_custkey") % 3 === 0)) // good
+        Snapshots.commit(s, t, cust.filter(col("c_custkey") % 3 === 1)) // bad
+        Snapshots.restore(s, t, 0)
+        t
+      })
+      require(Snapshots.files(s, table) == Snapshots.files(s, table, Some(0)),
+        "restored head must re-reference v0's files verbatim")
+      val hist = Snapshots.history(s, table).collect()
+      require(hist.length == 3 && hist.count(_.getBoolean(5)) == 1,
+        "history must show 3 auditable versions with one current head")
+      Snapshots.read(s, table)
     },
 
     // ----- array-function battery (set algebra + slicing) ---------------

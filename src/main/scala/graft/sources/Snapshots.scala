@@ -639,6 +639,44 @@ object Snapshots {
     next
   }
 
+  /** Table history as a DataFrame — one row per version with commit
+    * time, file/byte counts, and whether it is the current head
+    * (Delta's DESCRIBE HISTORY shape). Driver-side metadata only: the
+    * manifests ARE the history, no data files are touched.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, table)
+    val vs = versions(spark, table)
+    val head = vs.lastOption
+    vs.map { v =>
+      val rel = files(spark, table, Some(v))
+      val bytes = rel.map(f => fs.getFileStatus(new Path(table, f)).getLen).sum
+      val m = meta(spark, table, Some(v))
+      (v, m.get(CommittedAtKey).map(_.toLong),
+        rel.size.toLong, bytes, rel.count(_.startsWith("delta-v")).toLong,
+        head.contains(v))
+    }.toDF("version", "committed_at_ms", "n_files", "n_bytes",
+      "n_delta_files", "is_current")
+  }
+
+  /** Roll the table back to `version` — committed as a NEW head whose
+    * manifest re-references the old version's files verbatim (Delta
+    * RESTORE): zero bytes copied, the bad versions stay readable for
+    * forensics until vacuumed, and the rollback itself is one more
+    * auditable commit rather than history rewriting. Returns the new
+    * version number.
+    */
+  def restore(spark: SparkSession, table: String, version: Int): Int = {
+    val vs = versions(spark, table)
+    require(vs.contains(version), s"version $version does not exist under $table")
+    val next = vs.last + 1
+    publishManifest(spark, table, next,
+      files(spark, table, Some(version)),
+      meta(spark, table, Some(version)) - CommittedAtKey)
+    next
+  }
+
   /** Delete all but the last `keepLast` versions and every data file no
     * kept manifest references (including orphans from crashed
     * commits). Readers of kept versions are unaffected — their files

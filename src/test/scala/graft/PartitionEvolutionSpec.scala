@@ -121,6 +121,35 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(rel.count(PartitionSpec.mayContain(_, "o_custkey", "1", "99999")) == rel.size)
   }
 
+  test("history reports one metadata row per version; restore re-references " +
+    "the old files with zero copy and survives vacuum") {
+    val t = freshTable()
+    val nation = Tables(spark, sfDir, "nation")
+    Snapshots.commit(spark, t, nation.filter(col("n_nationkey") < 10))      // v0
+    Snapshots.commit(spark, t, nation.filter(col("n_nationkey") < 5),
+      mode = "append")                                                      // v1
+    Snapshots.commit(spark, t, nation.filter(col("n_nationkey") >= 20))     // v2
+    val h = Snapshots.history(spark, t).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getBoolean(5))).toList
+    assert(h.map(_._1) == List(0, 1, 2))
+    assert(h.count(_._3) == 1 && h.last._3, "exactly the head is current")
+    assert(h(1)._2 > h(0)._2, "append grows the referenced file count")
+    assert(Snapshots.history(spark, t)
+      .filter(col("committed_at_ms").isNull).count() == 0)
+    // restore: new head, v0's exact file list, no data copied
+    val v0Files = Snapshots.files(spark, t, Some(0))
+    assert(Snapshots.restore(spark, t, 0) == 3)
+    assert(Snapshots.files(spark, t) == v0Files)
+    def keys0 = Snapshots.read(spark, t).select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue).toSet
+    val expect = keys0
+    // vacuum to the restored head only: v1/v2's unreferenced data goes,
+    // v0's files survive because the head re-references them
+    val removed = Snapshots.vacuum(spark, t, keepLast = 1)
+    assert(removed > 0, "v1/v2 data must be reclaimed")
+    assert(keys0 == expect, "restored head must read bit-identically post-vacuum")
+  }
+
   test("vacuum reclaims a dropped partitioned version without touching the kept one") {
     val t = freshTable()
     Snapshots.commit(spark, t, li.filter(col("l_orderkey") % 2 === 0),
