@@ -48,6 +48,10 @@ object Round11 {
   private val restoreTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qj23's write-audit-publish table per sfDir. */
+  private val wapTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** qj17's extensions-enabled session (one per JVM, shares the
     * SparkContext; the active/default session is restored immediately
     * so other gates never see it).
@@ -911,6 +915,51 @@ object Round11 {
       require(hist.length == 3 && hist.count(_.getBoolean(5)) == 1,
         "history must show 3 auditable versions with one current head")
       Snapshots.read(s, table)
+    },
+
+    // ----- write-audit-publish release gating ---------------------------
+    // The lakehouse release pattern composed from branch refs +
+    // write-time expectations: every batch STAGES as a real commit on
+    // the audit branch; only a passing audit fast-forwards main. A
+    // good batch publishes; a batch with NULL names aborts — main
+    // never moves (builder-required), the staged bad version stays in
+    // global history for forensics, and the audit branch resets for
+    // the next batch. Audit cost is per-batch, not per-table (carried
+    // files were validated when THEY published). The oracle rebuilds
+    // main's expected state from source: consumers pinned to main must
+    // be unable to observe the rejected batch.
+    Q("qj23_wap",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey % 4 IN (0, 2)""".stripMargin) { (s, dir) =>
+      import graft.etl.Expectations
+      import graft.sources.{Refs, Snapshots, Wap}
+      val table = wapTables.computeIfAbsent(dir, { d =>
+        val t = s"/tmp/graft_wap_${ProcessHandle.current().pid()}_" +
+          Integer.toHexString(d.hashCode)
+        wipeDir(t)
+        val cust = Tables(s, d, "customer").select("c_custkey", "c_name")
+        Snapshots.commit(s, t, cust.filter(col("c_custkey") % 4 === 0)) // v0
+        Refs.branch(s, t, "main")
+        Refs.branch(s, t, "audit")
+        val rules = Seq(Expectations.notNull("c_name"))
+        val good = Wap.writeAuditPublish(s, t,
+          cust.filter(col("c_custkey") % 4 === 2), rules)
+        require(good.isRight, s"clean batch must publish, got $good")
+        val mainBefore = Refs.resolve(s, t, "main")
+        val bad = Wap.writeAuditPublish(s, t,
+          cust.filter(col("c_custkey") % 4 === 1)
+            .withColumn("c_name",
+              when(col("c_custkey") % 8 === 1, lit(null)).otherwise(col("c_name"))),
+          rules)
+        require(bad.isLeft && bad.swap.exists(_ > 0),
+          s"dirty batch must abort with violations, got $bad")
+        require(Refs.resolve(s, t, "main") == mainBefore,
+          "an aborted audit must never move main")
+        require(Snapshots.versions(s, t).size >= 3,
+          "the staged bad version must remain in history for forensics")
+        t
+      })
+      Refs.read(s, table, "main")
     },
 
     // ----- array-function battery (set algebra + slicing) ---------------

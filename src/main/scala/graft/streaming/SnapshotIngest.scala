@@ -27,7 +27,8 @@ object SnapshotIngest {
     * applied, false if it was a replay no-op.
     */
   def ingestBatch(spark: SparkSession, table: String, batch: DataFrame,
-                  batchId: Long): Boolean = {
+                  batchId: Long,
+                  partitionBy: Seq[(String, String)] = Nil): Boolean = {
     // scan versions newest-first for the last APPLIED batch id: an
     // interleaved meta-less commit (a manual Snapshots.commit) must
     // not blind the replay guard. Snapshots.compact additionally
@@ -43,17 +44,24 @@ object SnapshotIngest {
     val mode =
       if (Snapshots.latestVersion(spark, table).isEmpty) "overwrite" else "append"
     Snapshots.commit(spark, table, batch, mode,
-      withMeta = Map(BatchKey -> batchId.toString))
+      withMeta = Map(BatchKey -> batchId.toString),
+      partitionBy = partitionBy)
     true
   }
 
-  /** Start the stream: every micro-batch becomes one snapshot version. */
+  /** Start the stream: every micro-batch becomes one snapshot version.
+    * `partitionBy` lays each batch out under hidden-partition
+    * transforms (PartitionSpec) — continuous ingest into a pruned
+    * layout, e.g. month(ts) for time-ranged reads or bucketN(key) for
+    * point reads, with the same exactly-once guarantee.
+    */
   def start(spark: SparkSession, stream: DataFrame, table: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String,
+            partitionBy: Seq[(String, String)] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        ingestBatch(spark, table, batch, batchId); ()
+        ingestBatch(spark, table, batch, batchId, partitionBy); ()
       }
       .start()
 }

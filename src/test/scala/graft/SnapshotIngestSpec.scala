@@ -34,6 +34,30 @@ class SnapshotIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous ingest into a hidden-partitioned layout: pruned point " +
+    "reads work on a live feed, replay still no-ops") {
+    import spark.implicits._
+    import graft.sources.PartitionSpec
+    val dir = java.nio.file.Files.createTempDirectory("graft-snappart").toString
+    val spec = Seq(("bucket8", "k"))
+    assert(SnapshotIngest.ingestBatch(spark, dir,
+      (1L to 40L).toDF("k"), 0L, spec))
+    assert(SnapshotIngest.ingestBatch(spark, dir,
+      (41L to 80L).toDF("k"), 1L, spec))
+    val rel = Snapshots.files(spark, dir)
+    assert(rel.forall(_.contains("__p_bucket8_k=")), "layout must be partitioned")
+    // point read prunes to one bucket per committed batch
+    val kept = rel.filter(PartitionSpec.mayContain(_, "k", "7", "7"))
+    assert(kept.nonEmpty && kept.size < rel.size)
+    assert(Snapshots.rangeRead(spark, dir, "k", "7", "7")
+      .select("k").collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // replay of batch 1 under the same spec: no-op
+    val before = Snapshots.versions(spark, dir)
+    assert(!SnapshotIngest.ingestBatch(spark, dir, (41L to 80L).toDF("k"), 1L, spec))
+    assert(Snapshots.versions(spark, dir) == before)
+    assert(Snapshots.read(spark, dir).count() == 80)
+  }
+
   test("a replayed batch is a no-op: no duplicate rows, no new version") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-snaprep").toString
