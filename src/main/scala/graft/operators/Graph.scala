@@ -151,4 +151,55 @@ object Graph {
       .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Monotone weighted label propagation — community detection over an
+    * undirected graph (the clustering complement to [[pagerankFp]]'s
+    * ranking and [[triangleCounts]]' cohesion).
+    *
+    * DETERMINISTIC AND CONVERGENT by construction, unlike textbook
+    * LPA: every node starts labeled with its own id; each round it
+    * finds the neighbor label with the greatest total incident edge
+    * weight (ties toward the smaller label) and adopts it only if it
+    * is SMALLER than its current label. Plain synchronous LPA
+    * oscillates on symmetric cores (two mutually-heaviest nodes swap
+    * labels forever); the monotone rule makes labels non-increasing,
+    * so the process converges and the result is reproducible across
+    * engines, partitionings, and reruns — randomized/asynchronous LPA
+    * is none of those, which makes it unusable for diffable corpus
+    * releases. Communities are weight basins seeded at locally-minimal
+    * ids: a weak bridge (lighter than a node's intra-community
+    * support) never flips it.
+    *
+    * Input `transitions` are raw directed observations (multiplicity =
+    * weight); self-loops are dropped and both directions of a pair sum
+    * into one undirected weight. Per round: one v-keyed equi-join, one
+    * (u, label) partial-agg shuffle, one u-partitioned window — all
+    * key-partitioned, no driver state, same fixed-depth plan
+    * discipline as pagerankFp (checkpoint beyond ~16 rounds).
+    */
+  def labelPropagation(nodes: DataFrame, transitions: DataFrame,
+                       iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iters >= 0 && iters <= 16,
+      s"iters=$iters: fixed-depth declarative loop; checkpoint beyond 16")
+    val ud = transitions.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val sym = ud.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionAll(ud.select(col("b").as("u"), col("a").as("v"), col("w")))
+    var lab = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 0 until iters) {
+      val nb = sym
+        .join(lab.select(col("id").as("v"), col("lab").as("nl")), "v")
+        .groupBy("u", "nl").agg(sum(col("w")).as("sw"))
+      val best = nb.withColumn("rn", row_number().over(
+          Window.partitionBy("u").orderBy(col("sw").desc, col("nl"))))
+        .filter(col("rn") === 1).select(col("u").as("id"), col("nl"))
+      lab = lab.join(best, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+    }
+    lab
+  }
 }

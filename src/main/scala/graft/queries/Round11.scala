@@ -1125,8 +1125,81 @@ object Round11 {
       val nodes = ev.select(col("page").as("id")).distinct()
       graft.operators.Graph.triangleCounts(nodes, edges)
         .select(col("id").as("page"), col("deg"), col("n_tri"))
+    },
+
+    // ----- deterministic label-propagation communities -------------------
+    // The clustering third of the graph trio (rank qg01, cohesion
+    // qg02): 3 rounds of MONOTONE weighted label propagation — adopt
+    // the heaviest neighbor label (ties toward the smaller) only when
+    // smaller than the current one. Labels are non-increasing, so the
+    // process converges where textbook synchronous LPA oscillates, and
+    // with integer weights plus a total tie order the communities are
+    // bit-reproducible across engines, partitionings, and reruns —
+    // what makes them usable in a diffable corpus release. The oracle
+    // unrolls the identical rounds.
+    Q("qg03_label_prop", labelPropOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val transitions = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+      val nodes = ev.select(col("page").as("id")).distinct()
+      graft.operators.Graph.labelPropagation(nodes, transitions, iters = 3)
+        .select(col("id").as("page"), col("lab").as("community"))
     }
   )
+
+  /** DuckDB oracle for qg03: the same monotone label propagation,
+    * unrolled (weights = transition multiplicities summed over both
+    * directions of each unordered pair; per round each node finds the
+    * heaviest neighbor label — ties toward the smaller — and adopts it
+    * only if SMALLER than its current one; isolated nodes keep their
+    * own).
+    */
+  private def labelPropOracle: String = {
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""n$i AS (
+         |  SELECT s.u, l.lab, CAST(SUM(s.w) AS BIGINT) AS sw
+         |  FROM sym s JOIN l$p l ON s.v = l.page
+         |  GROUP BY s.u, l.lab),
+         |b$i AS (
+         |  SELECT u, lab FROM (
+         |    SELECT u, lab, ROW_NUMBER() OVER (
+         |      PARTITION BY u ORDER BY sw DESC, lab) AS rn FROM n$i)
+         |  WHERE rn = 1),
+         |l$i AS (
+         |  SELECT nd.page,
+         |    LEAST(l$p.lab, COALESCE(b$i.lab, l$p.lab)) AS lab
+         |  FROM nodes nd
+         |  JOIN l$p ON nd.page = l$p.page
+         |  LEFT JOIN b$i ON nd.page = b$i.u)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |seq AS (
+       |  SELECT page AS src,
+       |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev),
+       |pe AS (
+       |  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM seq WHERE dst IS NOT NULL AND src <> dst GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT a AS u, b AS v, w FROM pe
+       |  UNION ALL SELECT b AS u, a AS v, w FROM pe),
+       |nodes AS (SELECT DISTINCT page FROM ev),
+       |l0 AS (SELECT page, page AS lab FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT page, lab AS community FROM l3""".stripMargin
+  }
 
   /** DuckDB oracle for qg01: the same integer fixed-point recurrence,
     * unrolled. S=1e12, d=85/100, 3 iterations (must mirror

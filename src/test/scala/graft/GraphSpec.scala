@@ -104,6 +104,70 @@ class GraphSpec extends SparkSpec {
     assert(exp(6L) == (0L, 0L))
   }
 
+  // --- labelPropagation ----------------------------------------------
+
+  /** Sequential reference: same synchronous rounds in plain Scala. */
+  private def seqLabels(ns: Seq[Long], ts: Seq[(Long, Long)],
+                        iters: Int): Map[Long, Long] = {
+    val w = ts.filter { case (a, b) => a != b }
+      .groupBy { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val nbrs = ns.map(v => v -> w.keys.collect {
+      case (a, b) if a == v => (b, w((a, b)))
+      case (a, b) if b == v => (a, w((a, b)))
+    }.toSeq).toMap
+    var lab = ns.map(v => v -> v).toMap
+    for (_ <- 0 until iters) {
+      lab = ns.map { v =>
+        val byLabel = nbrs(v).groupBy { case (n, _) => lab(n) }
+          .map { case (l, xs) => l -> xs.map(_._2).sum }
+        val best =
+          if (byLabel.isEmpty) lab(v)
+          else byLabel.toSeq.minBy { case (l, s) => (-s, l) }._1
+        v -> math.min(lab(v), best) // monotone rule
+      }.toMap
+    }
+    lab
+  }
+
+  private def sparkLabels(ns: Seq[Long], ts: Seq[(Long, Long)],
+                          iters: Int, parts: Int): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.labelPropagation(
+        ns.toDF("id").repartition(parts),
+        ts.toDF("src", "dst").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation matches the sequential reference and finds the cliques") {
+    // two triangles (the 1-2 and 5-6 edges doubled = heavier intra-
+    // clique weight) bridged by ONE weak edge 3-5; 9 isolated; a
+    // self-loop at 7 that canonicalization must drop
+    val ns = Seq(1L, 2L, 3L, 5L, 6L, 7L, 9L)
+    val ts = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L),
+      (5L, 6L), (6L, 5L), (5L, 7L), (6L, 7L), (3L, 5L), (7L, 7L))
+    for (iters <- Seq(0, 1, 3)) {
+      assert(sparkLabels(ns, ts, iters, 3) == seqLabels(ns, ts, iters),
+        s"iters=$iters")
+    }
+    // the traced fixpoint: two communities seeded at local minima; the
+    // weight-1 bridge loses to each side's intra-community support
+    val l3 = seqLabels(ns, ts, 3)
+    assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L))
+    // converged: one more round changes nothing
+    assert(seqLabels(ns, ts, 4) == l3)
+  }
+
+  test("labelPropagation is partition-invariant") {
+    val ns = (1L to 20L).toSeq
+    val ts = for (a <- 1L to 20L; b <- 1L to 20L
+      if a != b && (a * 31 + b) % 4 == 0) yield (a, b)
+    val one = sparkLabels(ns, ts, 3, 1)
+    assert(sparkLabels(ns, ts, 3, 7) == one)
+    assert(one == seqLabels(ns, ts, 3))
+  }
+
   test("triangleCounts is partition-invariant") {
     val ns = (1L to 12L).toSeq
     val es = for (a <- 1L to 12L; b <- (a + 1) to 12L
