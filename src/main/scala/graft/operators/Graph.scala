@@ -42,11 +42,15 @@ object Graph {
     * @param nodes one row per vertex, column `id: bigint`
     * @param edges columns `src: bigint, dst: bigint, w: bigint` (w>0);
     *              multi-edges should be pre-summed but merely add
-    * @param iters fixed iteration count (plan depth grows per
-    *              iteration; for deep convergence loops materialize
-    *              per-round like Dedup.connectedComponents' reliable
-    *              checkpoints — at the corpus-curation depth of 3–10
-    *              rounds the declarative plan is the faster path)
+    * @param iters fixed iteration count. Each round references the
+    *              rank frame THREE times (edge join, dangling anti
+    *              join, final assembly), so the purely declarative
+    *              logical plan grows ~3^iters — fine at the shallow
+    *              depths this oracle surface runs (analysis stalls
+    *              were measured from ~10), hence the hard cap of 8.
+    *              Deeper runs go through [[pagerankConvergedFp]],
+    *              which materializes every round and keeps plan depth
+    *              constant.
     * @return columns `id: bigint, r: bigint` with Σr ≈ scale
     */
   def pagerankFp(
@@ -56,8 +60,9 @@ object Graph {
       scale: Long = 1000000000000L,
       dNum: Long = 85,
       dDen: Long = 100): DataFrame = {
-    require(iters >= 0 && iters <= 16,
-      s"iters=$iters: fixed-depth declarative loop; checkpoint beyond 16")
+    require(iters >= 0 && iters <= 8,
+      s"iters=$iters: the declarative plan grows ~3^iters — use " +
+        "pagerankConvergedFp (materialized rounds) beyond 8")
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
 
     val e = edges.select(col("src"), col("dst"), col("w"))
@@ -68,27 +73,116 @@ object Graph {
     var r: DataFrame = nodes.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r"))
 
-    for (_ <- 0 until iters) {
-      val rr = r
-      // mass flowing along edges: join on src (key-partitioned), then
-      // one partial-agg shuffle keyed by dst
-      val contrib = e
-        .join(rr.withColumnRenamed("id", "src"), "src")
-        .join(outw, "src")
-        .select(col("dst").as("id"),
-          expr(s"(r * w * ${dNum}L) div (ow * ${dDen}L)").as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
-      // dangling mass: nodes with no out-edge (anti join, 1-row result)
-      val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      r = nodes.crossJoin(broadcast(n1)).crossJoin(broadcast(dang))
-        .join(contrib, Seq("id"), "left")
-        .select(col("id"),
-          (expr(s"(${scale}L * ${dDen - dNum}L) div (n * ${dDen}L)")
-            + expr(s"(dang * ${dNum}L) div (n * ${dDen}L)")
-            + coalesce(col("s"), lit(0L))).as("r"))
-    }
+    for (_ <- 0 until iters)
+      r = prStep(nodes, e, outw, n1, r, scale, dNum, dDen)
     r
+  }
+
+  /** One PageRank round (shared by the fixed-depth and convergence
+    * drivers so both compute the IDENTICAL integer recurrence).
+    */
+  private def prStep(nodes: DataFrame, e: DataFrame, outw: DataFrame,
+                     n1: DataFrame, rr: DataFrame,
+                     scale: Long, dNum: Long, dDen: Long): DataFrame = {
+    // mass flowing along edges: join on src (key-partitioned), then
+    // one partial-agg shuffle keyed by dst
+    val contrib = e
+      .join(rr.withColumnRenamed("id", "src"), "src")
+      .join(outw, "src")
+      .select(col("dst").as("id"),
+        expr(s"(r * w * ${dNum}L) div (ow * ${dDen}L)").as("c"))
+      .groupBy("id").agg(sum(col("c")).as("s"))
+    // dangling mass: nodes with no out-edge (anti join, 1-row result)
+    val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
+      .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+    nodes.crossJoin(broadcast(n1)).crossJoin(broadcast(dang))
+      .join(contrib, Seq("id"), "left")
+      .select(col("id"),
+        (expr(s"(${scale}L * ${dDen - dNum}L) div (n * ${dDen}L)")
+          + expr(s"(dang * ${dNum}L) div (n * ${dDen}L)")
+          + coalesce(col("s"), lit(0L))).as("r"))
+  }
+
+  /** PageRank iterated TO CONVERGENCE — the production driver the
+    * fixed-depth [[pagerankFp]] (the oracle surface) points at for
+    * deep graphs. Each round is materialized (localCheckpoint, or
+    * reliable parquet snapshots with O(1) live files under
+    * `sparkContext.getCheckpointDir` — the connectedComponents
+    * discipline: each rank snapshot supersedes the last, the
+    * edges/out-weights snapshot serves every round), so plan depth
+    * stays constant however many rounds run. Convergence is exact and
+    * engine-independent because ranks are integers: stop when the max
+    * per-node change ≤ `tol` rank units (at the default scale, 1000
+    * units = 1e-9 of total mass); the only per-round driver value is
+    * that one scalar. Deltas shrink geometrically at roughly the
+    * damping factor, so expect about log(delta0/tol)/log(dDen/dNum)
+    * rounds — around 50 for 1e-9 of mass at d=0.85, which sizes the
+    * default cap. A graph that fails to converge within `maxRounds`
+    * fails LOUDLY rather than emitting unconverged ranks.
+    *
+    * Returns (ranks, rounds run).
+    */
+  def pagerankConvergedFp(
+      nodes: DataFrame,
+      edges: DataFrame,
+      tol: Long = 1000L,
+      maxRounds: Int = 128,
+      reliable: Boolean = false,
+      scale: Long = 1000000000000L,
+      dNum: Long = 85,
+      dDen: Long = 100): (DataFrame, Int) = {
+    require(tol >= 0, s"tol=$tol must be >= 0")
+    require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
+    val spark = nodes.sparkSession
+    val snapRoot: Option[org.apache.hadoop.fs.Path] =
+      if (!reliable) None
+      else {
+        val base = spark.sparkContext.getCheckpointDir.getOrElse(
+          throw new IllegalStateException(
+            "reliable=true requires sparkContext.setCheckpointDir"))
+        Some(new org.apache.hadoop.fs.Path(
+          base, s"graft-pr-${java.util.UUID.randomUUID()}"))
+      }
+    lazy val snapFs = snapRoot.get
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var snapIdx = 0
+    // returns the materialized frame plus its snapshot path (None in
+    // localCheckpoint mode) so the loop can delete a rank snapshot the
+    // moment its successor's delta check has consumed it — at most TWO
+    // rank snapshots ever live, however many rounds run
+    def ckpt(df: DataFrame): (DataFrame, Option[org.apache.hadoop.fs.Path]) =
+      snapRoot match {
+        case None => (df.localCheckpoint(), None)
+        case Some(root) =>
+          val p = new org.apache.hadoop.fs.Path(root, s"snap-$snapIdx")
+          snapIdx += 1
+          df.write.mode("overwrite").parquet(p.toString)
+          (spark.read.parquet(p.toString), Some(p))
+      }
+    val (e, _) = ckpt(edges.select(col("src"), col("dst"), col("w")))
+    val (outw, _) = ckpt(e.groupBy("src").agg(sum(col("w")).as("ow")))
+    val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
+    var (r, rPath) = ckpt(nodes.crossJoin(broadcast(n1))
+      .select(col("id"), expr(s"${scale}L div n").as("r")))
+    var round = 0
+    var converged = false
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"pagerank did not converge to tol=$tol in $maxRounds rounds — " +
+            "raise maxRounds or tol; refusing to emit unconverged ranks")
+      val (next, nextPath) = ckpt(prStep(nodes, e, outw, n1, r, scale, dNum, dDen))
+      val delta = next.join(r.select(col("id"), col("r").as("pr")), Seq("id"))
+        .agg(coalesce(max(abs(col("r") - col("pr"))), lit(0L)))
+        .first().getLong(0)
+      // the previous rank snapshot is fully consumed by the delta check
+      rPath.foreach(snapFs.delete(_, true))
+      r = next
+      rPath = nextPath
+      converged = delta <= tol
+    }
+    (r, round)
   }
 
   /** Per-vertex triangle and degree counts over an undirected graph.

@@ -65,6 +65,53 @@ class GraphSpec extends SparkSpec {
     assert(r(4L) == r(5L))
   }
 
+  private def maxDiff(a: Map[Long, Long], b: Map[Long, Long]): Long =
+    a.keys.map(k => math.abs(a(k) - b(k))).max
+
+  test("pagerankConvergedFp stops exactly at the recurrence's tol crossing") {
+    import spark.implicits._
+    val nodes = nodeList.toDF("id")
+    val edges = edgeList.toDF("src", "dst", "w")
+    val tol = 2000000000L
+    val (df, rounds) = Graph.pagerankConvergedFp(nodes, edges, tol = tol,
+      maxRounds = 16)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical to the recurrence run the same number of rounds (the
+    // sequential reference; the declarative pagerankFp is equivalence-
+    // proven against the same reference at its shallow depths above)
+    assert(got == seqRanks(rounds))
+    assert(rounds > 8, "the materialized driver must go deeper than the declarative cap")
+    // the stopping round is the FIRST whose delta is within tol
+    assert(maxDiff(seqRanks(rounds), seqRanks(rounds - 1)) <= tol)
+    if (rounds > 1)
+      assert(maxDiff(seqRanks(rounds - 1), seqRanks(rounds - 2)) > tol)
+  }
+
+  test("pagerankConvergedFp reliable mode keeps O(1) snapshots and fails " +
+    "loudly when maxRounds is exhausted") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-pr-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val nodes = nodeList.toDF("id")
+    val edges = edgeList.toDF("src", "dst", "w")
+    val (df, rounds) = Graph.pagerankConvergedFp(nodes, edges,
+      tol = 2000000000L, maxRounds = 16, reliable = true)
+    assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      seqRanks(rounds))
+    // live snapshots after completion: edges + out-weights + final ranks
+    // (setCheckpointDir nests a UUID dir; the pr root lives under it)
+    val fs = new java.io.File(spark.sparkContext.getCheckpointDir.get
+        .stripPrefix("file:"))
+      .listFiles().filter(_.getName.startsWith("graft-pr-"))
+    assert(fs.length == 1)
+    assert(fs.head.listFiles().count(_.getName.startsWith("snap-")) == 3,
+      "every superseded rank snapshot must have been deleted")
+    val e = intercept[IllegalStateException] {
+      Graph.pagerankConvergedFp(nodes, edges, tol = 0L, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   // --- triangleCounts ------------------------------------------------
 
   /** Brute-force reference: enumerate all id-ordered triples. */
