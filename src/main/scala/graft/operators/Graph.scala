@@ -103,6 +103,31 @@ object Graph {
           + coalesce(col("s"), lit(0L))).as("r"))
   }
 
+  /** Fixed-depth PageRank with MATERIALIZED rounds: the same integer
+    * recurrence as [[pagerankFp]], but each round localCheckpoints, so
+    * plan depth is constant and any `iters` is fine — this is the
+    * fixed-depth form for depths past the declarative ~3^iters wall
+    * (gated at 24 rounds against a recursive-CTE oracle by qg04).
+    */
+  def pagerankFpMaterialized(
+      nodes: DataFrame,
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dNum: Long = 85,
+      dDen: Long = 100): DataFrame = {
+    require(iters >= 0, s"iters=$iters")
+    require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow")).localCheckpoint()
+    val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
+    var r = nodes.crossJoin(broadcast(n1))
+      .select(col("id"), expr(s"${scale}L div n").as("r")).localCheckpoint()
+    for (_ <- 0 until iters)
+      r = prStep(nodes, e, outw, n1, r, scale, dNum, dDen).localCheckpoint()
+    r
+  }
+
   /** PageRank iterated TO CONVERGENCE — the production driver the
     * fixed-depth [[pagerankFp]] (the oracle surface) points at for
     * deep graphs. Each round is materialized (localCheckpoint, or

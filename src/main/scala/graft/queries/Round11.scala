@@ -1127,6 +1127,31 @@ object Round11 {
         .select(col("id").as("page"), col("deg"), col("n_tri"))
     },
 
+    // ----- DEEP fixed-point PageRank (materialized rounds) ---------------
+    // qg01 gates the recurrence at the shallow declarative depth; this
+    // gates the MATERIALIZED driver at 24 rounds — past the ~3^iters
+    // analysis wall the declarative form hits (COVERAGE.md batch 10) —
+    // against a DuckDB RECURSIVE CTE computing the identical integer
+    // recurrence (the working table is the previous round's rank
+    // vector; the dangling/round scalar rides an always-one-row
+    // aggregate, because a GROUP BY over zero dangling rows would
+    // silently kill the recursion). Same bit-exactness argument as
+    // qg01, now composed with constant plan depth.
+    Q("qg04_pagerank_deep", pagerankDeepOracle(24)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("page").as("id")).distinct()
+      graft.operators.Graph.pagerankFpMaterialized(nodes, edges, iters = 24)
+        .select(col("id").as("page"), col("r").as("rank_fp"))
+    },
+
     // ----- deterministic label-propagation communities -------------------
     // The clustering third of the graph trio (rank qg01, cohesion
     // qg02): 3 rounds of MONOTONE weighted label propagation — adopt
@@ -1151,6 +1176,55 @@ object Round11 {
         .select(col("id").as("page"), col("lab").as("community"))
     }
   )
+
+  /** DuckDB oracle for qg04: the qg01 integer recurrence driven to
+    * `rounds` by a RECURSIVE CTE instead of unrolled CTEs. The
+    * recursive working table is the previous round's rank vector; the
+    * round counter and dangling mass ride ONE always-present aggregate
+    * row (a GROUP BY over zero dangling rows would return no rows and
+    * end the recursion silently — the scalar must be an ungrouped
+    * aggregate).
+    */
+  private def pagerankDeepOracle(rounds: Int): String = {
+    val S = "1000000000000"
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |seq AS (
+       |  SELECT page AS src,
+       |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT page FROM ev),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+       |it AS (
+       |  SELECT 0 AS round, nd.page, CAST($S // nn.n AS BIGINT) AS r
+       |  FROM nodes nd CROSS JOIN nn
+       |  UNION ALL
+       |  SELECT d.mr + 1, nd.page,
+       |    CAST(($S * 15) // (nn.n * 100)
+       |      + (d.dang * 85) // (nn.n * 100)
+       |      + COALESCE(c.s, 0) AS BIGINT) AS r
+       |  FROM nodes nd
+       |  CROSS JOIN nn
+       |  CROSS JOIN (SELECT MAX(it.round) AS mr,
+       |                CAST(COALESCE(SUM(CASE WHEN outw.src IS NULL
+       |                  THEN it.r END), 0) AS BIGINT) AS dang
+       |              FROM it LEFT JOIN outw ON it.page = outw.src) d
+       |  LEFT JOIN (SELECT e.dst AS page,
+       |               CAST(SUM((i.r * e.w * 85) // (o.ow * 100)) AS BIGINT) AS s
+       |             FROM edges e
+       |             JOIN it i ON e.src = i.page
+       |             JOIN outw o ON e.src = o.src
+       |             GROUP BY e.dst) c ON nd.page = c.page
+       |  WHERE d.mr < $rounds
+       |)
+       |SELECT page, r AS rank_fp FROM it WHERE round = $rounds""".stripMargin
+  }
 
   /** DuckDB oracle for qg03: the same monotone label propagation,
     * unrolled (weights = transition multiplicities summed over both

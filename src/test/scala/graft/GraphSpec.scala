@@ -68,6 +68,19 @@ class GraphSpec extends SparkSpec {
   private def maxDiff(a: Map[Long, Long], b: Map[Long, Long]): Long =
     a.keys.map(k => math.abs(a(k) - b(k))).max
 
+  test("pagerankFpMaterialized runs the identical recurrence past the " +
+    "declarative depth wall") {
+    import spark.implicits._
+    val nodes = nodeList.toDF("id")
+    val edges = edgeList.toDF("src", "dst", "w")
+    val got = Graph.pagerankFpMaterialized(nodes, edges, iters = 24)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == seqRanks(24))
+    // and at a shallow depth it agrees with the declarative form
+    assert(Graph.pagerankFpMaterialized(nodes, edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == sparkRanks(3, 3))
+  }
+
   test("pagerankConvergedFp stops exactly at the recurrence's tol crossing") {
     import spark.implicits._
     val nodes = nodeList.toDF("id")
