@@ -1129,15 +1129,17 @@ object Round11 {
 
     // ----- DEEP fixed-point PageRank (materialized rounds) ---------------
     // qg01 gates the recurrence at the shallow declarative depth; this
-    // gates the MATERIALIZED driver at 24 rounds — past the ~3^iters
-    // analysis wall the declarative form hits (COVERAGE.md batch 10) —
+    // gates the MATERIALIZED driver at 12 rounds — past the ~3^iters
+    // analysis wall the declarative form hits (COVERAGE.md batch 10;
+    // 12 bounds the bench cost, which is pure per-round job overhead
+    // at this node count and would be data-dominated on a real graph) —
     // against a DuckDB RECURSIVE CTE computing the identical integer
     // recurrence (the working table is the previous round's rank
     // vector; the dangling/round scalar rides an always-one-row
     // aggregate, because a GROUP BY over zero dangling rows would
     // silently kill the recursion). Same bit-exactness argument as
     // qg01, now composed with constant plan depth.
-    Q("qg04_pagerank_deep", pagerankDeepOracle(24)) { (s, dir) =>
+    Q("qg04_pagerank_deep", pagerankDeepOracle(12)) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val ev = Tables(s, dir, "events").select(
         col("user_id"), col("ts"), col("event_id"),
@@ -1148,7 +1150,7 @@ object Round11 {
         .filter(col("dst").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       val nodes = ev.select(col("page").as("id")).distinct()
-      graft.operators.Graph.pagerankFpMaterialized(nodes, edges, iters = 24)
+      graft.operators.Graph.pagerankFpMaterialized(nodes, edges, iters = 12)
         .select(col("id").as("page"), col("r").as("rank_fp"))
     },
 
