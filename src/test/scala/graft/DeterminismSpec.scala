@@ -30,7 +30,11 @@ class DeterminismSpec extends SparkSpec {
     "qd14_span_strip", "q68_fuzzy_pairs", "qa04_cms_bound",
     "qa05_bitmap_distinct_rollup", "q69_rolling_anomaly",
     "qa09_group_topk", "qa10_weighted_median",
-    "qa11_bitmap_grouping_sets", "qs14_filtered_topk")
+    "qa11_bitmap_grouping_sets", "qs14_filtered_topk",
+    // ... plus the graph family: integer fixed-point PageRank (whole
+    // gate, not just the operator spec), monotone label propagation,
+    // and the degree-ordered triangle join
+    "qg01_pagerank", "qg02_triangles", "qg03_label_prop")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
