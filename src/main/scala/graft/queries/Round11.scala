@@ -917,6 +917,49 @@ object Round11 {
       Snapshots.read(s, table)
     },
 
+    // ----- time-constrained funnel (conversion windows) -----------------
+    // q55's funnel with the constraint real conversion analysis needs:
+    // each stage must land WITHIN an interval of the previous one
+    // (click ≤ 1 day after first view, purchase ≤ 3 days after that
+    // click). Same narrowing-equi-join shape as q55 — user-keyed joins
+    // + min-aggregates, no global window, no per-user collect — with
+    // the window bound as a residual range predicate on the co-
+    // partitioned join, which is the scale-correct place for it.
+    Q("q80_windowed_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1
+        |        AND e.ts <= v.t1 + INTERVAL 1 DAY
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        |        AND e.ts <= c.t2 + INTERVAL 3 DAY
+        |      GROUP BY e.user_id)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked_1d,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_3d""".stripMargin) {
+      (s, dir) =>
+        val ev = Tables(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id")
+          .filter(col("ts") > col("t1") &&
+            col("ts") <= col("t1") + expr("INTERVAL 1 DAY"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id")
+          .filter(col("ts") > col("t2") &&
+            col("ts") <= col("t2") + expr("INTERVAL 3 DAY"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        v.agg(count(lit(1)).as("viewed"))
+          .crossJoin(c.agg(count(lit(1)).as("clicked_1d")))
+          .crossJoin(p.agg(count(lit(1)).as("purchased_3d")))
+    },
+
     // ----- write-audit-publish release gating ---------------------------
     // The lakehouse release pattern composed from branch refs +
     // write-time expectations: every batch STAGES as a real commit on
