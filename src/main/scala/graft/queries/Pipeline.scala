@@ -609,6 +609,31 @@ object Pipeline {
         .select(col("query_id"), (col("hits") >= 3).cast("long").as("recall_ok"))
     },
 
+    // ----- IVF incremental index maintenance -----------------------------
+    // The index-update-at-100 TB story: a fifth of the corpus ARRIVES
+    // AFTER training and is simply assigned to the existing (now
+    // stale) centroids at search time — no retrain, no rebuild, the
+    // continuous-ingest pattern for a vector index. The recall floor
+    // must hold against the exact top-k over the FULL corpus
+    // (including the post-training batch), hash-gated per query like
+    // qs06. Works because Ivf.search assigns the corpus at search
+    // time: coarse cells are a LAYOUT, not a membership contract —
+    // exactly like a stats manifest degrading gracefully under
+    // appended files.
+    Q("qs15_ivf_incremental",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val preIngest = emb.filter(col("vec_id") % 5 =!= 0) // 80% at train time
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val model = graft.operators.Ivf.train(s, preIngest, "vec_id", "embedding", k = 8)
+      val ann = graft.operators.Ivf.search(emb, q, model, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 3).cast("long").as("recall_ok"))
+    },
+
     // ----- language ID (stopword heuristic) -----------------------------
     Q("qt01_langid", {
       val scoreCols = langs
