@@ -917,6 +917,47 @@ object Round11 {
       Snapshots.read(s, table)
     },
 
+    // ----- sentence segmentation stats ----------------------------------
+    // The sentence-level half of the text battery (qt02 is word/char
+    // level): terminator-split sentences with blank fragments dropped
+    // on BOTH engines (DuckDB keeps the trailing empty after 'a.b.',
+    // Spark's limit=-1 split does too — the filter makes the fragment
+    // lists identical), then per-doc counts, exact char sums, longest
+    // sentence, and the lead sentence's length. Row-local, one
+    // codegen'd projection; the mean sentence length rides as the
+    // integer pair (sum_sent_chars, n_sentences), never divided.
+    Q("qt19_sentences",
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '[.!?]+'),
+        |                x -> length(trim(x)) > 0) AS sents
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  CAST(COALESCE(list_sum(list_transform(sents,
+        |    x -> length(trim(x)))), 0) AS BIGINT) AS sum_sent_chars,
+        |  CAST(COALESCE(list_max(list_transform(sents,
+        |    x -> length(trim(x)))), 0) AS BIGINT) AS max_sent_chars,
+        |  CAST(CASE WHEN len(sents) > 0 THEN length(trim(sents[1]))
+        |    ELSE 0 END AS BIGINT) AS lead_sent_chars
+        |FROM s""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("sents",
+          expr("filter(split(text, '[.!?]+'), x -> length(trim(x)) > 0)"))
+        .select(
+          col("doc_id"),
+          size(col("sents")).cast(LongType).as("n_sentences"),
+          expr("""coalesce(aggregate(transform(sents,
+                 |  x -> CAST(length(trim(x)) AS BIGINT)),
+                 |  CAST(0 AS BIGINT), (a, x) -> a + x), 0L)""".stripMargin)
+            .as("sum_sent_chars"),
+          expr("coalesce(array_max(transform(sents, x -> CAST(length(trim(x)) AS BIGINT))), 0L)")
+            .as("max_sent_chars"),
+          expr("""CASE WHEN size(sents) > 0
+                 |  THEN CAST(length(trim(element_at(sents, 1))) AS BIGINT)
+                 |  ELSE 0L END""".stripMargin).as("lead_sent_chars"))
+    },
+
     // ----- time-constrained funnel (conversion windows) -----------------
     // q55's funnel with the constraint real conversion analysis needs:
     // each stage must land WITHIN an interval of the previous one
