@@ -917,6 +917,75 @@ object Round11 {
       Snapshots.read(s, table)
     },
 
+    // ----- degree assortativity (exact integer moments) -----------------
+    // Whether high-degree pages link to high-degree pages — the
+    // structural health metric for a link graph (web spam farms skew
+    // it). Pearson assortativity over directed-symmetrized edge
+    // endpoint degrees, carried as the EXACT integer moments
+    // (m, s_xy, s_x, s_x2) plus the cross-multiplied numerator and
+    // denominator factor — consumers compare via cross-multiplication
+    // and never divide or sqrt (the q73 slope-pair discipline). One
+    // row out; two key-partitioned joins and a partial-agg pass.
+    Q("qg05_assortativity",
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS page
+        |  FROM events),
+        |seq AS (
+        |  SELECT page AS src,
+        |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM ev),
+        |ud AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM seq WHERE dst IS NOT NULL AND src <> dst),
+        |deg AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS v FROM ud UNION ALL SELECT b AS v FROM ud)
+        |  GROUP BY v),
+        |sym AS (
+        |  SELECT da.d AS x, db.d AS y
+        |  FROM ud JOIN deg da ON ud.a = da.v JOIN deg db ON ud.b = db.v
+        |  UNION ALL
+        |  SELECT db.d AS x, da.d AS y
+        |  FROM ud JOIN deg da ON ud.a = da.v JOIN deg db ON ud.b = db.v),
+        |mo AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(x * y) AS BIGINT) AS s_xy,
+        |    CAST(SUM(x) AS BIGINT) AS s_x,
+        |    CAST(SUM(x * x) AS BIGINT) AS s_x2
+        |  FROM sym)
+        |SELECT m, s_xy, s_x, s_x2,
+        |  m * s_xy - s_x * s_x AS r_num,
+        |  m * s_x2 - s_x * s_x AS r_den
+        |FROM mo""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ud = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val deg = ud.select(col("a").as("v")).unionAll(ud.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val withD = ud
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      val sym = withD.select(col("da").as("x"), col("db").as("y"))
+        .unionAll(withD.select(col("db").as("x"), col("da").as("y")))
+      sym.agg(
+          count(lit(1)).as("m"),
+          sum(col("x") * col("y")).as("s_xy"),
+          sum(col("x")).as("s_x"),
+          sum(col("x") * col("x")).as("s_x2"))
+        .select(col("m"), col("s_xy"), col("s_x"), col("s_x2"),
+          (col("m") * col("s_xy") - col("s_x") * col("s_x")).as("r_num"),
+          (col("m") * col("s_x2") - col("s_x") * col("s_x")).as("r_den"))
+    },
+
     // ----- sentence segmentation stats ----------------------------------
     // The sentence-level half of the text battery (qt02 is word/char
     // level): terminator-split sentences with blank fragments dropped
