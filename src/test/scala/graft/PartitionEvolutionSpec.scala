@@ -77,6 +77,39 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(rel.count(PartitionSpec.mayContain(_, "l_quantity", "0", "1")) == rel.size)
   }
 
+  test("partition evolution composes with schema evolution: old partitioned " +
+    "files null-fill the evolved column under the declared schema") {
+    val t = freshTable()
+    val cut = "1998-01-01"
+    Snapshots.commit(spark, t,
+      li.select("l_orderkey", "l_linenumber", "l_shipdate")
+        .filter(col("l_shipdate") < cut),
+      partitionBy = Seq(("year", "l_shipdate")))
+    Snapshots.commit(spark, t,
+      li.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .filter(col("l_shipdate") >= cut),
+      mode = "append", partitionBy = Seq(("month", "l_shipdate")))
+    val r = Snapshots.read(spark, t)
+    assert(r.columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"))
+    // pre-evolution rows (year-spec files) null-fill; new rows carry data
+    assert(r.filter(col("l_shipdate") < cut)
+      .filter(col("l_quantity").isNotNull).count() == 0)
+    assert(r.filter(col("l_shipdate") >= cut)
+      .filter(col("l_quantity").isNull).count() == 0)
+    assert(keyset(r) == keyset(li))
+    // time travel reads v0 under ITS schema (no l_quantity at all)
+    assert(Snapshots.read(spark, t, Some(0)).columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_shipdate"))
+    // and the pruned range read aligns both generations too
+    val got = Snapshots.rangeRead(spark, t, "l_shipdate",
+      "1997-06-01", "1998-03-31")
+    assert(got.columns.toSeq ==
+      Seq("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"))
+    assert(keyset(got) == keyset(li.filter(
+      col("l_shipdate") >= "1997-06-01" && col("l_shipdate") <= "1998-03-31")))
+  }
+
   test("identity transform: equality prune survives path escaping") {
     val t = freshTable()
     import spark.implicits._
