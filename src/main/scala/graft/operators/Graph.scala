@@ -103,6 +103,57 @@ object Graph {
           + coalesce(col("s"), lit(0L))).as("r"))
   }
 
+  /** Personalized (topic-sensitive) PageRank: teleport and dangling
+    * mass flow ONLY to the seed set, so ranks measure proximity to the
+    * seeds along weighted paths — the domain-biased quality prior
+    * (e.g. rank pages by closeness to a trusted seed domain list).
+    * Same exact-integer discipline as [[pagerankFp]]: r0 = S div |B|
+    * on seeds (0 elsewhere); per round non-seeds receive only edge
+    * mass. Same plan shape plus one broadcast seed-membership join.
+    */
+  def personalizedPagerankFp(
+      nodes: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dNum: Long = 85,
+      dDen: Long = 100): DataFrame = {
+    require(iters >= 0 && iters <= 8,
+      s"iters=$iters: the declarative plan grows ~3^iters — materialize beyond 8")
+    require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val b1 = seeds.agg(count(lit(1)).cast("long").as("b"))
+    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val seeded = nodes
+      .join(broadcast(seeds.select(col("id"), lit(1L).as("is_seed"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    var r: DataFrame = seeded.crossJoin(broadcast(b1))
+      .select(col("id"),
+        when(col("is_seed") === 1L, expr(s"${scale}L div b"))
+          .otherwise(lit(0L)).as("r"))
+    for (_ <- 0 until iters) {
+      val rr = r
+      val contrib = e
+        .join(rr.withColumnRenamed("id", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("id"),
+          expr(s"(r * w * ${dNum}L) div (ow * ${dDen}L)").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      r = seeded.crossJoin(broadcast(b1)).crossJoin(broadcast(dang))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (when(col("is_seed") === 1L,
+            expr(s"(${scale}L * ${dDen - dNum}L) div (b * ${dDen}L)")
+              + expr(s"(dang * ${dNum}L) div (b * ${dDen}L)"))
+            .otherwise(lit(0L))
+            + coalesce(col("s"), lit(0L))).as("r"))
+    }
+    r
+  }
+
   /** Fixed-depth PageRank with MATERIALIZED rounds: the same integer
     * recurrence as [[pagerankFp]], but each round localCheckpoints, so
     * plan depth is constant and any `iters` is fine — this is the

@@ -1307,6 +1307,29 @@ object Round11 {
         .select(col("id").as("page"), col("r").as("rank_fp"))
     },
 
+    // ----- personalized (topic-sensitive) PageRank ----------------------
+    // Proximity-to-seed-set ranking: teleport and dangling mass flow
+    // only to the seed pages (≡ 0 mod 7 — a stand-in for a trusted
+    // domain list), so ranks measure weighted-path closeness to the
+    // seeds — the domain-biased quality prior for corpus curation.
+    // Same exact-integer recurrence and oracle discipline as qg01,
+    // plus one broadcast seed-membership join.
+    Q("qg06_personalized_pagerank", personalizedOracle) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir, "events").select(
+        col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("page"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev
+        .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
+        .filter(col("dst").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("page").as("id")).distinct()
+      val seeds = nodes.filter(col("id") % 7 === 0)
+      graft.operators.Graph.personalizedPagerankFp(nodes, edges, seeds, iters = 3)
+        .select(col("id").as("page"), col("r").as("rank_fp"))
+    },
+
     // ----- deterministic label-propagation communities -------------------
     // The clustering third of the graph trio (rank qg01, cohesion
     // qg02): 3 rounds of MONOTONE weighted label propagation — adopt
@@ -1331,6 +1354,56 @@ object Round11 {
         .select(col("id").as("page"), col("lab").as("community"))
     }
   )
+
+  /** DuckDB oracle for qg06: the qg01 recurrence with teleport and
+    * dangling mass restricted to the seed set (pages ≡ 0 mod 7).
+    */
+  private def personalizedOracle: String = {
+    val S = "1000000000000"
+    def iter(i: Int): String = {
+      val p = i - 1
+      s"""d$p AS (
+         |  SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dang
+         |  FROM r$p LEFT JOIN outw ON r$p.page = outw.src
+         |  WHERE outw.src IS NULL),
+         |c$i AS (
+         |  SELECT e.dst AS page,
+         |    CAST(SUM((r.r * e.w * 85) // (o.ow * 100)) AS BIGINT) AS s
+         |  FROM edges e
+         |  JOIN r$p r ON e.src = r.page
+         |  JOIN outw o ON e.src = o.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nd.page,
+         |    CAST(CASE WHEN nd.page % 7 = 0 THEN
+         |        ($S * 15) // (bb.b * 100) + (d$p.dang * 85) // (bb.b * 100)
+         |      ELSE 0 END
+         |      + COALESCE(c$i.s, 0) AS BIGINT) AS r
+         |  FROM nodes nd CROSS JOIN bb CROSS JOIN d$p
+         |  LEFT JOIN c$i ON nd.page = c$i.page)""".stripMargin
+    }
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |seq AS (
+       |  SELECT page AS src,
+       |    LEAD(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+       |  FROM ev),
+       |edges AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT page FROM ev),
+       |bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM nodes WHERE page % 7 = 0),
+       |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY 1),
+       |r0 AS (SELECT nd.page,
+       |         CAST(CASE WHEN nd.page % 7 = 0 THEN $S // bb.b ELSE 0 END AS BIGINT) AS r
+       |       FROM nodes nd CROSS JOIN bb),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT page, r AS rank_fp FROM r3""".stripMargin
+  }
 
   /** DuckDB oracle for qg04: the qg01 integer recurrence driven to
     * `rounds` by a RECURSIVE CTE instead of unrolled CTEs. The

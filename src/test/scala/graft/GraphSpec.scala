@@ -68,6 +68,42 @@ class GraphSpec extends SparkSpec {
   private def maxDiff(a: Map[Long, Long], b: Map[Long, Long]): Long =
     a.keys.map(k => math.abs(a(k) - b(k))).max
 
+  /** Sequential reference for the seeded variant. */
+  private def seqSeededRanks(seeds: Set[Long], iters: Int,
+                             scale: Long = 1000000000000L): Map[Long, Long] = {
+    val b = seeds.size.toLong
+    val outw = edgeList.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var r = nodeList.map(v => v -> (if (seeds(v)) scale / b else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val dang = nodeList.filterNot(outw.contains).map(r).sum
+      val base = (scale * 15L) / (b * 100L) + (dang * 85L) / (b * 100L)
+      val nr = scala.collection.mutable.Map(
+        nodeList.map(v => v -> (if (seeds(v)) base else 0L)): _*)
+      for ((s, d, w) <- edgeList)
+        nr(d) += (r(s) * w * 85L) / (outw(s) * 100L)
+      r = nr.toMap
+    }
+    r
+  }
+
+  test("personalizedPagerankFp confines teleport mass to the seeds exactly") {
+    import spark.implicits._
+    val seeds = Set(1L, 4L)
+    for (parts <- Seq(1, 5); iters <- Seq(0, 1, 3)) {
+      val got = Graph.personalizedPagerankFp(
+          nodeList.toDF("id").repartition(parts),
+          edgeList.toDF("src", "dst", "w").repartition(parts),
+          nodeList.filter(seeds).toDF("id"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == seqSeededRanks(seeds, iters), s"parts=$parts iters=$iters")
+    }
+    val l3 = seqSeededRanks(seeds, 3)
+    // non-seed 5 is isolated: it can receive NO mass in this variant
+    assert(l3(5L) == 0L)
+    // non-seed 2 sits on a path from seed 1: it must receive edge mass
+    assert(l3(2L) > 0L)
+  }
+
   test("pagerankFpMaterialized runs the identical recurrence past the " +
     "declarative depth wall") {
     import spark.implicits._
