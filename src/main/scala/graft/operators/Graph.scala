@@ -67,7 +67,7 @@ object Graph {
 
     val e = edges.select(col("src"), col("dst"), col("w"))
     val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
-    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val outw = outWeights(e)
 
     // r0: uniform S div N
     var r: DataFrame = nodes.crossJoin(broadcast(n1))
@@ -77,6 +77,25 @@ object Graph {
       r = prStep(nodes, e, outw, n1, r, scale, dNum, dDen)
     r
   }
+
+  /** Edge-contribution expression, computed through DECIMAL(38,0)
+    * intermediates: rank (≤ scale = 1e12) times a pre-summed multi-edge
+    * weight times dNum wraps a BIGINT once max(w) passes ~1e5 — decimal
+    * holds the ≤1e33 product exactly and `div` (IntegralDivide) brings
+    * the quotient back to BIGINT, which always fits because every
+    * contribution is ≤ scale. Same truncation, same result on
+    * non-overflowing inputs; on formerly-wrapping inputs, now correct.
+    */
+  private def contribExpr(dNum: Long, dDen: Long): Column =
+    expr(s"(CAST(r AS DECIMAL(38,0)) * w * ${dNum}L) " +
+      s"div (CAST(ow AS DECIMAL(38,0)) * ${dDen}L)")
+
+  /** Out-weight totals through a decimal sum — pre-summed multi-edge
+    * weights can exceed BIGINT range in aggregate even when each edge
+    * fits (the same wrap [[contribExpr]] guards against).
+    */
+  private def outWeights(e: DataFrame): DataFrame =
+    e.groupBy("src").agg(sum(col("w").cast("decimal(38,0)")).as("ow"))
 
   /** One PageRank round (shared by the fixed-depth and convergence
     * drivers so both compute the IDENTICAL integer recurrence).
@@ -89,8 +108,7 @@ object Graph {
     val contrib = e
       .join(rr.withColumnRenamed("id", "src"), "src")
       .join(outw, "src")
-      .select(col("dst").as("id"),
-        expr(s"(r * w * ${dNum}L) div (ow * ${dDen}L)").as("c"))
+      .select(col("dst").as("id"), contribExpr(dNum, dDen).as("c"))
       .groupBy("id").agg(sum(col("c")).as("s"))
     // dangling mass: nodes with no out-edge (anti join, 1-row result)
     val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
@@ -124,7 +142,7 @@ object Graph {
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
     val e = edges.select(col("src"), col("dst"), col("w"))
     val b1 = seeds.agg(count(lit(1)).cast("long").as("b"))
-    val outw = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val outw = outWeights(e)
     val seeded = nodes
       .join(broadcast(seeds.select(col("id"), lit(1L).as("is_seed"))), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
@@ -138,7 +156,7 @@ object Graph {
         .join(rr.withColumnRenamed("id", "src"), "src")
         .join(outw, "src")
         .select(col("dst").as("id"),
-          expr(s"(r * w * ${dNum}L) div (ow * ${dDen}L)").as("c"))
+          contribExpr(dNum, dDen).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
@@ -170,7 +188,7 @@ object Graph {
     require(iters >= 0, s"iters=$iters")
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
-    val outw = e.groupBy("src").agg(sum(col("w")).as("ow")).localCheckpoint()
+    val outw = outWeights(e).localCheckpoint()
     val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
     var r = nodes.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r")).localCheckpoint()
@@ -236,7 +254,7 @@ object Graph {
           (spark.read.parquet(p.toString), Some(p))
       }
     val (e, _) = ckpt(edges.select(col("src"), col("dst"), col("w")))
-    val (outw, _) = ckpt(e.groupBy("src").agg(sum(col("w")).as("ow")))
+    val (outw, _) = ckpt(outWeights(e))
     val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
     var (r, rPath) = ckpt(nodes.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r")))

@@ -133,7 +133,15 @@ object Round11 {
       val maps = words.groupBy("doc_id", "w").count()
         .groupBy("doc_id")
         .agg(map_from_entries(collect_list(struct(col("w"), col("count")))).as("m"))
-      maps.select(
+      // explode drops zero-word documents entirely, but the oracle emits
+      // an all-zero row for every document — left-join the maps back onto
+      // the full document frame and coalesce to the empty map so an
+      // empty/punctuation-only doc survives with n_keys = 0
+      val withEmpty = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(maps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m"), expr("map()").cast("map<string,bigint>")).as("m"))
+      withEmpty.select(
         col("doc_id"),
         size(col("m")).cast(LongType).as("n_keys"),
         coalesce(element_at(col("m"), "the"), lit(0L)).as("the_count"),

@@ -15,8 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * creation publishes create-exclusive (link(2), EEXIST names the
   * losing writer — the manifest-publish discipline); branch updates
   * replace atomically (java.nio ATOMIC_MOVE on local filesystems,
-  * delete+rename elsewhere — ref updates are last-writer-wins by
-  * design, version history itself is conflict-safe either way).
+  * FileContext overwriting rename elsewhere, so readers never observe
+  * a missing ref — ref updates are last-writer-wins by design,
+  * version history itself is conflict-safe either way).
   */
 object Refs {
 
@@ -58,9 +59,15 @@ object Refs {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
-      if (fs.exists(target)) fs.delete(target, false)
-      if (!fs.rename(tmp, target))
-        throw new java.io.IOException(s"failed to update ref '$name'")
+      // one-step overwriting rename (FileContext + Rename.OVERWRITE):
+      // delete-then-rename leaves a window with NO ref file, so a
+      // concurrent resolve/read would throw `no ref` spuriously —
+      // this keeps ref updates last-writer-wins without ever exposing
+      // a missing ref to readers on HDFS-like stores
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(target),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 

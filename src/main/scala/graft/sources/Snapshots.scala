@@ -364,6 +364,25 @@ object Snapshots {
     (flat ++ part).reduce(_ unionByName _)
   }
 
+  /** Read ONLY the data files `version` added relative to `base` —
+    * the staged bytes of one commit, at cost proportional to the
+    * change, never the table. This is what a Write-Audit-Publish
+    * audit must validate: re-evaluating the input DataFrame would
+    * recompute its source plan, and with a non-deterministic source
+    * (or data changing between stage and audit) the published bytes
+    * would differ from the audited ones. Added MOR delta files are
+    * refused — WAP stages whole batches as base commits.
+    */
+  def readAdded(spark: SparkSession, table: String,
+                version: Int, base: Int): DataFrame = {
+    val prev = files(spark, table, Some(base)).toSet
+    val added = files(spark, table, Some(version)).filterNot(prev)
+    require(!added.exists(_.startsWith("delta-v")),
+      s"version $version added MOR delta files — readAdded audits base commits")
+    if (added.isEmpty) read(spark, table, Some(version)).limit(0)
+    else readBase(spark, table, Some(version), added)
+  }
+
   /** MERGE-ON-READ commit: write ONLY the change set as a delta file
     * group and carry every previous file forward — bytes written are
     * proportional to the CHANGE, not the table (the 100 TB write-side
@@ -708,11 +727,15 @@ object Snapshots {
           removed += listParquet(fs, d.getPath, dir).size
           fs.delete(d.getPath, true)
         } else {
-          // referenced dirs may still hold individually-dead files
-          fs.listStatus(d.getPath).toSeq
-            .filter(f => f.getPath.getName.endsWith(".parquet") &&
-              !referenced.contains(s"$dir/${f.getPath.getName}"))
-            .foreach { f => fs.delete(f.getPath, false); removed += 1 }
+          // referenced dirs may still hold individually-dead files —
+          // recursively, so dead files nested in hidden-partition
+          // `__p_*=v/` subdirectories are reclaimed too (direct-child
+          // listing leaked them forever)
+          listParquet(fs, d.getPath, dir)
+            .filterNot(referenced.contains)
+            .foreach { rel =>
+              fs.delete(new Path(table, rel), false); removed += 1
+            }
         }
       }
     drop.filterNot(pinned)

@@ -33,8 +33,15 @@ object Wap {
       fks: Seq[Expectations.FkRule] = Nil,
       mode: String = "append",
       main: String = "main", audit: String = "audit"): Either[Long, Int] = {
+    val head = Refs.resolve(spark, table, audit)
     val staged = Refs.commitTo(spark, table, audit, df, mode)
-    val (_, quarantine) = Expectations.validate(df, rules, fks)
+    // audit the STAGED bytes, not the input plan: re-evaluating `df`
+    // recomputes its source, and a non-deterministic source (or data
+    // changing between stage and audit) would publish bytes that were
+    // never validated — readAdded scans exactly the files this commit
+    // added, keeping audit cost proportional to the batch
+    val stagedRows = Snapshots.readAdded(spark, table, staged, head)
+    val (_, quarantine) = Expectations.validate(stagedRows, rules, fks)
     val bad = quarantine.count()
     if (bad == 0) {
       Refs.fastForward(spark, table, main, audit)
