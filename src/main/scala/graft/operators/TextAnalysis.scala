@@ -531,11 +531,41 @@ object TextAnalysis {
     * real corpus's top TF-IDF terms are rare by construction. A
     * signature-df exclusion (the winnowNearDupPairs maxDf move) is NOT
     * applied because on such a corpus it would empty the index rather
-    * than trim it.
+    * than trim it. [[sparseCosinePairsPrefix]] is the scale path:
+    * identical output (shared oracle, qs16) through prefix-filtered
+    * candidate generation that structurally suppresses hot-term
+    * fan-out — this exact formulation stays as the oracle-simple
+    * correctness baseline, the qd02→qd09 relationship.
     */
   def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 5, scale: Long = 10L,
                         minSim: Double = 0.95): DataFrame = {
+    val top = sparseTopK(df, idCol, textCol, k, scale).drop("__df")
+    val nrm = top.groupBy("__doc")
+      .agg(sqrt(sum(col("__wv") * col("__wv")).cast("double")).as("__nrm"))
+    val a = top.select(col("__doc").as("doc_a"), col("__w"),
+      col("__wv").as("__wa"))
+    val b = top.select(col("__doc").as("doc_b"), col("__w"),
+      col("__wv").as("__wb"))
+    a.join(b, Seq("__w")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("__wa") * col("__wb")).as("__dot"))
+      .join(nrm.select(col("__doc").as("doc_a"), col("__nrm").as("__na")), "doc_a")
+      .join(nrm.select(col("__doc").as("doc_b"), col("__nrm").as("__nb")), "doc_b")
+      .withColumn("sim",
+        col("__dot").cast("double") / (col("__na") * col("__nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("sim"))
+  }
+
+  /** Top-`k` integer TF-IDF signature per document, one row per kept
+    * term: (__doc, __w, __wv, __df) — shared by the exact inverted-
+    * index pair join ([[sparseCosinePairs]]) and the prefix-filtered
+    * formulation ([[sparseCosinePairsPrefix]]). localCheckpointed
+    * because every consumer re-reads it from several plan branches.
+    */
+  private def sparseTopK(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, scale: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // spread the raw text BEFORE the explode: a small corpus file is one
     // scan partition, and the word explode + per-doc aggregation would
@@ -568,18 +598,94 @@ object TextAnalysis {
     // norm aggregate and BOTH sides of the pair join re-read it; without
     // the cut each consumer re-derives the corpus tokenize + weight
     // pipeline (measured: 15 scans in the plan, ~2× the upstream cost)
-    val top = wt.withColumn("__rn", row_number().over(
+    wt.withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__wv").desc, col("__w"))))
       .filter(col("__rn") <= k)
-      .select(col(idCol).as("__doc"), col("__w"), col("__wv"))
+      .select(col(idCol).as("__doc"), col("__w"), col("__wv"), col("__df"))
       .localCheckpoint()
+  }
+
+  /** [[sparseCosinePairs]] with PREFIX-FILTERED candidate generation —
+    * the scale path beside the exact inverted index, with IDENTICAL
+    * output (gate-proved: qs16 shares qs12's oracle), the qd02→qd09
+    * relationship replayed for sparse cosine.
+    *
+    * The exact formulation indexes ALL k signature terms, so one
+    * corpus-hot term fans out quadratically in its posting list (the
+    * suite's slowest query: ~9 s at sf0.1, ~168 s at sf1 on the
+    * template-vocabulary gate corpus). This formulation indexes only
+    * each document's PREFIX under one global term order, and the
+    * prefix-filter lemma transfers from Jaccard to cosine through a
+    * mass argument:
+    *
+    *   By Cauchy–Schwarz over the SHARED terms S of a qualifying pair,
+    *   cos(a,b) ≤ √(fa·fb) where fx = (Σ_S wx²)/‖x‖² is the fraction
+    *   of x's squared mass on S — so cos ≥ t forces fa ≥ t² AND
+    *   fb ≥ t². Sort each signature by one GLOBAL order (ascending
+    *   document frequency, ties by term — the qd09 canonical order)
+    *   and call prefix the positions i whose tail mass Σ_{j≥i} w_j²
+    *   is still ≥ t²·‖x‖². Let s* be the globally smallest shared
+    *   term: if s* sat past a's prefix, every shared term would (they
+    *   are all ≥ s* in the global order, and a's signature is sorted
+    *   by it), putting all of S in a tail with < t² of a's mass —
+    *   contradicting fa ≥ t². So s* lies in BOTH prefixes, and the
+    *   equi-join of prefix postings catches every qualifying pair;
+    *   candidates then get the full exact dot/norm verify. The t²
+    *   threshold is applied as floor(t²·10⁶)/10⁶ through DECIMAL
+    *   compares, which can only WIDEN a prefix — never drop a pair.
+    *
+    * Scale shape: at t = 0.95 the tail-mass rule keeps ~1 of 5 terms
+    * (a term enters the prefix only while the mass behind it is under
+    * 9.75%), so posting lists shrink ~5× and the candidate join ~25×
+    * before verification. Hot-term fan-out is structurally suppressed
+    * twice: ascending-df order pushes corpus-hot terms to signature
+    * TAILS (out of the prefix unless one term carries ≥ t² of the
+    * doc's mass), and TF-IDF gives hot terms low weight, making that
+    * concentration doubly rare. Pair-density law: like qd09, work is
+    * O(qualifying pairs + prefix collisions), not O(posting-list²) —
+    * near-dup clusters of m docs still cost O(m²) VERIFIED pairs
+    * (they are real output), which is the floor any exact join pays.
+    * Measured on the degenerate-vocabulary gate corpus (identical
+    * harness, identical output): sf0.1 end-to-end drops ~8.6 s of the
+    * exact path's 9.1 s (the candidate join was the cost; the shared
+    * signature build is what remains); at sf1 the exact join runs
+    * ~168 s alone while the whole prefix run finishes inside 40 s of
+    * JVM+tokenize+query wall — the gap grows with corpus size.
+    */
+  def sparseCosinePairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 5, scale: Long = 10L,
+                              minSim: Double = 0.95): DataFrame = {
+    val top = sparseTopK(df, idCol, textCol, k, scale)
     val nrm = top.groupBy("__doc")
       .agg(sqrt(sum(col("__wv") * col("__wv")).cast("double")).as("__nrm"))
+    // per-doc signature sorted by the global (df, term) order; squared
+    // weights and tail sums are row-local Longs (the sparseTopK guard
+    // bounds Σ wv² under 2⁶³), only the t² compare needs DECIMAL width
+    val t2f = math.floor(minSim * minSim * 1e6).toLong
+    val sig = top.groupBy(col("__doc"))
+      .agg(array_sort(collect_list(
+        struct(col("__df"), col("__w"), col("__wv")))).as("__sig"))
+      .withColumn("__sq",
+        expr("transform(__sig, s -> s.__wv * s.__wv)"))
+      .withColumn("__tot",
+        expr("aggregate(__sq, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val pref = sig.select(col("__doc"), explode(expr(
+      s"""filter(transform(sequence(1, size(__sig)), i ->
+         |  IF(CAST(aggregate(slice(__sq, i, size(__sq) - i + 1),
+         |        CAST(0 AS BIGINT), (a, x) -> a + x) AS DECIMAL(38,0))
+         |       * 1000000 >= CAST(__tot AS DECIMAL(38,0)) * ${t2f}L,
+         |     __sig[i-1].__w, NULL)),
+         |  x -> x IS NOT NULL)""".stripMargin)).as("__w"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__doc") < col("b.__doc"))
+      .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
+      .distinct()
     val a = top.select(col("__doc").as("doc_a"), col("__w"),
       col("__wv").as("__wa"))
     val b = top.select(col("__doc").as("doc_b"), col("__w"),
       col("__wv").as("__wb"))
-    a.join(b, Seq("__w")).filter(col("doc_a") < col("doc_b"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "__w"))
       .groupBy("doc_a", "doc_b")
       .agg(sum(col("__wa") * col("__wb")).as("__dot"))
       .join(nrm.select(col("__doc").as("doc_a"), col("__nrm").as("__na")), "doc_a")

@@ -1416,32 +1416,21 @@ object Pipeline {
     // and Long dot products keep the cosine hash-gateable (the oracle
     // hops its HUGEINT sums through STRING so both engines round the
     // same exact integer to double).
-    Q("qs12_sparse_cosine",
-      s"""WITH w AS ($wCte),
-         |wd AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
-         |tf AS (SELECT doc_id, wrd, COUNT(*) AS tf FROM wd GROUP BY doc_id, wrd),
-         |dfq AS (SELECT wrd, COUNT(*) AS dfc FROM tf GROUP BY wrd),
-         |n AS (SELECT COUNT(*) AS nd FROM documents),
-         |wt AS (SELECT doc_id, wrd, (tf * nd * 10) // dfc AS wv
-         |       FROM tf JOIN dfq USING (wrd), n),
-         |top AS (SELECT doc_id, wrd, wv FROM (
-         |    SELECT doc_id, wrd, wv, row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY wv DESC, wrd) AS rn FROM wt) WHERE rn <= 5),
-         |nr AS (SELECT doc_id,
-         |    sqrt(CAST(CAST(SUM(wv * wv) AS STRING) AS DOUBLE)) AS nrm
-         |  FROM top GROUP BY doc_id),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    SUM(a.wv * b.wv) AS dot
-         |  FROM top a JOIN top b ON a.wrd = b.wrd AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id),
-         |s AS (SELECT doc_a, doc_b,
-         |    CAST(CAST(dot AS STRING) AS DOUBLE) / (na.nrm * nb.nrm) AS sim
-         |  FROM p JOIN nr na ON doc_a = na.doc_id
-         |         JOIN nr nb ON doc_b = nb.doc_id)
-         |SELECT doc_a, doc_b, sim FROM s WHERE sim >= 0.95""".stripMargin) {
-      (s, dir) =>
-        TextAnalysis.sparseCosinePairs(Tables(s, dir, "documents"),
-          "doc_id", "text", k = 5, scale = 10L, minSim = 0.95)
+    Q("qs12_sparse_cosine", sparseCosineOracle) { (s, dir) =>
+      TextAnalysis.sparseCosinePairs(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 5, scale = 10L, minSim = 0.95)
+    },
+
+    // ----- prefix-filtered sparse cosine (the scale-safe twin) -----------
+    // IDENTICAL output through mass-based prefix filtering (the qd09
+    // move replayed for cosine): only each doc's prefix under the
+    // global ascending-df term order is indexed, so hot-term posting
+    // lists never meet quadratically; candidates get the full exact
+    // verify. Shares qs12's oracle verbatim — the gate IS the
+    // exact-equality proof, at sf0.01 and sf1 both.
+    Q("qs16_sparse_prefix", sparseCosineOracle) { (s, dir) =>
+      TextAnalysis.sparseCosinePairsPrefix(Tables(s, dir, "documents"),
+        "doc_id", "text", k = 5, scale = 10L, minSim = 0.95)
     },
 
     // ----- Johnson–Lindenstrauss random projection -----------------------
@@ -1623,4 +1612,35 @@ object Pipeline {
       (s, _) => Multimodal.audioNearDupPairs(s, MediaFixtures.ensure())
     },
   )
+
+  /** qs12/qs16 SHARED oracle — the exact inverted-index and the
+    * prefix-filtered formulations must produce identical rows, so one
+    * oracle gates both (the qd02/qd09 shared-oracle proof pattern):
+    * top-5 TF-IDF signatures, exact integer dot products, HUGEINT sums
+    * hopped through STRING so both engines round the identical integer
+    * to double.
+    */
+  private lazy val sparseCosineOracle: String =
+    s"""WITH w AS ($wCte),
+       |wd AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+       |tf AS (SELECT doc_id, wrd, COUNT(*) AS tf FROM wd GROUP BY doc_id, wrd),
+       |dfq AS (SELECT wrd, COUNT(*) AS dfc FROM tf GROUP BY wrd),
+       |n AS (SELECT COUNT(*) AS nd FROM documents),
+       |wt AS (SELECT doc_id, wrd, (tf * nd * 10) // dfc AS wv
+       |       FROM tf JOIN dfq USING (wrd), n),
+       |top AS (SELECT doc_id, wrd, wv FROM (
+       |    SELECT doc_id, wrd, wv, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY wv DESC, wrd) AS rn FROM wt) WHERE rn <= 5),
+       |nr AS (SELECT doc_id,
+       |    sqrt(CAST(CAST(SUM(wv * wv) AS STRING) AS DOUBLE)) AS nrm
+       |  FROM top GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    SUM(a.wv * b.wv) AS dot
+       |  FROM top a JOIN top b ON a.wrd = b.wrd AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |s AS (SELECT doc_a, doc_b,
+       |    CAST(CAST(dot AS STRING) AS DOUBLE) / (na.nrm * nb.nrm) AS sim
+       |  FROM p JOIN nr na ON doc_a = na.doc_id
+       |         JOIN nr nb ON doc_b = nb.doc_id)
+       |SELECT doc_a, doc_b, sim FROM s WHERE sim >= 0.95""".stripMargin
 }

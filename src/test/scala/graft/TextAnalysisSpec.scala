@@ -130,4 +130,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(urls(6L) == "https://example.com/")
     assert(urls(7L) == "https://example.com/")
   }
+
+  test("prefix-filtered sparse cosine equals the exact inverted index") {
+    import spark.implicits._
+    // near-dup pairs, a disjoint doc, a hot term ('the') shared by all,
+    // and a zero-word doc — the shapes the prefix lemma must survive;
+    // threshold 0.6 keeps borderline pairs in play (t² = 0.36 makes
+    // multi-term prefixes, exercising the tail-mass rule beyond the
+    // trivial 1-term prefix t = 0.95 usually yields)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "the quick brown fox leaps over the lazy dog"),
+      (4L, "entirely different words about spark engines"),
+      (5L, "the the the the the"),
+      (6L, "   "),
+      (7L, "spark engines entirely about different words")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    for (t <- Seq(0.6, 0.95)) {
+      val exact = TextAnalysis.sparseCosinePairs(
+        docs, "doc_id", "text", k = 3, minSim = t).collect().map(key).toSet
+      val pref = TextAnalysis.sparseCosinePairsPrefix(
+        docs, "doc_id", "text", k = 3, minSim = t).collect().map(key).toSet
+      assert(pref == exact,
+        s"t=$t: prefix ${pref.size} pairs vs exact ${exact.size}")
+      assert(exact.nonEmpty, s"t=$t: degenerate test — no qualifying pairs")
+    }
+  }
 }
