@@ -101,6 +101,114 @@ object Bpe {
     merges.result()
   }
 
+  /** Learn merge rules with BATCHED passes — the scale path beside the
+    * one-job-per-merge [[train]]: a real 32k–100k-merge tokenizer run
+    * through `train` launches that many sequential Spark jobs, a
+    * driver-side bottleneck by construction. Here each PASS is one
+    * pair-count aggregate plus one vocabulary rewrite (2 jobs), and
+    * applies up to `batch` merges at once, so the cost model is
+    * jobs ≈ 2 · merges / m̄ (m̄ = the mean accepted batch width, set by
+    * corpus structure), not 2 · merges.
+    *
+    * The merge SEQUENCE is PROVABLY identical to [[train]]'s, by the
+    * selection rule — per pass, walk pairs in the canonical
+    * (count desc, a, b) order, accept a CONTIGUOUS run that stops at
+    * the first pair sharing a symbol (or a concatenation) with an
+    * accepted one, then TRUNCATE the run to pairs whose count is
+    * STRICTLY above the first non-accepted pair's count. Why this
+    * reproduces the sequential argmax at every step:
+    *  - accepted pairs are pairwise symbol-disjoint, and a merge only
+    *    creates/destroys adjacencies INVOLVING its own symbols, so no
+    *    accepted pair's count changes while earlier accepted merges
+    *    apply — and a merged pair's own count drops to zero (mergeOne
+    *    leaves no (a,b) adjacency behind);
+    *  - any NON-accepted neighbor pair (the (x,a)/(b,y) pairs whose
+    *    old counts bound the counts of pairs a merge CREATES) must
+    *    rank at-or-after the first non-accepted pair: before the
+    *    accepted region it would have been accepted (contradicting
+    *    disjointness), inside it the walk would have stopped on the
+    *    collision. So every created pair's count is ≤ the boundary
+    *    count — and the strict-truncation makes every accepted pair's
+    *    count strictly ABOVE it, so created pairs can never outrank an
+    *    accepted one, ties included. BPE ties are structural (all
+    *    internal pairs of one frequent word share its frequency — the
+    *    'column' chain c·o·lu·m·n diverged under a ties-allowed rule),
+    *    so the strict boundary is what makes this exact, not a nicety;
+    *  - a fully-tied pass would truncate to zero — it falls back to
+    *    the single top pair (exactly one sequential step), so progress
+    *    is guaranteed and tie-heavy regions just degrade toward
+    *    sequential cost;
+    *  - self-pairs (a,a) close the batch: their application can leave
+    *    (aa,a) adjacencies, whose count (≤ half the self-pair's own)
+    *    the neighbor bound doesn't cover — closing the batch means no
+    *    later accepted pair exists for them to outrank.
+    * BpeSpec proves batched ≡ sequential on the gate corpus end to end.
+    *
+    * `lookahead` caps the driver-side candidate collect per pass
+    * (bounded metadata: ≤ lookahead (a, b, cnt) rows — never corpus
+    * data); the accepted run is additionally capped by `batch` and by
+    * the merges still wanted.
+    */
+  def trainBatched(df: DataFrame, textCol: String, numMerges: Int,
+                   batch: Int = 32, lookahead: Int = 128): Seq[(String, String)] = {
+    require(batch >= 1 && lookahead >= batch,
+      s"need lookahead >= batch >= 1, got batch=$batch lookahead=$lookahead")
+    var vocab = initSymbols(wordFreqs(df, textCol))
+      .select("freq", "syms").localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var learned = 0
+    var done = false
+    while (learned < numMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(math.min(lookahead, batch * 4)).collect()
+      if (top.isEmpty) done = true
+      else {
+        val cap = math.min(lookahead, batch * 4)
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var boundary: Option[Long] = None // cnt of the first non-accepted pair
+        var stop = false
+        val it = top.iterator
+        while (!stop && it.hasNext) {
+          val row = it.next()
+          val (a, b, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          if (accepted.size >= batch || learned + accepted.size >= numMerges ||
+              used(a) || used(b) || used(a + b)) {
+            boundary = Some(c); stop = true
+          } else {
+            accepted += ((a, b, c))
+            used ++= Seq(a, b, a + b)
+            if (a == b) stop = true // (a,a) can leave (aa,a) behind
+          }
+        }
+        // lookahead boundary: unseen pairs can only have cnt ≤ the last
+        // collected row's — treat that as the boundary; a genuinely
+        // exhausted pair table with zero rejections needs none (no
+        // non-accepted neighbors exist, so no pairs get created at all)
+        if (boundary.isEmpty && top.length == cap)
+          boundary = Some(top.last.getLong(2))
+        val strict = boundary match {
+          case Some(q) => accepted.takeWhile(_._3 > q)
+          case None => accepted
+        }
+        // a fully-tied pass truncates to nothing: fall back to exactly
+        // one sequential step so progress is guaranteed
+        val sel = (if (strict.isEmpty) accepted.take(1) else strict)
+          .map { case (a, b, _) => (a, b) }.toSeq
+        merges ++= sel
+        learned += sel.length
+        val next = sel.foldLeft(vocab) { case (v, (a, b)) =>
+          v.withColumn("syms", mergeOne(col("syms"), lit(a), lit(b)))
+        }.localCheckpoint()
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.result()
+  }
+
   /** Tokenize each distinct word with the learned merges (in priority
     * order), checkpointing every few rules to bound plan depth.
     */
