@@ -266,17 +266,38 @@ object Graph {
         throw new IllegalStateException(
           s"pagerank did not converge to tol=$tol in $maxRounds rounds — " +
             "raise maxRounds or tol; refusing to emit unconverged ranks")
-      val (next, nextPath) = ckpt(prStep(nodes, e, outw, n1, r, scale, dNum, dDen))
-      val delta = next.join(r.select(col("id"), col("r").as("pr")), Seq("id"))
-        .agg(coalesce(max(abs(col("r") - col("pr"))), lit(0L)))
-        .first().getLong(0)
-      // the previous rank snapshot is fully consumed by the delta check
+      // the delta check rides the SAME job that materializes the
+      // snapshot: the previous rank joins into the rank step (one more
+      // key-partitioned join of an already-materialized frame) and the
+      // max per-node change surfaces as an observed metric of the
+      // checkpoint action — one job per round instead of a second
+      // join+aggregate pass over both snapshots
+      val obs = org.apache.spark.sql.Observation(s"graft-pr-delta-$round")
+      val stepped = prStep(nodes, e, outw, n1, r, scale, dNum, dDen)
+        .join(r.select(col("id"), col("r").as("__pr")), Seq("id"))
+        .select(col("id"), col("r"), abs(col("r") - col("__pr")).as("__d"))
+        .observe(obs, coalesce(max(col("__d")), lit(0L)).as("delta"))
+      val (next, nextPath) = ckpt(stepped)
+      // metric delivery is async (a query-execution listener fires
+      // after the action): poll briefly, then belt-and-braces — a scan
+      // of the just-written snapshot (no join, __d is a stored column)
+      // recovers the delta if the action never surfaced the metric
+      var waited = 0L
+      while (obs.future.value.isEmpty && waited < 2000) {
+        Thread.sleep(10); waited += 10
+      }
+      val delta = obs.future.value match {
+        case Some(scala.util.Success(row)) if row.length > 0 =>
+          row.getAs[Long]("delta")
+        case _ =>
+          next.agg(coalesce(max(col("__d")), lit(0L))).first().getLong(0)
+      }
       rPath.foreach(snapFs.delete(_, true))
       r = next
       rPath = nextPath
       converged = delta <= tol
     }
-    (r, round)
+    (r.select(col("id"), col("r")), round)
   }
 
   /** Per-vertex triangle and degree counts over an undirected graph.

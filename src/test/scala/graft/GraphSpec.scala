@@ -136,6 +136,43 @@ class GraphSpec extends SparkSpec {
       assert(maxDiff(seqRanks(rounds - 1), seqRanks(rounds - 2)) > tol)
   }
 
+  test("pagerankConvergedFp runs ONE job per round — the delta check " +
+    "rides the snapshot materialization as an observed metric") {
+    import spark.implicits._
+    // count ACTIONS (SQL executions), not scheduler jobs: under AQE a
+    // single action runs one job per exchange stage, so job counts
+    // can't separate "one materialization per round" from "plus a
+    // delta pass per round" — execution starts can
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          jobs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val nodes = nodeList.toDF("id")
+      val edges = edgeList.toDF("src", "dst", "w")
+      val (_, rounds) =
+        Graph.pagerankConvergedFp(nodes, edges, tol = 2000000000L, maxRounds = 16)
+      // listener delivery is async: poll until the count stops moving
+      var last = -1
+      var now = jobs.get()
+      while (now != last) { Thread.sleep(300); last = now; now = jobs.get() }
+      // 3 init checkpoints (edges, out-weights, r0) + one per round;
+      // slack of 3 absorbs incidental executions — a separate delta
+      // pass per round (the shape this test pins down) would add
+      // `rounds` more and trip the bound at any converged depth > 6
+      assert(rounds > 8, s"need a deep run to discriminate, got $rounds")
+      assert(now <= 3 + rounds + 3,
+        s"$now executions for $rounds rounds — the delta check is " +
+          "running as its own pass again")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("pagerankConvergedFp reliable mode keeps O(1) snapshots and fails " +
     "loudly when maxRounds is exhausted") {
     import spark.implicits._
