@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -13,15 +12,46 @@ import org.apache.spark.sql.types.LongType
   * Unknown row, real rows get dense keys 2..N+1 ordered by a
   * deterministic business column.
   *
-  * Deliberately row_number-based (dense, deterministic) rather than
+  * Deliberately dense and deterministic (equal to
+  * `row_number() OVER (ORDER BY orderCols) + 1`) rather than
   * monotonically_increasing_id (sparse, partition-dependent) because the
   * reference's COALESCE(key, 1) fallback semantics require key 1 to be
-  * reserved. The single-partition window is safe only because dimensions
-  * are small (≤ millions of rows); fact tables must never be keyed this
-  * way — at 100 TB facts carry natural keys or zipWithIndex-style
-  * partition-offset keys.
+  * reserved. Assignment is [[globalRowNumber]] — range-partitioned sort
+  * plus per-partition offsets — NOT a single-partition window, so a
+  * large dimension numbers in parallel; facts still must never be keyed
+  * this way (they carry natural keys).
   */
 object SurrogateKeys {
+
+  /** Dense global rank `startAt..startAt+N-1` under ORDER BY
+    * `orderCols`, computed WITHOUT a single-partition window: range-
+    * repartition on the order columns, sort within partitions, then
+    * zipWithIndex — per-partition local position plus the preceding
+    * partitions' row counts (the one extra count job zipWithIndex
+    * runs). Because range partitions tile the key space in order, the
+    * result equals the global `row_number() OVER (ORDER BY ...)`
+    * regardless of where the sampled range boundaries fall — boundary
+    * placement shifts WHICH partition a row sorts into, never its
+    * global rank — so the numbering is deterministic and engine-exact
+    * (the DuckDB oracles compute the window form) while every
+    * partition numbers in parallel. Ties across `orderCols` remain the
+    * caller's responsibility, exactly as with the window form: pass a
+    * key set that is unique.
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[String], keyCol: String,
+                      startAt: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(keyCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + startAt))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
 
   /** Prepend an Unknown member (key 1) and assign dense surrogate keys
     * 2..N+1 to `base`, ordered by `orderCol`.
@@ -48,10 +78,7 @@ object SurrogateKeys {
       keyCol: String,
       orderCols: Seq[String],
       unknown: Map[String, Any]): DataFrame = {
-    val keyed = base.withColumn(
-      keyCol,
-      (row_number().over(Window.orderBy(orderCols.map(col): _*)) + 1)
-        .cast(LongType))
+    val keyed = globalRowNumber(base, orderCols, keyCol, startAt = 2L)
     val unknownRow = base.limit(0) // inherit schema
     val filled = base.columns.foldLeft(
       unknownRow.sparkSession.range(1).toDF()) { (df, c) =>

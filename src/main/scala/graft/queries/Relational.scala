@@ -511,10 +511,9 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |LEFT JOIN dim d ON c_nationkey = d.n_nationkey""".stripMargin) {
       (s, dir) =>
-        val dim = t(s, dir, "nation")
-          .filter(col("n_nationkey") < 20)
-          .withColumn("dim_key",
-            (row_number().over(Window.orderBy("n_name")) + 1).cast(LongType))
+        val dim = graft.etl.SurrogateKeys.globalRowNumber(
+            t(s, dir, "nation").filter(col("n_nationkey") < 20),
+            Seq("n_name"), "dim_key", startAt = 2L)
           .select("dim_key", "n_nationkey")
         t(s, dir, "orders")
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))

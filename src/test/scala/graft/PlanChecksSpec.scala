@@ -409,4 +409,56 @@ class PlanChecksSpec extends SparkSpec {
 
   private def planStringOf(nodes: Seq[SparkPlan]): String =
     nodes.map(_.toString).mkString("\n")
+
+  // Gates whose plans legitimately contain a single-partition window —
+  // each one's window input is bounded below by an Aggregate (a handful
+  // of groups by construction: shard offsets, bucket ids, dim codes) or
+  // a literal frame, which the structural check below enforces. A NEW
+  // empty-partition window anywhere else fails this spec: add the gate
+  // here ONLY after proving its window input is bounded.
+  private val SinglePartitionWindowSites: Set[String] = Set(
+    // cumulative sum over the 20-bucket histogram aggregate
+    "qa08_quantile_rollup",
+    // 64-row shard-offset cum-sum over the per-shard count aggregate
+    // (Curation.deterministicShuffle's two-phase ranks)
+    "qc09_corpus_shuffle")
+
+  test("single-partition windows sit only above provably bounded frames, " +
+    "and only at the enumerated sites") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // pre-AQE physical plans: structure only, nothing executed — this
+    // walks EVERY gate, so the bench log's WindowExec warning flood is
+    // provably benign instead of by-inspection (SURVEY §7.3 pattern)
+    def boundedBelow(child: SparkPlan): Boolean =
+      collectAll(child).exists {
+        case _: BaseAggregateExec => true
+        case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+        case _: org.apache.spark.sql.execution.RDDScanExec => true
+        case r: org.apache.spark.sql.execution.RangeExec =>
+          r.range.numElements.isValidLong
+        case _ => false
+      }
+    val sites = scala.collection.mutable.SortedSet.empty[String]
+    val unbounded = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (gate <- SparkEntry.allQueries) {
+      val plan = gate.build(spark, sfDir).queryExecution.executedPlan
+      val wins: Seq[(String, SparkPlan)] = collectAll(plan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => ("window", w.child)
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+          ("windowGroupLimit", w.child)
+      }
+      if (wins.nonEmpty) {
+        sites += gate.name
+        wins.filterNot { case (_, c) => boundedBelow(c) }
+          .foreach { case (kind, _) => unbounded += s"${gate.name} ($kind)" }
+      }
+    }
+    assert(unbounded.isEmpty,
+      s"single-partition windows over UNBOUNDED input: ${unbounded.mkString(", ")}")
+    assert(sites.toSet == SinglePartitionWindowSites,
+      s"single-partition window sites changed.\n  now:     ${sites.mkString(", ")}\n" +
+        s"  allowed: ${SinglePartitionWindowSites.toSeq.sorted.mkString(", ")}\n" +
+        "New sites need a proven bound; removed sites should leave the allowlist.")
+  }
 }
