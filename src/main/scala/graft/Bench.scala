@@ -133,13 +133,32 @@ object Bench {
     val prevArchived = roundsOf("""bench_out_r(\d+)\.json""".r)
       .filter(_ < round).lastOption
     val minRe = """"([^"]+)":(-?\d+(?:\.\d+)?)""".r
+    // brace-balanced extraction of the queries object (a takeWhile to
+    // the first '}' would silently truncate if the object ever nested),
+    // and an empty parse against a non-empty run FAILS LOUDLY instead
+    // of quietly disabling regression detection
     def minimaOf(json: String): Map[String, Double] = {
-      val qsec = json.drop(json.indexOf("\"queries\":{") + 11)
-        .takeWhile(_ != '}')
-      minRe.findAllMatchIn(qsec).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val start = json.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        var i = start + 10
+        var depth = 0
+        val sb = new StringBuilder
+        var go = true
+        while (go && i < json.length) {
+          val ch = json.charAt(i)
+          if (ch == '{') depth += 1
+          if (depth > 0) sb.append(ch)
+          if (ch == '}') { depth -= 1; go = depth > 0 }
+          i += 1
+        }
+        minRe.findAllMatchIn(sb.toString)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     }
-    val regressions: Seq[(String, Double, Double)] = prevArchived match {
-      case None => Nil
+    val (regressions: Seq[(String, Double, Double)],
+         drifts: Seq[(String, Double, Double)]) = prevArchived match {
+      case None => (Nil, Nil)
       case Some(p) =>
         val prevJson = java.nio.file.Files.readString(
           outDir.resolve(f"bench_out_r$p%02d.json"))
@@ -147,16 +166,32 @@ object Bench {
         // the prior archive ran at a different scale than this run
         val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(prevJson)
           .map(_.group(1)).getOrElse("")
-        if (prevSf != sfDir) Nil
+        if (prevSf != sfDir) (Nil, Nil)
         else {
           val prev = minimaOf(prevJson)
-          results.flatMap { case (k, v) =>
+          if (prev.isEmpty && results.nonEmpty)
+            System.err.println(
+              s"[bench] WARNING: r$p archive parsed to ZERO minima — " +
+                "regression detection disabled this run; inspect " +
+                outDir.resolve(f"bench_out_r$p%02d.json").toString)
+          val reg = results.flatMap { case (k, v) =>
             val cur = v.min
             prev.get(k).collect {
               case old if old >= 0.2 && cur >= 0 && cur > 2.0 * old =>
                 (k, old, cur)
             }
           }
+          // sub-threshold creep watch: the top-5 ratio drifts, even
+          // <2x, go into the archived artifact — three consecutive
+          // 1.5x creeps on one query compound to 3.4x, and without
+          // this trail each round's diff individually stays silent
+          val drf = results.flatMap { case (k, v) =>
+            val cur = v.min
+            prev.get(k).collect {
+              case old if old >= 0.2 && cur > old => (k, old, cur)
+            }
+          }.sortBy { case (_, old, cur) => -(cur / old) }.take(5)
+          (reg, drf)
         }
     }
     regressions.foreach { case (k, old, cur) =>
@@ -166,11 +201,14 @@ object Bench {
     val rj = regressions
       .map { case (k, old, cur) => "\"" + k + f"""\":[$old%.3f,$cur%.3f]""" }
       .mkString("{", ",", "}")
+    val dj = drifts
+      .map { case (k, old, cur) => "\"" + k + f"""\":[$old%.3f,$cur%.3f]""" }
+      .mkString("{", ",", "}")
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"warehouse_build":$warehouseSec%.3f,"failed":${failed.length},"noisy":$noisy,"regressed":${regressions.length},"sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"vs_round":${prevArchived.getOrElse(-1)},"queries":$qs,"passes":$pj,"spread":$sj,"regressions":$rj,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"vs_round":${prevArchived.getOrElse(-1)},"queries":$qs,"passes":$pj,"spread":$sj,"regressions":$rj,"top_drifts":$dj,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
     // the round archive is only written at the driver's per-round scale
     // (sf0.1) so local sf0.01/sf1 iteration runs never clobber it with
     // unlike-for-unlike minima; bench_out.json itself always reflects

@@ -158,7 +158,9 @@ object Bpe {
     val merges = Seq.newBuilder[(String, String)]
     var learned = 0
     var done = false
+    var passes = 0
     while (learned < numMerges && !done) {
+      passes += 1
       val top = pairCounts(vocab)
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(math.min(lookahead, batch * 4)).collect()
@@ -182,6 +184,15 @@ object Bpe {
             if (a == b) stop = true // (a,a) can leave (aa,a) behind
           }
         }
+        // self-pair close-out: the walk stopped on an accepted (a,a)
+        // with collected rows still unexamined — those rows were never
+        // boundary-checked, so tied unexamined pairs would void the
+        // no-outranking argument; the next unexamined row's cnt is the
+        // boundary (strict `> cnt` truncation then drops anything tied
+        // with it, self-pair included, and the one-step fallback keeps
+        // progress)
+        if (boundary.isEmpty && it.hasNext)
+          boundary = Some(it.next().getLong(2))
         // lookahead boundary: unseen pairs can only have cnt ≤ the last
         // collected row's — treat that as the boundary; a genuinely
         // exhausted pair table with zero rejections needs none (no
@@ -206,8 +217,18 @@ object Bpe {
       }
     }
     vocab.unpersist()
+    lastBatchedPasses.set(passes)
     merges.result()
   }
+
+  /** Pair-count passes taken by the most recent `trainBatched` call on
+    * this JVM — structural observability for specs: the batching claim
+    * is "driver rounds ∝ passes, not merges", and asserting passes <
+    * merges is load-insensitive where a wall-clock ratio flakes under
+    * this host's CPU steal.
+    */
+  private[graft] val lastBatchedPasses =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Tokenize each distinct word with the learned merges (in priority
     * order), checkpointing every few rules to bound plan depth.

@@ -20,6 +20,15 @@ import graft.functions.Text
   *    keys, candidates are verified with exact Jaccard.
   *  - simhash: 1 64-bit value per doc; hamming-near duplicates found by
   *    band-rotation equi-joins.
+  *
+  * For SPARSE-VECTOR (tf-idf / bag-of-words) near-dup at scale, the
+  * default recommendation is PREFIX FILTERING — suppress hot-term
+  * fan-out by indexing only each vector's lowest-df prefix terms — as
+  * implemented twice in this codebase and proved exact both times:
+  * [[ngramJaccardPairsPrefix]] here (qd09) and
+  * [[graft.operators.TextAnalysis.sparseCosinePairsPrefix]] (qs16);
+  * both share their unfiltered twin's oracle verbatim, so the filter
+  * is pure candidate pruning, never an approximation.
   */
 object Dedup {
 

@@ -286,6 +286,36 @@ object RefStarQueries {
             ("DimSaleDateID", Warehouse.table(s, "dim_date"), "DATE_PKEY", "dim_date")),
           measures = Seq("SaleAmount", "SaleUnitPrice"))
     },
+
+    // Backfill-UNDER-READERS: the reference's re-run-one-step workflow
+    // (rahil/run_dimensional_etl.py:31-59) performed while a registered
+    // catalog reader already holds the fact table. The query (1) warms
+    // the catalog fact table — forcing its file index and partition
+    // metadata to be taken BEFORE the rewrite, the exact state the
+    // round-12 bench failure proved can go stale — then (2) backfills
+    // year 2014 in place via dynamic partition overwrite, and (3) reads
+    // the per-year totals back THROUGH THE SAME catalog table. Green
+    // means the write path's invalidation (Warehouse.rebuildPartitions
+    // → clearCache + RefStarRunner.invalidate) serves fresh files to a
+    // standing reader; the oracle is the plain per-year aggregate
+    // (backfilling a year from unchanged staging data is idempotent).
+    Q("qr18_backfill_under_readers", over(
+      """SELECT CAST(FLOOR(DimSaleDateID / 10000) AS INT) AS sale_year,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(SaleQuantity) AS BIGINT) AS sum_qty
+        |FROM fact_salesactual GROUP BY 1""".stripMargin)) { (s, _) =>
+      import org.apache.spark.sql.functions._
+      graft.runner.RefStarRunner.ensure(s)
+      val catalogFact =
+        s.table(s"${graft.runner.RefStarRunner.DimensionDb}.fact_salesactual")
+      catalogFact.count() // warm: pin listing + partition metadata pre-rewrite
+      Warehouse.rebuildPartitions(s, Seq(2014))
+      s.table(s"${graft.runner.RefStarRunner.DimensionDb}.fact_salesactual")
+        .groupBy(floor(col("DimSaleDateID") / 10000L).cast("int")
+          .as("sale_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("SaleQuantity")).cast("long").as("sum_qty"))
+    },
   )
 
   /** The expected post-merge dim_store, stated directly from the SCD2

@@ -178,6 +178,7 @@ object Warehouse {
       case None =>
         spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    invalidateReaders(spark)
     spark.read.parquet(path("fact_salesactual"))
       .filter(col(FactYearCol).isin(years: _*)).count()
   }
@@ -231,7 +232,28 @@ object Warehouse {
   def rebuild(spark: SparkSession): Seq[Step] = synchronized {
     memo = None
     Files.deleteIfExists(Paths.get(root, "VERSION"))
-    ensure(spark)
+    val steps = ensure(spark)
+    invalidateReaders(spark)
+    steps
+  }
+
+  /** Drop every piece of session/shared state that can outlive an
+    * in-place rewrite of the warehouse parquet: cached plans (the
+    * CacheManager pins file listings taken BEFORE the rewrite — a
+    * cached view would replay deleted files) and the RefStarRunner
+    * catalog (external tables memoize their file index; REFRESH or
+    * re-registration is mandatory after the directories are replaced).
+    * Called by `rebuild` and `rebuildPartitions` — the round-12 bench
+    * proved the failure mode for real: a pre-warmed session that
+    * registered the catalog and cached a view spine before an
+    * in-session rebuild failed every subsequent read with
+    * deleted-file errors. At 100 TB this is the driver that backfills
+    * a partition while downstream readers hold the table — the
+    * invalidation must live HERE, in the write path, not in callers.
+    */
+  private def invalidateReaders(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    graft.runner.RefStarRunner.invalidate(spark)
   }
 
   /** The build runs in dependency WAVES, each wave's independent writes

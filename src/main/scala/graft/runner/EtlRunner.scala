@@ -37,22 +37,28 @@ object EtlRunner {
     val dimSupp = step("dim_supplier")(StarSchema.dimSupplier(spark, dir))
     val fact = for (c <- dimCust; s <- dimSupp)
       yield step("fact_sales")(StarSchema.factSales(spark, dir, c, s))
-    // views phase: register the star + analytical views in the catalog
+    // views phase: register the star + analytical views in the catalog.
+    // The temp views carry an etl_ prefix: session temp views outrank
+    // catalog tables during analysis, so scratch names like bare
+    // `dim_date` would hijack any later bare-name CREATE VIEW in the
+    // same session (the round-12 suite hit exactly that against
+    // RefStarRunner's analytical views).
     for (d <- dimDate; c <- dimCust; s <- dimSupp; f <- fact.flatten) {
-      d.createOrReplaceTempView("dim_date")
-      c.createOrReplaceTempView("dim_customer")
-      s.createOrReplaceTempView("dim_supplier")
-      f.createOrReplaceTempView("fact_sales")
+      d.createOrReplaceTempView("etl_dim_date")
+      c.createOrReplaceTempView("etl_dim_customer")
+      s.createOrReplaceTempView("etl_dim_supplier")
+      f.createOrReplaceTempView("etl_fact_sales")
       spark.sql(
         """CREATE OR REPLACE TEMPORARY VIEW vw_sales_by_nation AS
           |SELECT c.nation_name, COUNT(*) AS n_items, SUM(f.revenue) AS revenue
-          |FROM fact_sales f JOIN dim_customer c
+          |FROM etl_fact_sales f JOIN etl_dim_customer c
           |  ON f.dim_customer_key = c.dim_customer_key
           |GROUP BY c.nation_name""".stripMargin)
       spark.sql(
         """CREATE OR REPLACE TEMPORARY VIEW vw_sales_by_month AS
           |SELECT d.year_month, SUM(f.revenue) AS revenue
-          |FROM fact_sales f JOIN dim_date d ON f.dim_order_date_key = d.date_pkey
+          |FROM etl_fact_sales f JOIN etl_dim_date d
+          |  ON f.dim_order_date_key = d.date_pkey
           |GROUP BY d.year_month""".stripMargin)
       results += StepResult("views", ok = true,
         spark.table("vw_sales_by_nation").count(), None)

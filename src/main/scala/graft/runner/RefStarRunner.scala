@@ -189,13 +189,21 @@ object RefStarRunner {
     // through the CATALOG — no text rewriting, and a CTE that happens
     // to be named dim_*/fact_* still shadows the table, as SQL says it
     // must (a previous regex-rewrite here would have qualified it).
-    AnalyticalViews.foreach { case (view, sql) =>
-      step(s"view_$view") {
-        val priorDb = spark.catalog.currentDatabase
-        spark.sql(s"USE $DimensionDb")
-        try spark.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS $sql")
-        finally spark.sql(s"USE `$priorDb`")
-        spark.table(s"$DimensionDb.$view").count()
+    // The CREATEs run in a sibling session (shared catalog, EMPTY temp
+    // namespace): CREATE VIEW analyzes its body in the creating session,
+    // where a session temp view named dim_* — session-local scratch
+    // state, no analogue in the reference's Snowflake catalog — would
+    // outrank the catalog table and hijack resolution (the round-12
+    // suite hit exactly that: an unrelated suite's temp `dim_date`
+    // broke vw_salesperformancesummary's creation).
+    if (!rs.exists(!_.ok)) {
+      val clean = spark.newSession()
+      clean.sql(s"USE $DimensionDb")
+      AnalyticalViews.foreach { case (view, sql) =>
+        step(s"view_$view") {
+          clean.sql(s"CREATE OR REPLACE VIEW $DimensionDb.$view AS $sql")
+          spark.table(s"$DimensionDb.$view").count()
+        }
       }
     }
 
@@ -218,4 +226,33 @@ object RefStarRunner {
       }
       registered.add(spark)
     }
+
+  /** Invalidate catalog-reader state after the warehouse parquet is
+    * rewritten in place (Warehouse.rebuild / rebuildPartitions call
+    * this): the external tables' cached file indexes and relation-cache
+    * entries point at deleted files. The INVOKING session's tables are
+    * refreshed in place — REFRESH TABLE evicts the relation cache +
+    * file index, and the partitioned fact re-recovers its partition
+    * metadata (a backfill can add/remove whole year directories) — so
+    * its registration, which is pure metadata and still accurate,
+    * survives and repeat reads stay cheap. Every OTHER registered
+    * session is dropped from the memo instead: the relation cache is
+    * per-session, a REFRESH issued here cannot reach it, and only a
+    * full re-`ensure` (DROP + CREATE in that session) is guaranteed to
+    * evict it.
+    */
+  def invalidate(spark: SparkSession): Unit = {
+    registered.removeIf(_ ne spark)
+    Seq(StagingDb, DimensionDb)
+      .filter(spark.catalog.databaseExists)
+      .foreach { db =>
+        spark.catalog.listTables(db).collect()
+          .filter(t => t.database == db && t.tableType != "VIEW")
+          .foreach { t =>
+            spark.sql(s"REFRESH TABLE $db.`${t.name}`")
+            if (t.name == "fact_salesactual")
+              spark.sql(s"ALTER TABLE $db.`${t.name}` RECOVER PARTITIONS")
+          }
+      }
+  }
 }

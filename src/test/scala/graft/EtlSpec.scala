@@ -34,6 +34,34 @@ class EtlSpec extends SparkSpec {
     assert(!CsvStageReader.stageHasFiles(spark, new java.io.File(dir, "missing*.csv").getAbsolutePath))
   }
 
+  test("CSV stage reader loads through a non-default FileSystem scheme") {
+    // the reference's stages are cloud URIs (abfss://...,
+    // rahil/create_stages.py:33-49); the reader must resolve the
+    // FileSystem from the URI scheme, not assume the local default.
+    // graftfs:// is a local-backed stand-in registered via
+    // fs.graftfs.impl — the same resolution path a cloud connector uses.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = Files.createTempDirectory("graft-csv-fs").toFile
+    val f = new java.io.File(dir, "channel.csv")
+    Files.writeString(f.toPath,
+      """CHANNELID,CHANNEL
+        |1,Online
+        |2,Retail
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("CHANNELID", IntegerType),
+      StructField("CHANNEL", StringType)))
+    val uri = s"graftfs://${f.getAbsolutePath}"
+    assert(CsvStageReader.stageHasFiles(spark, uri))
+    assert(!CsvStageReader.stageHasFiles(
+      spark, s"graftfs://${dir.getAbsolutePath}/missing*.csv"))
+    val loaded = CsvStageReader.read(spark, uri, schema)
+    assert(loaded.errorRows == 0)
+    assert(loaded.df.orderBy("CHANNELID").collect()
+      .map(_.getString(1)).toSeq == Seq("Online", "Retail"))
+  }
+
   test("source timestamp parser handles both observed formats") {
     import spark.implicits._
     val df = Seq("1/1/13 20:54", "2013-01-01 21:20:22", "garbage").toDF("s")

@@ -103,4 +103,69 @@ class RefStarRunnerSpec extends SparkSpec {
           s"(+$extra/-$missing rows)")
     }
   }
+
+  test("view creation is immune to session temp views shadowing star names") {
+    // round-12 regression: an unrelated suite's temp view named
+    // `dim_date` (wrong schema) outranked dimension.dim_date during
+    // CREATE VIEW analysis and broke vw_salesperformancesummary with
+    // UNRESOLVED_COLUMN. The runner now creates analytical views in a
+    // sibling session whose temp namespace is empty.
+    import spark.implicits._
+    assert(results.forall(_.ok))
+    Seq(("dim_date", "x"), ("fact_salesactual", "y"))
+      .toDF("not_a_real_column", "v")
+      .createOrReplaceTempView("dim_date")
+    try {
+      val rs = RefStarRunner.run(spark)
+      assert(rs.forall(_.ok),
+        rs.filterNot(_.ok).map(r => s"${r.step}: ${r.error}").mkString("; "))
+      assert(spark
+        .table(s"${RefStarRunner.DimensionDb}.vw_salesperformancesummary")
+        .count() > 0)
+    } finally spark.catalog.dropTempView("dim_date")
+  }
+
+  test("in-session rebuild invalidates standing catalog readers and caches") {
+    // the round-12 bench failure end to end: a session that has (a)
+    // registered the catalog and (b) cached a plan over the fact table
+    // BEFORE an in-place rebuild must read fresh rows afterwards with
+    // no manual refresh — the write path owns the invalidation.
+    RefStarRunner.ensure(spark)
+    val fact = spark.table(s"${RefStarRunner.DimensionDb}.fact_salesactual")
+    fact.cache()
+    assert(fact.count() == 187320L) // pin listing + cache pre-rebuild
+    assert(spark.table(s"${RefStarRunner.DimensionDb}.vw_dim_product")
+      .count() == 21)
+    try {
+      Warehouse.rebuild(spark)
+      // qr11 path (pass-through view), qr12 path (analytical view), and
+      // the previously-cached fact — all through the same session
+      assert(spark.table(s"${RefStarRunner.DimensionDb}.vw_dim_product")
+        .count() == 21)
+      assert(spark
+        .table(s"${RefStarRunner.DimensionDb}.vw_store58performance")
+        .count() == 48)
+      assert(spark.table(s"${RefStarRunner.DimensionDb}.fact_salesactual")
+        .count() == 187320L)
+    } finally fact.unpersist()
+  }
+
+  test("single-year backfill under a standing catalog reader stays fresh") {
+    // the incremental path of the same hazard (reference's
+    // re-run-one-step workflow, rahil/run_dimensional_etl.py:31-59):
+    // rebuildPartitions replaces the 2014 directory while the catalog
+    // table holds its partition metadata and file index.
+    RefStarRunner.ensure(spark)
+    val tbl = s"${RefStarRunner.DimensionDb}.fact_salesactual"
+    assert(spark.table(tbl).count() == 187320L) // warm the file index
+    val written = Warehouse.rebuildPartitions(spark, Seq(2014))
+    assert(written > 0)
+    assert(spark.table(tbl).count() == 187320L,
+      "catalog reader must see the backfilled files, not stale listings")
+    val perYear = spark.table(tbl)
+      .groupBy(org.apache.spark.sql.functions.col("SaleYear")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perYear.keySet == Set(2013, 2014) && perYear.values.sum == 187320L,
+      perYear.toString)
+  }
 }
