@@ -156,8 +156,20 @@ object Warehouse {
     * directories via dynamic partition overwrite. Dims, the target
     * facts, and every other year's fact files are neither read nor
     * rewritten (asserted by mtime equality in WarehouseBackfillSpec), so
-    * fixing one year costs one year — `rebuild` remains the
-    * whole-history hammer. Returns the fact rows written.
+    * fixing one year costs one year of fact WRITE I/O — `rebuild`
+    * remains the whole-history hammer. Returns the fact rows written.
+    *
+    * Read-side cost, stated honestly: the year filter lands on
+    * stg_salesheader (derived from DATE, so it prunes ROWS at the scan
+    * but not FILES — the staging layer is not date-partitioned), and
+    * stg_salesdetail is filtered only through the header join. At this
+    * workload's staging scale (entity-sized CSV loads, the reference's
+    * shape) that is the right trade; a deployment whose STAGING layer
+    * itself is 100 TB should date-partition stg_salesheader/detail at
+    * load time, which turns the same filter into file-level pruning and
+    * the header join into a DPP candidate — no change to this method's
+    * contract. After the write, session state is invalidated
+    * (invalidateReaders) so standing catalog readers see the new files.
     */
   def rebuildPartitions(spark: SparkSession, years: Seq[Int]): Long = synchronized {
     require(years.nonEmpty, "rebuildPartitions needs at least one year")
