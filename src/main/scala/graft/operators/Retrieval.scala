@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.functions.{Exact, Text}
+
+/** Lexical and hybrid retrieval over a document corpus — the scoring
+  * side of a training-data / RAG pipeline (the dedup operators answer
+  * "is this a copy?", these answer "which documents match a query?").
+  *
+  * Cross-engine exactness: BM25's classic idf is `ln((N-df+0.5)/(df+0.5))`,
+  * but `ln` is not a correctly-rounded IEEE operation, so the two engines
+  * can disagree in the last ulp and flip ranks. The scoring here keeps
+  * the RATIO as the idf term (the log's argument — same sign behavior,
+  * same df monotonicity) so every operation in the score is an exact
+  * IEEE op (+, *, /): both engines produce bit-identical doubles. A
+  * production deployment swaps `ln` back in without touching the plan
+  * shape. Per-document totals go through [[Exact.dsum]] (decimal sum) so
+  * aggregation order — shuffle parallelism, speculative retries — can
+  * never perturb the result.
+  *
+  * Scale posture (100 TB corpus):
+  *  - tf/df/dl are single-pass linear aggregates over the exploded
+  *    token stream — partial-aggregated map-side, shuffled once by
+  *    (doc, word) and once by word.
+  *  - Query terms are pruned with a BROADCAST semi-join BEFORE the
+  *    df window, so the posting lists that flow into scoring are only
+  *    those of the query vocabulary — corpus-sized state never meets
+  *    the query side in a shuffle.
+  *  - The fused ranking touches only the two top-`kArm` arms per query
+  *    (bounded rows per query), never the corpus.
+  */
+object Retrieval {
+
+  /** BM25 free parameters (Robertson's defaults). `K1p1` is a literal,
+    * not `K1 + 1`: 1.2 is not exactly representable in binary, and
+    * re-deriving 2.2 from it rounds differently than parsing "2.2" —
+    * both engines must parse the same literal text.
+    */
+  private val K1 = 1.2
+  private val K1p1 = 2.2
+  private val B = 0.75
+  private val OneMinusB = 0.25
+
+  private def tokenized(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("did"), expr(Text.wordsExpr(textCol)).as("__ws"))
+      .withColumn("dl", size(col("__ws")).cast(LongType))
+
+  /** Corpus scalars (document count + total length) as a 1-row frame —
+    * joined in as an in-plan broadcast scalar, never a driver collect.
+    */
+  private def corpusStats(t: DataFrame): DataFrame =
+    t.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+
+  /** Per-(doc, term) tf with document length riding along. */
+  private def termFreqs(t: DataFrame): DataFrame =
+    t.select(col("did"), col("dl"), explode(col("__ws")).as("word"))
+      .groupBy("did", "dl", "word").agg(count(lit(1)).as("tf"))
+
+  /** The per-(doc, term) BM25 contribution. Expression shape mirrors the
+    * oracle SQL token-for-token; every op is exact IEEE.
+    */
+  private def bm25Term: Column = {
+    val avgdl = col("tot_dl").cast(DoubleType) / col("n_docs").cast(DoubleType)
+    val idf = ((col("n_docs") - col("df")).cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val norm = lit(OneMinusB) + lit(B) * (col("dl").cast(DoubleType) / avgdl)
+    val tfd = col("tf").cast(DoubleType)
+    idf * (tfd * lit(K1p1)) / (tfd + lit(K1) * norm)
+  }
+
+  /** BM25 top-k documents for a fixed bag of query terms.
+    * Output: (doc_id, bm25, rnk), rnk 1..k, ties broken by doc id.
+    *
+    * df is computed AFTER the term filter but still counts every
+    * document containing the term — the filter drops whole posting
+    * lists (word-level), never rows within one, so the word-partition
+    * count is the true corpus df. That makes the pruned plan exactly
+    * as correct as the full-vocabulary one while scanning only the
+    * query terms' postings past the first aggregate.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10): DataFrame = {
+    val t = tokenized(df, idCol, textCol)
+    val scored = termFreqs(t)
+      .filter(col("word").isin(terms: _*))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .crossJoin(corpusStats(t))
+      .withColumn("score", bm25Term)
+      .groupBy("did").agg(Exact.dsum(col("score")).as("bm25"))
+    // Global top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+    // never a full sort), then rank the surviving <= k rows; the
+    // single-partition row_number window runs over a frame bounded by
+    // the limit, not the corpus (PlanChecksSpec-allowlisted).
+    scored
+      .orderBy(col("bm25").desc, col("did")).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("bm25").desc, col("did")))
+          .cast(LongType))
+      .select(col("did").as("doc_id"), col("bm25"), col("rnk"))
+  }
+
+  /** Hybrid retrieval with reciprocal-rank fusion: each query document
+    * retrieves a lexical arm (BM25 over its distinct words, [[bm25Term]])
+    * and a semantic arm ([[Similarity.cosineTopK]] over embeddings),
+    * each truncated to `kArm`; arms fuse by `1/(rrfK + rank)` (missing
+    * arm contributes 0) and the fused top-`k` is returned.
+    * Output: (query_id, doc_id, rnk_lex, rnk_sem, rrf, rnk) — arm ranks
+    * are 0 when the arm missed the document, so every column is
+    * non-null (exact integer/double compare, no NULL-dtype drift).
+    *
+    * RRF constants are integer ranks under exact division — both arms'
+    * contributions are correctly-rounded doubles and their sum is a
+    * single fixed-order addition, so fusion is bit-exact cross-engine.
+    */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                    emb: DataFrame, vidCol: String, vecCol: String,
+                    queryMod: Int = 100, kArm: Int = 20, k: Int = 10,
+                    rrfK: Int = 60): DataFrame = {
+    val t = tokenized(docs, idCol, textCol)
+    val tf = termFreqs(t)
+
+    // Query vocabulary: distinct (qid, word) of the query documents.
+    val qw = t.filter(col("did") % queryMod === 0)
+      .select(col("did").as("qid"), explode(col("__ws")).as("word"))
+      .distinct()
+    val qvocab = qw.select("word").distinct()
+
+    // Lexical arm: posting lists pruned to the query vocabulary
+    // (broadcast semi-join), df over the pruned-but-complete lists,
+    // per-(query, doc) exact-sum BM25, rank, truncate.
+    val lexScored = tf
+      .join(broadcast(qvocab), Seq("word"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+      .join(broadcast(qw), Seq("word"))
+      .filter(col("did") =!= col("qid"))
+      .crossJoin(corpusStats(t))
+      .withColumn("score", bm25Term)
+      .groupBy("qid", "did").agg(Exact.dsum(col("score")).as("lex"))
+    val lex = lexScored
+      .withColumn("rl", row_number().over(
+        Window.partitionBy("qid").orderBy(col("lex").desc, col("did")))
+        .cast(LongType))
+      .filter(col("rl") <= kArm)
+      .select(col("qid"), col("did"), col("rl"))
+
+    // Semantic arm: exact cosine top-k (the ANN ladder's baseline; at
+    // scale swap in lshCosineTopK/ivf — fusion is rank-only, so the
+    // arm is pluggable without touching this operator).
+    val sem = Similarity.cosineTopK(
+        emb, emb.filter(col(vidCol) % queryMod === 0), vidCol, vecCol, kArm)
+      .select(col("query_id").as("sqid"), col("neighbor_id").as("sdid"),
+        col("rnk").as("rs"))
+
+    val fused = lex.join(sem,
+        lex("qid") === sem("sqid") && lex("did") === sem("sdid"), "full_outer")
+      .select(
+        coalesce(col("qid"), col("sqid")).as("query_id"),
+        coalesce(col("did"), col("sdid")).as("doc_id"),
+        coalesce(col("rl"), lit(0L)).as("rnk_lex"),
+        coalesce(col("rs"), lit(0L)).as("rnk_sem"),
+        (when(col("rl").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("rl")).cast(DoubleType)) +
+         when(col("rs").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("rs")).cast(DoubleType)))
+          .as("rrf"))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Exact, Text}
+import graft.operators.{Bpe, Retrieval}
+
+/** Round-13 additions: the retrieval side of the training-data pipeline
+  * (lexical BM25, hybrid BM25 ⊕ vector RRF fusion) plus the BPE encode
+  * round-trip that closes the tokenizer story (train qt16 → encode →
+  * detokenize-identity). Exactness notes live on graft.operators.Retrieval.
+  */
+object Round13 {
+
+  private val wCte =
+    s"SELECT doc_id, text, ${Text.wordsSql("text")} AS ws FROM documents"
+
+  /** Shared oracle prelude: documents → (did, dl, ws), corpus scalars,
+    * exploded (did, dl, word), per-(doc, word) tf.
+    */
+  private val bm25Prelude =
+    s"""w AS ($wCte),
+       |d AS (SELECT doc_id AS did, CAST(len(ws) AS BIGINT) AS dl, ws FROM w),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(dl) AS BIGINT) AS tot_dl FROM d),
+       |wd AS (SELECT did, dl, unnest(ws) AS word FROM d),
+       |tf AS (SELECT did, dl, word, COUNT(*) AS tf FROM wd GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The per-(doc, term) BM25 contribution — textually mirrors
+    * Retrieval.bm25Term op-for-op (all exact IEEE ops, see the operator
+    * scaladoc for why the idf keeps the ratio instead of its log).
+    */
+  private val bm25ScoreSql =
+    """((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+      | * (CAST(tf AS DOUBLE) * 2.2)
+      | / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+      |      / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))))""".stripMargin
+
+  private val Bm25Terms = Seq("vector", "stream", "window", "spark")
+
+  val all: Seq[Q] = Seq(
+
+    // ----- BM25 lexical retrieval (log-free idf, exact) ------------------
+    Q("qt20_bm25",
+      s"""WITH $bm25Prelude,
+         |tfq AS (SELECT * FROM tf
+         |        WHERE word IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})),
+         |tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tfq),
+         |sc AS (SELECT did, $bm25ScoreSql AS score FROM tfd, s),
+         |agg AS (SELECT did, ${Exact.dsumSql("score")} AS bm25
+         |        FROM sc GROUP BY did)
+         |SELECT did AS doc_id, bm25, rnk FROM (
+         |  SELECT did, bm25,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, did) AS rnk FROM agg)
+         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      Retrieval.bm25TopK(Tables(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 10)
+    },
+
+    // ----- hybrid retrieval: BM25 arm + cosine arm, RRF fusion -----------
+    Q("qs17_hybrid_rrf",
+      s"""WITH $bm25Prelude,
+         |qw AS (SELECT DISTINCT qid, word FROM
+         |        (SELECT did AS qid, unnest(ws) AS word FROM d
+         |         WHERE did % 100 = 0)),
+         |qv AS (SELECT DISTINCT word FROM qw),
+         |tfq AS (SELECT tf.* FROM tf JOIN qv USING (word)),
+         |tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tfq),
+         |sc AS (SELECT qid, did, $bm25ScoreSql AS score
+         |       FROM tfd JOIN qw USING (word), s WHERE did <> qid),
+         |lex AS (SELECT qid, did, ${Exact.dsumSql("score")} AS lex
+         |        FROM sc GROUP BY qid, did),
+         |lexr AS (SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+         |           ORDER BY lex DESC, did) AS rl FROM lex),
+         |lt AS (SELECT qid, did, rl FROM lexr WHERE rl <= 20),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS sqid, v AS qv, nrm AS qnrm FROM n
+         |      WHERE vec_id % 100 = 0),
+         |p AS (SELECT sqid, vec_id AS sdid,
+         |        list_dot_product(qv, v) / (qnrm * nrm) AS sim
+         |      FROM q, n WHERE vec_id <> sqid),
+         |sr AS (SELECT sqid, sdid, ROW_NUMBER() OVER (PARTITION BY sqid
+         |         ORDER BY sim DESC, sdid) AS rs FROM p),
+         |st AS (SELECT sqid, sdid, rs FROM sr WHERE rs <= 20),
+         |f AS (SELECT COALESCE(lt.qid, st.sqid) AS query_id,
+         |        COALESCE(lt.did, st.sdid) AS doc_id,
+         |        COALESCE(lt.rl, CAST(0 AS BIGINT)) AS rnk_lex,
+         |        COALESCE(st.rs, CAST(0 AS BIGINT)) AS rnk_sem,
+         |        (CASE WHEN lt.rl IS NULL THEN 0.0
+         |              ELSE 1.0 / CAST(60 + lt.rl AS DOUBLE) END
+         |         + CASE WHEN st.rs IS NULL THEN 0.0
+         |               ELSE 1.0 / CAST(60 + st.rs AS DOUBLE) END) AS rrf
+         |      FROM lt FULL OUTER JOIN st
+         |        ON lt.qid = st.sqid AND lt.did = st.sdid)
+         |SELECT query_id, doc_id, rnk_lex, rnk_sem, rrf, rnk FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+         |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
+      Retrieval.hybridRrfTopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        queryMod = 100, kArm = 20, k = 10, rrfK = 60)
+    },
+
+    // ----- BPE encode round-trip (train qt16 → encode → detokenize) ------
+    // The learned merge table is data-dependent (not expressible as a
+    // static oracle), so the gate checks the INVARIANTS every correct
+    // encoder satisfies, per document: concatenating the emitted tokens
+    // reproduces the concatenated words exactly (lossless segmentation),
+    // and the token count sits in [n_words, n_chars] (every word is >= 1
+    // token, merges only shrink). Zero-word documents encode to the
+    // empty token sequence. Same oracle discipline as the ANN recall_ok
+    // gates: the oracle knows every flag must be 1, so ANY encoder
+    // regression — dropped word, reordered token, phantom merge — breaks
+    // the hash. Merge-priority correctness itself is locked by BpeSpec
+    // (batched == sequential, pair-for-pair).
+    Q("qt18_bpe_encode",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val merges = Bpe.trainBatched(docs, "text", numMerges = 16)
+      val enc = Bpe.encode(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"), expr(Text.wordsExpr("text")).as("__ws"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (concat_ws("", coalesce(col("tokens"),
+            array().cast("array<string>"))) ===
+            concat_ws("", col("__ws"))).cast("long").as("roundtrip_ok"),
+          (coalesce(col("n_tokens"), lit(0L)) >= size(col("__ws")).cast("long") &&
+            coalesce(col("n_tokens"), lit(0L)) <=
+              aggregate(transform(col("__ws"), w => length(w)),
+                lit(0L), (a, x) => a + x))
+            .cast("long").as("bounds_ok"))
+    }
+  )
+}

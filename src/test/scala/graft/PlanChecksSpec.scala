@@ -421,7 +421,10 @@ class PlanChecksSpec extends SparkSpec {
     "qa08_quantile_rollup",
     // 64-row shard-offset cum-sum over the per-shard count aggregate
     // (Curation.deterministicShuffle's two-phase ranks)
-    "qc09_corpus_shuffle")
+    "qc09_corpus_shuffle",
+    // rank over the global top-k ALREADY taken by TakeOrderedAndProject
+    // (Retrieval.bm25TopK sorts+limits to k=10 rows before ranking)
+    "qt20_bm25")
 
   test("single-partition windows sit only above provably bounded frames, " +
     "and only at the enumerated sites") {

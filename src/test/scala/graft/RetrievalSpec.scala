@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Retrieval
+
+/** Unit coverage for the retrieval operators: BM25 against hand-computed
+  * scores (same double arithmetic as the operator, so equality is exact)
+  * and RRF fusion mechanics. Cross-engine exactness itself is gated by
+  * qt20/qs17 against the DuckDB oracle.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // The operator's exact scoring chain, reproduced in plain Scala: any
+  // drift between this and bm25Term is a real formula change.
+  private def bm25(tf: Long, df: Long, dl: Long,
+                   nDocs: Long, totDl: Long): Double = {
+    val avgdl = totDl.toDouble / nDocs.toDouble
+    val idf = ((nDocs - df).toDouble + 0.5) / (df.toDouble + 0.5)
+    val norm = 0.25 + 0.75 * (dl.toDouble / avgdl)
+    idf * (tf.toDouble * 2.2) / (tf.toDouble + 1.2 * norm)
+  }
+
+  // 4 docs; terms 'spark' (df=2) and 'vector' (df=3); doc 4 matches
+  // nothing and must be absent from the ranking.
+  private lazy val docs = Seq(
+    (1L, "spark spark vector x"),             // dl=4: tf(spark)=2, tf(vector)=1
+    (2L, "vector y y y y y y y"),             // dl=8: tf(vector)=1
+    (3L, "spark vector vector"),              // dl=3: tf(spark)=1, tf(vector)=2
+    (4L, "nothing here at all")               // dl=4: no query terms
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK scores match the hand-computed formula exactly") {
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+
+    val n = 4L; val tot = 19L
+    def round6(x: Double): Double = // the Exact.dsum decimal(25,6) hop
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(
+      1L -> round6(round6(bm25(2, 2, 4, n, tot)) + round6(bm25(1, 3, 4, n, tot))),
+      2L -> round6(bm25(1, 3, 8, n, tot)),
+      3L -> round6(round6(bm25(1, 2, 3, n, tot)) + round6(bm25(2, 3, 3, n, tot))))
+
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), "doc 4 must not rank")
+    got.foreach { case (id, score, _) =>
+      assert(score == expect(id), s"doc $id: got $score want ${expect(id)}")
+    }
+    // ranks follow score desc, id asc — and rnk is dense 1..n
+    val byRank = got.sortBy(_._3)
+    assert(byRank.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    assert(byRank.sliding(2).forall {
+      case Array(a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+      case _ => true
+    })
+  }
+
+  test("bm25TopK truncates to k after a full ordering") {
+    val one = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "vector"), k = 1).collect()
+    assert(one.length == 1 && one.head.getLong(2) == 1L)
+  }
+
+  test("hybridRrfTopK fuses both arms and fills missing-arm ranks with 0") {
+    // queryMod=1 makes EVERY doc a query; embeddings: doc 1 ~ doc 3
+    // nearly parallel, doc 2 orthogonal-ish — semantic arm must prefer
+    // 3 for query 1 even though the lexical arm is driven by words.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)),
+      (4L, Array(0.1f, 0.9f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridRrfTopK(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", queryMod = 1, kArm = 3, k = 3)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+
+    // every fused row carries a positive rrf and at least one live arm
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rl, rs, rrf, _) =>
+      assert(rl >= 0 && rs >= 0 && (rl > 0 || rs > 0))
+      val want = (if (rl > 0) 1.0 / (60.0 + rl) else 0.0) +
+        (if (rs > 0) 1.0 / (60.0 + rs) else 0.0)
+      assert(rrf == want)
+    }
+    // doc 4 shares no words: its lexical arm is empty, but it still
+    // appears via the semantic arm (rnk_lex = 0)
+    val q1 = rows.filter(_._1 == 1L)
+    assert(q1.exists(r => r._2 == 4L && r._3 == 0L && r._4 > 0L),
+      s"doc 4 must fuse in on the semantic arm alone: ${q1.mkString(", ")}")
+    // semantic winner for query 1 is doc 3 (near-parallel vector)
+    assert(q1.filter(_._4 == 1L).map(_._2).toSeq == Seq(3L))
+    // per-query ranks are dense from 1
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._6).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("bm25TopK tolerates zero-word and no-match documents") {
+    val df = Seq((1L, ""), (2L, "   "), (3L, "spark")).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 10)
+      .collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+}
