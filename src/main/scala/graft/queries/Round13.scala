@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Exact, Text}
-import graft.operators.{Bpe, Retrieval}
+import graft.operators.{Bpe, Curation, Dedup, Retrieval, Similarity}
 
 /** Round-13 additions: the retrieval side of the training-data pipeline
   * (lexical BM25, hybrid BM25 ⊕ vector RRF fusion) plus the BPE encode
@@ -136,6 +136,82 @@ object Round13 {
               aggregate(transform(col("__ws"), w => length(w)),
                 lit(0L), (a, x) => a + x))
             .cast("long").as("bounds_ok"))
+    },
+
+    // ----- hard-negative mining (contrastive-training sampling) ----------
+    // Retrieval/embedding training needs negatives that are CLOSE but
+    // not positives: the rank band just past the positive set (here
+    // 11..30 behind the top-10). Pure composition over the exact
+    // cosine ranking, so the same qs01 exactness argument applies; at
+    // scale the band rides whichever ANN arm replaces the exact
+    // baseline (rank-band selection is arm-agnostic).
+    Q("qs18_hard_negatives",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id % 100 = 0),
+        |p AS (
+        |  SELECT qid, vec_id AS nid, list_dot_product(qv, v) / (qnrm * nrm) AS sim
+        |  FROM q, n WHERE vec_id <> qid),
+        |r AS (SELECT qid AS query_id, nid AS neighbor_id,
+        |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        |      FROM p)
+        |SELECT query_id, neighbor_id, rnk FROM r
+        |WHERE rnk BETWEEN 11 AND 30""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", k = 30)
+        .filter(col("rnk") >= 11)
+    },
+
+    // ----- leakage-safe train/val/test split -----------------------------
+    // A hash split keyed on doc_id puts near-duplicate documents on
+    // BOTH sides of a train/eval boundary — textbook contamination.
+    // Keyed on the near-dup CLUSTER label (qd06's connected
+    // components; singletons key on themselves) every member of a
+    // cluster lands in the same split by construction. Composes
+    // banding → exact verify → components → hash split under one
+    // oracle; the split stays a pure function of the corpus (no
+    // rand()), so re-runs and repartitioning cannot move a document.
+    Q("qc13_leakage_safe_split", {
+      val wCteL = s"SELECT doc_id, text, ${Text.wordsSql("text")} AS ws FROM documents"
+      s"""WITH RECURSIVE w AS ($wCteL),
+         |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+         |       FROM reach GROUP BY node),
+         |g AS (SELECT d.doc_id, COALESCE(cl.cluster, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, grp, bucket,
+         |  CASE WHEN bucket < 9800 THEN 'train'
+         |       WHEN bucket < 9900 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, grp,
+         |  ${Text.polyhashSql("CAST(grp AS VARCHAR)")} % 10000 AS bucket
+         |  FROM g)""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
+        k = 48, bands = 24, threshold = 0.5)
+      val grouped = docs.select("doc_id")
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
+      Curation.hashSplit(grouped, "grp", valBp = 100, testBp = 100)
+        .select("doc_id", "grp", "bucket", "split")
     }
   )
 }

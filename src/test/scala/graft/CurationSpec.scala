@@ -323,4 +323,21 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(w2(20L) == w2(21L), "mean ratio must be length-invariant")
   }
+
+  test("leakage-safe split never puts near-dup cluster members on " +
+    "different sides (qc13 semantics)") {
+    val q = SparkEntry.allQueries.find(_.name == "qc13_leakage_safe_split").get
+    val rows = q.build(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "grp", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // one split per group — the leakage property the gate exists for
+    rows.groupBy(_._2).foreach { case (grp, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"group $grp straddles splits: ${members.mkString(", ")}")
+    }
+    // and some group is a real multi-doc cluster, or the property is vacuous
+    assert(rows.groupBy(_._2).exists(_._2.length > 1),
+      "fixture corpus must contain at least one near-dup cluster")
+  }
 }
