@@ -60,6 +60,20 @@ object Retrieval {
     t.select(col("did"), col("dl"), explode(col("__ws")).as("word"))
       .groupBy("did", "dl", "word").agg(count(lit(1)).as("tf"))
 
+  /** The posting rows of a document set: (did, dl, word, tf) — the unit
+    * an incrementally-maintained index stores per batch (docs are
+    * immutable, so batches append disjoint postings;
+    * graft.streaming.IndexIngest).
+    */
+  def postingsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFreqs(tokenized(df, idCol, textCol))
+
+  /** (did, dl) per document — INCLUDING zero-word documents, which
+    * have no postings but still count into corpus stats.
+    */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenized(df, idCol, textCol).select("did", "dl")
+
   /** The per-(doc, term) BM25 contribution. Expression shape mirrors the
     * oracle SQL token-for-token; every op is exact IEEE.
     */
@@ -91,16 +105,39 @@ object Retrieval {
       .crossJoin(corpusStats(t))
       .withColumn("score", bm25Term)
       .groupBy("did").agg(Exact.dsum(col("score")).as("bm25"))
-    // Global top-k FIRST (TakeOrderedAndProject — per-partition heaps,
-    // never a full sort), then rank the surviving <= k rows; the
-    // single-partition row_number window runs over a frame bounded by
-    // the limit, not the corpus (PlanChecksSpec-allowlisted).
+    rankTopK(scored, k)
+  }
+
+  // Global top-k FIRST (TakeOrderedAndProject — per-partition heaps,
+  // never a full sort), then rank the surviving <= k rows; the
+  // single-partition row_number window runs over a frame bounded by
+  // the limit, not the corpus (PlanChecksSpec-allowlisted).
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .orderBy(col("bm25").desc, col("did")).limit(k)
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("bm25").desc, col("did")))
           .cast(LongType))
       .select(col("did").as("doc_id"), col("bm25"), col("rnk"))
+
+  /** BM25 top-k served from a MAINTAINED index — postings
+    * (did, dl, word, tf), vocab (word, df), corpus stats 1-row
+    * (n_docs, tot_dl) — instead of scanning the corpus. Produces
+    * bit-identical results to [[bm25TopK]] over the same documents:
+    * the vocab join supplies the same df values the window computes,
+    * and the scoring chain/decimal sum/ranking are shared code. This
+    * is the serving path IndexIngest maintains incrementally; the
+    * corpus is never rescanned at query time.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, vocab: DataFrame,
+                        stats: DataFrame, terms: Seq[String],
+                        k: Int = 10): DataFrame = {
+    val scored = postings.filter(col("word").isin(terms: _*))
+      .join(broadcast(vocab.filter(col("word").isin(terms: _*))), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", bm25Term)
+      .groupBy("did").agg(Exact.dsum(col("score")).as("bm25"))
+    rankTopK(scored, k)
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion: each query document

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.streaming.IndexIngest
+
+/** Streaming BM25 index maintenance: after any number of micro-batches,
+  * serving from the index must equal running Retrieval.bm25TopK over
+  * the full corpus bit for bit — df merges (disjoint docs) and the
+  * shared scoring chain make the two paths value-identical, not just
+  * approximately so.
+  */
+class IndexIngestSpec extends SparkSpec {
+
+  private val terms = Seq("vector", "stream", "window", "spark")
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream-built index serves BM25 identical to the corpus scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // three uneven micro-batches, including one zero-word document
+    val batches = Seq(
+      docs.take(10).toSeq :+ ((100000L, "")),
+      docs.slice(10, 25).toSeq,
+      docs.drop(25).toSeq)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IndexIngest.start(spark,
+      mem.toDF().toDF("doc_id", "text"), dir, s"$dir/__ckpt")
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val corpus = Tables(spark, sf, "documents").select("doc_id", "text")
+      .unionByName(Seq((100000L, "")).toDF("doc_id", "text"))
+    val direct = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val indexed = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(indexed.toSeq == direct.toSeq,
+      s"indexed and direct rankings diverge:\n  idx: ${indexed.mkString(", ")}" +
+        s"\n  dir: ${direct.mkString(", ")}")
+
+    // corpus stats absorbed the zero-word doc (no postings, counted)
+    val st = IndexIngest.stats(spark, dir).head()
+    assert(st.getLong(0) == corpus.count())
+  }
+
+  test("a replayed micro-batch no-ops on every index table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx2").toString
+    val b0 = Seq((1L, "spark vector spark"), (2L, "stream window")).toDF("doc_id", "text")
+    IndexIngest.applyBatch(spark, b0, dir, 0L)
+    val vocabOnce = IndexIngest.vocab(spark, dir).collect().toSet
+    val statsOnce = IndexIngest.stats(spark, dir).collect().toSet
+    val postOnce = IndexIngest.postings(spark, dir).collect().toSet
+    IndexIngest.applyBatch(spark, b0, dir, 0L) // replay
+    assert(IndexIngest.vocab(spark, dir).collect().toSet == vocabOnce)
+    assert(IndexIngest.stats(spark, dir).collect().toSet == statsOnce)
+    assert(IndexIngest.postings(spark, dir).collect().toSet == postOnce)
+    // and a genuinely NEW batch still applies
+    IndexIngest.applyBatch(spark,
+      Seq((3L, "spark")).toDF("doc_id", "text"), dir, 1L)
+    assert(IndexIngest.stats(spark, dir).head().getLong(0) == 3L)
+    val df = IndexIngest.vocab(spark, dir)
+      .filter(col("word") === "spark").head().getLong(1)
+    assert(df == 2L, "df('spark') must merge across batches")
+  }
+}

@@ -423,8 +423,10 @@ class PlanChecksSpec extends SparkSpec {
     // (Curation.deterministicShuffle's two-phase ranks)
     "qc09_corpus_shuffle",
     // rank over the global top-k ALREADY taken by TakeOrderedAndProject
-    // (Retrieval.bm25TopK sorts+limits to k=10 rows before ranking)
-    "qt20_bm25")
+    // (Retrieval.rankTopK sorts+limits to k=10 rows before ranking;
+    // qt21 is the index-served twin through the same ranking)
+    "qt20_bm25",
+    "qt21_bm25_indexed")
 
   test("single-partition windows sit only above provably bounded frames, " +
     "and only at the enumerated sites") {
