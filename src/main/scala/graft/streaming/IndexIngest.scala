@@ -105,6 +105,38 @@ object IndexIngest {
       }
       .start()
 
+  /** Collapse the accumulated per-batch postings directories into one —
+    * the small-files housekeeping a long-running ingest needs (10k
+    * micro-batches = 10k directories of tiny files; scan planning cost
+    * grows with file count even though the data is fine). Serving is
+    * unaffected: postings rows are merely relocated.
+    *
+    * The compacted rows land under the OLDEST included batch id, not
+    * the newest: the only batch the stream can ever replay is the last
+    * one (a crash before its checkpoint commit), and replay overwrites
+    * that batch's directory with just its own rows — compacting into
+    * the newest id would let such a replay silently drop every other
+    * batch's postings. The oldest id can only be "replayed" when it IS
+    * the newest (single-batch index), where the overwrite rewrites
+    * identical content. Vocab/stats are untouched (they track stream
+    * batch ids transactionally, not directory layout).
+    */
+  def compactPostings(spark: SparkSession, path: String,
+                      files: Int = 1): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = postingsPath(path)
+    AtomicSwap.recover(fs, root)
+    val cur = spark.read.parquet(root)
+    val minBatch = cur.select(min(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return
+      case r => r.get(0).toString.toLong
+    }
+    val flat = cur.drop("batch")
+      .repartition(files)
+      .withColumn("batch", lit(minBatch))
+    AtomicSwap.rewrite(fs, root, flat, partitionCols = Seq("batch"))
+  }
+
   /** The index's three faces, bookkeeping stripped. */
   def postings(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(postingsPath(path)).drop("batch")

@@ -71,4 +71,35 @@ class IndexIngestSpec extends SparkSpec {
       .filter(col("word") === "spark").head().getLong(1)
     assert(df == 2L, "df('spark') must merge across batches")
   }
+
+  test("compaction collapses batch directories without changing serving") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx3").toString
+    val batches = Seq(
+      Seq((1L, "spark vector spark"), (2L, "stream window")),
+      Seq((3L, "spark stream stream")),
+      Seq((4L, "window window vector")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      IndexIngest.applyBatch(spark, b.toDF("doc_id", "text"), dir, i.toLong)
+    }
+    val before = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+
+    IndexIngest.compactPostings(spark, dir)
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.map(_.getName).toSeq == Seq("batch=0"),
+      s"expected one batch dir, got ${dirs.map(_.getName).mkString(", ")}")
+
+    val after = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(after == before, "compaction must not change served results")
+
+    // ingest continues past a compaction: new batch ids still append
+    IndexIngest.applyBatch(spark,
+      Seq((5L, "spark")).toDF("doc_id", "text"), dir, 3L)
+    assert(IndexIngest.stats(spark, dir).head().getLong(0) == 5L)
+    assert(IndexIngest.postings(spark, dir)
+      .filter(col("did") === 5L).count() == 1L)
+  }
 }
