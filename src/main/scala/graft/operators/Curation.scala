@@ -429,4 +429,36 @@ object Curation {
       df.sparkSession.read.parquet(path)
     } finally cached.unpersist()
   }
+
+  /** Annotation aggregation — the label-consolidation step of an
+    * RLHF / classifier-training data pipeline: N annotators voted a
+    * label per item, downstream wants ONE label per item plus an
+    * agreement signal to filter or re-queue contested items.
+    *
+    * Per item: the majority label (ties broken by label ascending, so
+    * the winner is a pure function of the vote multiset), its vote
+    * count, the total votes, agreeing annotator PAIRS
+    * (sum over labels of C(n_l, 2) — the numerator of pairwise percent
+    * agreement), and a unanimity flag.
+    *
+    * Two partial-agg shuffles ((item, label), then item) — counts only,
+    * no windows, no per-item state; the winner rides a min(struct)
+    * argmax exactly like Pq.assign's tie discipline.
+    */
+  def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val counts = votes.groupBy(col(idCol), col(labelCol))
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(col(idCol))
+      .agg(
+        min(struct((-col("__n")).as("negn"), col(labelCol).as("lbl"))).as("__w"),
+        sum(col("__n")).as("n_votes"),
+        expr("sum(__n * (__n - 1)) div 2").as("agree_pairs"))
+      .select(
+        col(idCol),
+        col("__w.lbl").as("majority_label"),
+        (-col("__w.negn")).as("n_majority"),
+        col("n_votes"),
+        col("agree_pairs"),
+        (col("__w.negn") === -col("n_votes")).cast("long").as("unanimous"))
+  }
 }

@@ -243,6 +243,49 @@ object Round13 {
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
       Curation.hashSplit(grouped, "grp", valBp = 100, testBp = 100)
         .select("doc_id", "grp", "bucket", "split")
+    },
+
+    // ----- annotation aggregation (majority vote + agreement) -----------
+    // The label-consolidation step of an RLHF / classifier pipeline.
+    // The corpus carries no annotations, so BOTH engines derive the
+    // same deterministic 3-annotator vote set (qt11's
+    // decorate-then-verify discipline): each annotator votes the true
+    // lang except a portable-hash-selected 20% that flip to 'en' —
+    // every aggregation path (clean majority, noisy 2-1, unanimity)
+    // actually occurs. Gate proves majority/tie discipline, vote
+    // counts, and pairwise-agreement numerators match exactly.
+    Q("qq02_label_majority", {
+      val vote = Text.polyhashSql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(ann AS VARCHAR)")
+      s"""WITH a AS (SELECT doc_id, lang, unnest([1, 2, 3]) AS ann
+         |           FROM documents),
+         |v AS (SELECT doc_id,
+         |        CASE WHEN $vote % 10 < 2 THEN 'en' ELSE lang END AS label
+         |      FROM a),
+         |c AS (SELECT doc_id, label, COUNT(*) AS n FROM v GROUP BY 1, 2),
+         |w AS (SELECT doc_id, label, n,
+         |        ROW_NUMBER() OVER (PARTITION BY doc_id
+         |          ORDER BY n DESC, label) AS rn,
+         |        SUM(n) OVER (PARTITION BY doc_id) AS n_votes,
+         |        SUM(n * (n - 1)) OVER (PARTITION BY doc_id) // 2
+         |          AS agree_pairs
+         |      FROM c)
+         |SELECT doc_id, label AS majority_label,
+         |  CAST(n AS BIGINT) AS n_majority,
+         |  CAST(n_votes AS BIGINT) AS n_votes,
+         |  CAST(agree_pairs AS BIGINT) AS agree_pairs,
+         |  CAST(CASE WHEN n = n_votes THEN 1 ELSE 0 END AS BIGINT)
+         |    AS unanimous
+         |FROM w WHERE rn = 1""".stripMargin
+    }) { (s, dir) =>
+      val votes = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(array(lit(1), lit(2), lit(3))).as("ann"))
+        .withColumn("label",
+          when(pmod(Text.polyhash(concat(col("doc_id").cast("string"),
+              lit(":"), col("ann").cast("string"))), lit(10L)) < 2, lit("en"))
+            .otherwise(col("lang")))
+      Curation.labelMajority(votes, "doc_id", "label")
     }
   )
 }

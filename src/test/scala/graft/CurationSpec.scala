@@ -340,4 +340,25 @@ class CurationSpec extends SparkSpec {
     assert(rows.groupBy(_._2).exists(_._2.length > 1),
       "fixture corpus must contain at least one near-dup cluster")
   }
+
+  test("labelMajority: tie-break by label, agreement pairs, unanimity") {
+    import spark.implicits._
+    val votes = Seq(
+      (1L, "en"), (1L, "en"), (1L, "en"),             // unanimous
+      (2L, "en"), (2L, "de"), (2L, "en"),             // 2-1 majority
+      (3L, "fr"), (3L, "de"), (3L, "fr"), (3L, "de"), // 2-2 TIE -> 'de'
+      (4L, "zh")                                      // single vote
+    ).toDF("id", "label")
+    val got = graft.operators.Curation.labelMajority(votes, "id", "label")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) == (("en", 3L, 3L, 3L, 1L)))
+    assert(got(2L) == (("en", 2L, 3L, 1L, 0L)))
+    // tie: equal counts -> lexicographically smallest label wins;
+    // agree pairs = C(2,2 votes each) = 1 + 1
+    assert(got(3L) == (("de", 2L, 4L, 2L, 0L)))
+    assert(got(4L) == (("zh", 1L, 1L, 0L, 1L)))
+  }
 }
