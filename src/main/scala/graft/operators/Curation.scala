@@ -135,6 +135,30 @@ object Curation {
       .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
   }
 
+  /** Shard-utilization report over a [[packByBudget]] packing — the
+    * efficiency audit a sequence-packing step owes its trainer: per
+    * (stratum, shard), how many documents landed, how many tokens they
+    * carry, the fill ratio against the budget, and whether the shard
+    * spilled past it (the last document assigned by cumulative-BEFORE
+    * can cross the boundary — by design, documents are never split).
+    *
+    * Output: (partCol, shard, n_docs, tokens_used, utilization,
+    * over_budget). utilization = tokens_used / budget is one IEEE
+    * division of integers — bit-exact cross-engine.
+    *
+    * Scale: a single linear group-by on (stratum, shard) with map-side
+    * combine; output is shard-scale (corpus tokens / budget rows).
+    */
+  def packStats(packed: DataFrame, tokenCol: String, partCol: String,
+                budget: Long): DataFrame =
+    packed.groupBy(col(partCol), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("tokens_used"))
+      .select(col(partCol), col("shard"), col("n_docs"), col("tokens_used"),
+        (col("tokens_used").cast("double") / lit(budget).cast("double"))
+          .as("utilization"),
+        (col("tokens_used") > lit(budget)).cast("long").as("over_budget"))
+
   /** Length-bucketed batch packing — the padding-waste move every
     * fixed-shape trainer makes (fairseq/HF "bucketed batching"):
     * documents are grouped into length buckets (`tokenCol div

@@ -799,4 +799,43 @@ object Dedup {
       .filter(col("sim") >= threshold)
       .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
   }
+
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * n-gram shingles whose FIRST corpus occurrence (smallest id) is
+    * this document. The corpus-growth metric of a curation pipeline —
+    * near-1 documents bring new content; near-0 documents restate what
+    * earlier documents already said (dedup's soft sibling: qd02 asks
+    * "is this a copy of THAT doc", this asks "how much of this doc is
+    * new at all").
+    *
+    * Output: (id, n_shingles, n_novel, novelty), novelty = n_novel /
+    * n_shingles (0.0 for documents with no shingles — defensive; the
+    * shingler emits >= 1 gram per document).
+    *
+    * Scale shape: NO pairwise anything — two linear aggregates.
+    * n_novel per document is read off the shingle->min(id) table alone
+    * (the min's owner gets the credit), so hot shingles ride map-side
+    * partial aggregation (min/count are monoids) rather than an
+    * exploded join; shuffles are one by shingle, one by id. Division
+    * of two integers is a single correctly-rounded IEEE op —
+    * bit-exact cross-engine.
+    */
+  def firstOccurrenceNovelty(df: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3): DataFrame = {
+    val e = withShingles(df, idCol, textCol, n)
+      .select(col(idCol), explode(col("__sh")).as("sh"))
+    val nsh = e.groupBy(idCol).agg(count(lit(1)).as("n_shingles"))
+    val novel = e.groupBy("sh").agg(min(col(idCol)).as("__fid"))
+      .groupBy("__fid").agg(count(lit(1)).as("n_novel"))
+      .withColumnRenamed("__fid", idCol)
+    df.select(col(idCol))
+      .join(nsh, Seq(idCol), "left")
+      .join(novel, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_shingles").cast("double")).as("novelty"))
+  }
 }

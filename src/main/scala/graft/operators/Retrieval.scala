@@ -153,10 +153,14 @@ object Retrieval {
     * contributions are correctly-rounded doubles and their sum is a
     * single fixed-order addition, so fusion is bit-exact cross-engine.
     */
-  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
-                    emb: DataFrame, vidCol: String, vecCol: String,
-                    queryMod: Int = 100, kArm: Int = 20, k: Int = 10,
-                    rrfK: Int = 60): DataFrame = {
+  /** Per-query BM25 top-`kArm`: every document whose id ≡ 0 mod
+    * `queryMod` queries the corpus with its own distinct words.
+    * Output: (qid, did, rl), rl 1..kArm per query, self excluded.
+    * This is [[hybridRrfTopK]]'s lexical arm, exposed on its own for
+    * retrieval evaluation ([[evalRanking]]).
+    */
+  def bm25PerQueryTopK(docs: DataFrame, idCol: String, textCol: String,
+                       queryMod: Int = 100, kArm: Int = 20): DataFrame = {
     val t = tokenized(docs, idCol, textCol)
     val tf = termFreqs(t)
 
@@ -172,9 +176,9 @@ object Retrieval {
       .localCheckpoint()
     val qvocab = qw.select("word").distinct()
 
-    // Lexical arm: posting lists pruned to the query vocabulary
-    // (broadcast semi-join), df over the pruned-but-complete lists,
-    // per-(query, doc) exact-sum BM25, rank, truncate.
+    // Posting lists pruned to the query vocabulary (broadcast
+    // semi-join), df over the pruned-but-complete lists, per-(query,
+    // doc) exact-sum BM25, rank, truncate.
     //
     // The BM25 contribution of a (word, doc) posting does NOT depend on
     // which query asked, so the whole scoring chain — including the
@@ -196,12 +200,21 @@ object Retrieval {
       .filter(col("did") =!= col("qid"))
       .groupBy("qid", "did")
       .agg(sum(col("c")).cast(DoubleType).as("lex"))
-    val lex = lexScored
+    lexScored
       .withColumn("rl", row_number().over(
         Window.partitionBy("qid").orderBy(col("lex").desc, col("did")))
         .cast(LongType))
       .filter(col("rl") <= kArm)
       .select(col("qid"), col("did"), col("rl"))
+  }
+
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+                    emb: DataFrame, vidCol: String, vecCol: String,
+                    queryMod: Int = 100, kArm: Int = 20, k: Int = 10,
+                    rrfK: Int = 60): DataFrame = {
+    // Lexical arm (see bm25PerQueryTopK for the posting-prune /
+    // score-once-before-fan-out design).
+    val lex = bm25PerQueryTopK(docs, idCol, textCol, queryMod, kArm)
 
     // Semantic arm: exact cosine top-k (the ANN ladder's baseline; at
     // scale swap in lshCosineTopK/ivf — fusion is rank-only, so the
@@ -228,5 +241,46 @@ object Retrieval {
         Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
         .cast(LongType))
       .filter(col("rnk") <= k)
+  }
+
+  /** Offline ranking evaluation — the retriever-selection step of a
+    * training-data / RAG pipeline: score a SYSTEM ranking against a
+    * TRUTH relevance set, per query.
+    *
+    * Output per truth query: (query_id, n_truth, hits, recall, rr) —
+    * `hits` = |system ∩ truth|, `recall` = hits / n_truth, `rr` =
+    * 1 / rank of the first relevant document in the system ranking
+    * (0.0 when the system missed every relevant doc). Averaging `rr`
+    * over queries is MRR; averaging `recall` is macro recall@k.
+    *
+    * Exactness: counts are integers; recall and rr are single IEEE
+    * divisions of integers — correctly rounded, bit-identical
+    * cross-engine (no logs, no order-dependent float sums).
+    *
+    * Scale: both inputs are rank-truncated (≤ k rows per query), so the
+    * join and the per-query aggregate move query-bounded state only —
+    * the corpus never appears here. Queries with truth but zero system
+    * rows still produce a row (left join from truth).
+    */
+  def evalRanking(system: DataFrame, sysQuery: String, sysDoc: String,
+                  sysRank: String,
+                  truth: DataFrame, truthQuery: String, truthDoc: String)
+      : DataFrame = {
+    val sys = system.select(col(sysQuery).as("query_id"),
+      col(sysDoc).as("doc_id"), col(sysRank).as("__rnk"))
+    val tr = truth.select(col(truthQuery).as("query_id"),
+      col(truthDoc).as("doc_id"))
+    tr.join(sys, Seq("query_id", "doc_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).as("n_truth"),
+        count(col("__rnk")).as("hits"),
+        min(col("__rnk")).as("__first"))
+      .select(
+        col("query_id"), col("n_truth"), col("hits"),
+        (col("hits").cast(DoubleType) / col("n_truth").cast(DoubleType))
+          .as("recall"),
+        when(col("__first").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("__first").cast(DoubleType)).as("rr"))
   }
 }

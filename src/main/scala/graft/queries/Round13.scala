@@ -60,6 +60,62 @@ object Round13 {
   private val indexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qd16's maintained dedup state per sf dir — same discipline. */
+  private val dedupDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Lexical per-query arm (Retrieval.bm25PerQueryTopK): qw..lt CTEs,
+    * `lt` = (qid, did, rl), rl <= kArm. Assumes `bm25Prelude` + `d`.
+    */
+  private def lexArmSql(kArm: Int) =
+    s"""qw AS (SELECT DISTINCT qid, word FROM
+       |        (SELECT did AS qid, unnest(ws) AS word FROM d
+       |         WHERE did % 100 = 0)),
+       |qv AS (SELECT DISTINCT word FROM qw),
+       |tfq AS (SELECT tf.* FROM tf JOIN qv USING (word)),
+       |tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tfq),
+       |sc AS (SELECT qid, did, $bm25ScoreSql AS score
+       |       FROM tfd JOIN qw USING (word), s WHERE did <> qid),
+       |lex AS (SELECT qid, did, ${Exact.dsumSql("score")} AS lex
+       |        FROM sc GROUP BY qid, did),
+       |lexr AS (SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
+       |           ORDER BY lex DESC, did) AS rl FROM lex),
+       |lt AS (SELECT qid, did, rl FROM lexr WHERE rl <= $kArm)""".stripMargin
+
+  /** Semantic per-query arm (exact cosine): e..st CTEs, `st` =
+    * (sqid, sdid, rs), rs <= kArm.
+    */
+  private def semArmSql(kArm: Int) =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT vec_id AS sqid, v AS qv, nrm AS qnrm FROM n
+       |      WHERE vec_id % 100 = 0),
+       |p AS (SELECT sqid, vec_id AS sdid,
+       |        list_dot_product(qv, v) / (qnrm * nrm) AS sim
+       |      FROM q, n WHERE vec_id <> sqid),
+       |sr AS (SELECT sqid, sdid, ROW_NUMBER() OVER (PARTITION BY sqid
+       |         ORDER BY sim DESC, sdid) AS rs FROM p),
+       |st AS (SELECT sqid, sdid, rs FROM sr WHERE rs <= $kArm)""".stripMargin
+
+  /** qs19's per-query metrics: system = lexical arm top-20, truth =
+    * exact cosine top-10. Factored so qs20's rollup wraps it verbatim.
+    */
+  private val evalPerQuerySql =
+    s"""WITH $bm25Prelude,
+       |${lexArmSql(20)},
+       |${semArmSql(10)},
+       |j AS (SELECT st.sqid AS query_id, st.sdid AS doc_id, lt.rl
+       |      FROM st LEFT JOIN lt ON lt.qid = st.sqid AND lt.did = st.sdid),
+       |m AS (SELECT query_id,
+       |        CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |        CAST(COUNT(rl) AS BIGINT) AS hits,
+       |        CAST(COUNT(rl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall,
+       |        CASE WHEN MIN(rl) IS NULL THEN 0.0
+       |             ELSE 1.0 / CAST(MIN(rl) AS DOUBLE) END AS rr
+       |      FROM j GROUP BY query_id)
+       |SELECT query_id, n_truth, hits, recall, rr FROM m""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ----- BM25 lexical retrieval (log-free idf, exact) ------------------
@@ -92,30 +148,8 @@ object Round13 {
     // ----- hybrid retrieval: BM25 arm + cosine arm, RRF fusion -----------
     Q("qs17_hybrid_rrf",
       s"""WITH $bm25Prelude,
-         |qw AS (SELECT DISTINCT qid, word FROM
-         |        (SELECT did AS qid, unnest(ws) AS word FROM d
-         |         WHERE did % 100 = 0)),
-         |qv AS (SELECT DISTINCT word FROM qw),
-         |tfq AS (SELECT tf.* FROM tf JOIN qv USING (word)),
-         |tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tfq),
-         |sc AS (SELECT qid, did, $bm25ScoreSql AS score
-         |       FROM tfd JOIN qw USING (word), s WHERE did <> qid),
-         |lex AS (SELECT qid, did, ${Exact.dsumSql("score")} AS lex
-         |        FROM sc GROUP BY qid, did),
-         |lexr AS (SELECT qid, did, ROW_NUMBER() OVER (PARTITION BY qid
-         |           ORDER BY lex DESC, did) AS rl FROM lex),
-         |lt AS (SELECT qid, did, rl FROM lexr WHERE rl <= 20),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |      FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-         |q AS (SELECT vec_id AS sqid, v AS qv, nrm AS qnrm FROM n
-         |      WHERE vec_id % 100 = 0),
-         |p AS (SELECT sqid, vec_id AS sdid,
-         |        list_dot_product(qv, v) / (qnrm * nrm) AS sim
-         |      FROM q, n WHERE vec_id <> sqid),
-         |sr AS (SELECT sqid, sdid, ROW_NUMBER() OVER (PARTITION BY sqid
-         |         ORDER BY sim DESC, sdid) AS rs FROM p),
-         |st AS (SELECT sqid, sdid, rs FROM sr WHERE rs <= 20),
+         |${lexArmSql(20)},
+         |${semArmSql(20)},
          |f AS (SELECT COALESCE(lt.qid, st.sqid) AS query_id,
          |        COALESCE(lt.did, st.sdid) AS doc_id,
          |        COALESCE(lt.rl, CAST(0 AS BIGINT)) AS rnk_lex,
@@ -134,6 +168,49 @@ object Round13 {
         Tables(s, dir, "documents"), "doc_id", "text",
         Tables(s, dir, "embeddings"), "vec_id", "embedding",
         queryMod = 100, kArm = 20, k = 10, rrfK = 60)
+    },
+
+    // ----- retrieval evaluation: recall@k + reciprocal rank --------------
+    // The retriever-selection step: score the lexical BM25 arm (top-20)
+    // against the exact-cosine semantic top-10 as the relevance truth.
+    // Per-query counts are integers; recall/rr are single IEEE
+    // divisions — bit-exact cross-engine. Truth queries with zero
+    // lexical hits still emit a row (rr = 0.0), so a system arm that
+    // silently drops a query breaks the hash.
+    Q("qs19_retrieval_eval", evalPerQuerySql) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(
+        emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10)
+      val sys = Retrieval.bm25PerQueryTopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        queryMod = 100, kArm = 20)
+      Retrieval.evalRanking(sys, "qid", "did", "rl",
+        truth, "query_id", "neighbor_id")
+    },
+
+    // ----- retrieval evaluation rollup: MRR + macro recall ---------------
+    // The corpus-level scoreboard over qs19's per-query rows; means ride
+    // the decimal exact-sum so aggregation order can't perturb them.
+    Q("qs20_eval_rollup",
+      s"""WITH base AS ($evalPerQuerySql)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  ${Exact.davgSql("rr")} AS mrr,
+         |  ${Exact.davgSql("recall")} AS macro_recall
+         |FROM base""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val truth = Similarity.cosineTopK(
+        emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10)
+      val sys = Retrieval.bm25PerQueryTopK(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        queryMod = 100, kArm = 20)
+      Retrieval.evalRanking(sys, "qid", "did", "rl",
+          truth, "query_id", "neighbor_id")
+        .agg(
+          count(lit(1)).as("n_queries"),
+          (Exact.dsum(col("rr")) / count(lit(1))).as("mrr"),
+          (Exact.dsum(col("recall")) / count(lit(1))).as("macro_recall"))
     },
 
     // ----- BPE encode round-trip (train qt16 → encode → detokenize) ------
@@ -243,6 +320,87 @@ object Round13 {
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
       Curation.hashSplit(grouped, "grp", valBp = 100, testBp = 100)
         .select("doc_id", "grp", "bucket", "split")
+    },
+
+    // ----- streaming exact-dedup state (merge-at-serve monoid) -----------
+    // SAME oracle text as qd01, deliberately: the gate proves the
+    // per-batch append-only state (streaming.DedupIngest) merges back
+    // to the corpus-scan dedup bit for bit after a multi-batch build —
+    // (min, sum) per content key is a monoid, so disjoint batch
+    // partials lose nothing. Parity batching guarantees cross-batch
+    // duplicate pairs actually occur.
+    Q("qd16_stream_dedup",
+      "SELECT text, min(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text") {
+      (s, dir) =>
+        val path = dedupDirs.computeIfAbsent(dir, d => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_qd16_dedup").toString
+          val docs = Tables(s, d, "documents").select("doc_id", "text")
+          graft.streaming.DedupIngest.applyBatch(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", out, 0L)
+          graft.streaming.DedupIngest.applyBatch(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", out, 1L)
+          out
+        })
+        graft.streaming.DedupIngest.serve(s, path, "text")
+    },
+
+    // ----- n-gram novelty (first-occurrence attribution) -----------------
+    // Corpus-growth metric: what fraction of each document's distinct
+    // 3-gram shingles first appear (smallest doc_id) in THAT document.
+    // No pairwise work — the min's owner gets the credit straight off
+    // the shingle -> min(doc_id) table (see
+    // Dedup.firstOccurrenceNovelty for the two-linear-aggregate shape).
+    Q("qt22_novelty",
+      s"""WITH w AS ($wCte),
+         |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
+         |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
+         |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
+         |        GROUP BY fid)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+         |       ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
+         |            / CAST(n_shingles AS DOUBLE) END AS novelty
+         |FROM documents d
+         |LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)""".stripMargin) {
+      (s, dir) =>
+        Dedup.firstOccurrenceNovelty(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3)
+    },
+
+    // ----- packing-efficiency report over qc02's shards -------------------
+    // Per (source, shard): docs, tokens, fill ratio vs the 512-token
+    // budget, spill flag (the boundary document crosses by design —
+    // documents are never split). The audit a packing step owes its
+    // trainer: silent under-fill is wasted step time, systematic
+    // overflow means the budget is mis-sized.
+    Q("qc14_pack_stats",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens FROM w),
+         |j AS (SELECT d.doc_id, d.source, t.tokens
+         |      FROM documents d JOIN t USING (doc_id)),
+         |c AS (SELECT doc_id, source, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM j),
+         |packed AS (SELECT doc_id, source, tokens,
+         |  CAST(cb // 512 AS BIGINT) AS shard FROM c)
+         |SELECT source, shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS tokens_used,
+         |  CAST(SUM(tokens) AS DOUBLE) / CAST(512 AS DOUBLE) AS utilization,
+         |  CAST(CASE WHEN SUM(tokens) > 512 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS over_budget
+         |FROM packed GROUP BY source, shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      val packed = Curation.packByBudget(docs, "doc_id", "tokens", "source",
+        budget = 512L)
+      Curation.packStats(packed, "tokens", "source", budget = 512L)
     },
 
     // ----- annotation aggregation (majority vote + agreement) -----------

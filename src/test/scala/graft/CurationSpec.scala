@@ -361,4 +361,31 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == (("de", 2L, 4L, 2L, 0L)))
     assert(got(4L) == (("zh", 1L, 1L, 0L, 1L)))
   }
+
+  test("packStats accounts every packed token and flags boundary spill") {
+    import spark.implicits._
+    // one stratum, budget 10: docs of 4+4 fill shard 0 to 8; the
+    // 6-token doc starts at cb=8 → shard 0 spills to 14; next doc
+    // starts at cb=14 → shard 1 holds 7 (under-filled, no spill)
+    val docs = Seq(
+      (1L, "s", 4L), (2L, "s", 4L), (3L, "s", 6L), (4L, "s", 7L)
+    ).toDF("doc_id", "source", "tokens")
+    val packed = Curation.packByBudget(docs, "doc_id", "tokens", "source",
+      budget = 10L)
+    val got = Curation.packStats(packed, "tokens", "source", budget = 10L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    assert(got(("s", 0L)) == ((3L, 14L, 1.4, 1L)))
+    assert(got(("s", 1L)) == ((1L, 7L, 0.7, 0L)))
+    // invariant on the gate corpus: stats lose no documents or tokens
+    val corpus = Tables(spark, sfDir, "documents")
+      .withColumn("tokens", size(expr(
+        graft.functions.Text.wordsExpr("text"))).cast("long"))
+    val p = Curation.packByBudget(corpus, "doc_id", "tokens", "source", 512L)
+    val st = Curation.packStats(p, "tokens", "source", 512L)
+      .agg(sum("n_docs"), sum("tokens_used")).head()
+    assert(st.getLong(0) == corpus.count())
+    assert(st.getLong(1) == corpus.agg(sum("tokens")).head().getLong(0))
+  }
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.streaming.DedupIngest
+
+/** Streaming exact-dedup state: after any number of micro-batches the
+  * served merge must equal Dedup.exact over the full corpus bit for
+  * bit — (min, sum) per content key is a monoid, so disjoint batch
+  * partials lose nothing, including duplicates that span batches.
+  */
+class DedupIngestSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("stream-built dedup state serves identical to the corpus scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // three uneven micro-batches — duplicates land across batch
+    // boundaries wherever the corpus planted them with distant ids
+    val batches = Seq(docs.take(7).toSeq, docs.slice(7, 30).toSeq,
+      docs.drop(30).toSeq)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = DedupIngest.start(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", dir, s"$dir/__ckpt")
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    val direct = Dedup.exact(
+        Tables(spark, sf, "documents"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val served = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == direct,
+      s"served dedup state diverges from the corpus scan: " +
+        s"${(served diff direct).take(3)} vs ${(direct diff served).take(3)}")
+  }
+
+  test("cross-batch duplicates merge to the global min id and full count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd2").toString
+    DedupIngest.applyBatch(
+      Seq((5L, "same text"), (9L, "other")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    DedupIngest.applyBatch(
+      Seq((2L, "same text"), (7L, "same text")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    val got = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("same text", 2L, 3L), ("other", 9L, 1L)))
+  }
+
+  test("a replayed micro-batch no-ops; a new batch still applies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd3").toString
+    val b0 = Seq((1L, "a"), (3L, "a"), (2L, "b")).toDF("doc_id", "text")
+    DedupIngest.applyBatch(b0, "doc_id", "text", dir, 0L)
+    val once = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(DedupIngest.hasBatch(spark, dir, 0L))
+    assert(!DedupIngest.hasBatch(spark, dir, 1L))
+    DedupIngest.applyBatch(b0, "doc_id", "text", dir, 0L) // replay
+    val twice = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(twice == once, "replay must be a value-level no-op")
+    DedupIngest.applyBatch(
+      Seq((0L, "a")).toDF("doc_id", "text"), "doc_id", "text", dir, 1L)
+    val after = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == Set(("a", 0L, 3L), ("b", 2L, 1L)))
+  }
+}

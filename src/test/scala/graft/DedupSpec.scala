@@ -310,4 +310,32 @@ class DedupSpec extends SparkSpec {
       Option(e.getCause).exists(c =>
         Option(c.getMessage).exists(_.contains("semanticNearDupPairs"))))
   }
+
+  test("firstOccurrenceNovelty credits each shingle to its smallest doc id") {
+    import spark.implicits._
+    // doc 1: 2 shingles, both first here           → novelty 1.0
+    // doc 2: verbatim copy of doc 1                → novelty 0.0
+    // doc 3: shares "b c d" with 1, adds "c d e"   → 1 of 2 novel
+    // doc 4: short text (one whole-text shingle), unique → 1.0
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "b c d e"), (4L, "xy zz")
+    ).toDF("doc_id", "text")
+    val got = Dedup.firstOccurrenceNovelty(df, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 0L, 0.0)))
+    assert(got(3L) == ((2L, 1L, 0.5)))
+    assert(got(4L) == ((1L, 1L, 1.0)))
+    // corpus invariant: every distinct shingle is credited exactly once
+    val total = Dedup.firstOccurrenceNovelty(docs, "doc_id", "text", n = 3)
+      .agg(sum("n_novel")).head().getLong(0)
+    val distinctShingles = docs
+      .select(explode(expr(graft.functions.Text.shinglesExpr(
+        graft.functions.Text.wordsExpr("text")))).as("sh"))
+      .select("sh").distinct().count()
+    assert(total == distinctShingles,
+      s"sum(n_novel)=$total must equal |distinct shingles|=$distinctShingles")
+  }
 }

@@ -105,4 +105,28 @@ class RetrievalSpec extends SparkSpec {
       .collect()
     assert(r.map(_.getLong(0)).toSeq == Seq(3L))
   }
+
+  test("evalRanking computes per-query recall and reciprocal rank exactly") {
+    // q1: truth {10,11,12}; system ranks 11 at 2, 12 at 5 → hits 2,
+    //     recall 2/3, first relevant rank 2 → rr 0.5
+    // q2: truth {20}; system never retrieves it → hits 0, rr 0.0
+    //     (the query must still emit a row)
+    // q3: truth {30,31}; system ranks 30 at 1 → recall 0.5, rr 1.0
+    val system = Seq(
+      (1L, 99L, 1L), (1L, 11L, 2L), (1L, 98L, 3L), (1L, 97L, 4L), (1L, 12L, 5L),
+      (2L, 77L, 1L), (2L, 78L, 2L),
+      (3L, 30L, 1L), (3L, 88L, 2L)
+    ).toDF("qid", "did", "rl")
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "neighbor_id")
+    val got = Retrieval.evalRanking(system, "qid", "did", "rl",
+        truth, "query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, 3L, 2L, 2.0 / 3.0, 0.5),
+      (2L, 1L, 0L, 0.0, 0.0),
+      (3L, 2L, 1L, 0.5, 1.0)))
+  }
 }
