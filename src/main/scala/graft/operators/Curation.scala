@@ -116,7 +116,24 @@ object Curation {
     */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
                    partCol: String, budget: Long,
-                   chunkSize: Long = 1L << 20): DataFrame = {
+                   chunkSize: Long = 1L << 20): DataFrame =
+    prefixBefore(df, idCol, tokenCol, partCol, chunkSize)
+      .withColumn("shard", expr(s"__cb div ${budget}L"))
+      .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
+
+  /** The two-phase parallel per-stratum prefix sum shared by
+    * [[packByBudget]] and [[interleaveByWeight]]: each row gains
+    * `__cb` = sum of `tokenCol` over same-stratum rows with smaller
+    * id. (1) rows get a deterministic chunk (id DIV chunkSize);
+    * (2) per-chunk subtotals — one row per (stratum, chunk) — get
+    * per-stratum running offsets; (3) a window PER (stratum, chunk)
+    * adds the local prefix, so the heavy windows parallelize across
+    * chunks instead of serializing a terabyte stratum through one
+    * task. Bit-identical to the naive per-stratum window at any
+    * chunkSize.
+    */
+  private def prefixBefore(df: DataFrame, idCol: String, tokenCol: String,
+                           partCol: String, chunkSize: Long): DataFrame = {
     val base = df.select(col(idCol), col(partCol), col(tokenCol))
       .withColumn("__chunk", expr(s"$idCol div ${chunkSize}L"))
     // per-chunk subtotals: |strata| x |id-range / chunkSize| rows — tiny
@@ -131,9 +148,35 @@ object Curation {
     base.join(offsets, Seq(partCol, "__chunk"))
       .withColumn("__cb",
         col("__off") + coalesce(sum(col(tokenCol)).over(wLocal), lit(0L)))
-      .withColumn("shard", expr(s"__cb div ${budget}L"))
-      .select(col(idCol), col(partCol), col(tokenCol), col("shard"))
   }
+
+  /** Deterministic weighted interleave of sources — the execution step
+    * of a dataset-mixing plan: source `s` with weight `w` surfaces its
+    * k-th document (id order) at read position `(k − 0.5) / w`, so a
+    * trainer consuming the corpus in `pos` order draws from each
+    * source in proportion to its weight at every prefix, with no
+    * randomness (re-runs, retries and repartitioning read the same
+    * curriculum).
+    *
+    * Output: (idCol, partCol, rank_in_source, weight, pos).
+    *
+    * Exactness: rank and weight are integers; pos is one subtraction
+    * and one division of exactly-representable doubles — bit-identical
+    * cross-engine. Scale: the per-source rank rides [[prefixBefore]]'s
+    * chunk-parallel prefix sum, never one window task per source; the
+    * global sort by pos is the consumer's (writers usually range-
+    * partition by pos instead).
+    */
+  def interleaveByWeight(df: DataFrame, idCol: String, partCol: String,
+                         weight: Column,
+                         chunkSize: Long = 1L << 20): DataFrame =
+    prefixBefore(df.select(col(idCol), col(partCol))
+        .withColumn("__one", lit(1L)), idCol, "__one", partCol, chunkSize)
+      .withColumn("rank_in_source", col("__cb") + lit(1L))
+      .withColumn("weight", weight.cast("long"))
+      .select(col(idCol), col(partCol), col("rank_in_source"), col("weight"),
+        ((col("rank_in_source").cast("double") - lit(0.5)) /
+          col("weight").cast("double")).as("pos"))
 
   /** Shard-utilization report over a [[packByBudget]] packing — the
     * efficiency audit a sequence-packing step owes its trainer: per

@@ -695,4 +695,40 @@ object TextAnalysis {
       .filter(col("sim") >= minSim)
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
+
+  /** Vocabulary coverage curve — the tokenizer-design question "how
+    * much of the corpus do the N most frequent words cover?", answered
+    * for each requested N.
+    *
+    * Output per N: (n, covered, total, coverage) — `covered` = token
+    * occurrences of the top-N words (frequency desc, word asc tie
+    * break), `coverage` = covered / total (one exact IEEE division).
+    * N larger than the vocabulary clamps to full coverage.
+    *
+    * Scale: word counts are one linear aggregate with map-side
+    * combine; the top-N cut is TakeOrderedAndProject (per-partition
+    * heaps bounded by max(ns), never a vocabulary sort), and the rank
+    * window runs over the ≤ max(ns) surviving rows (limit-bounded
+    * single-partition window, the rankTopK discipline).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty, "vocabCoverage needs at least one N")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.select(explode(expr(Text.wordsExpr(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("word")).limit(ns.max)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("word")))
+          .cast(LongType))
+    ns.map(_.toLong).toDF("n")
+      .join(top, col("rnk") <= col("n"))
+      .groupBy("n").agg(sum(col("cnt")).as("covered"))
+      .crossJoin(total)
+      .select(col("n"), col("covered"), col("total"),
+        (col("covered").cast(DoubleType) / col("total").cast(DoubleType))
+          .as("coverage"))
+  }
 }

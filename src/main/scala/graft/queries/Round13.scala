@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Exact, Text}
-import graft.operators.{Bpe, Curation, Dedup, Retrieval, Similarity}
+import graft.operators.{Bpe, Curation, Dedup, Retrieval, Similarity, TextAnalysis}
 
 /** Round-13 additions: the retrieval side of the training-data pipeline
   * (lexical BM25, hybrid BM25 ⊕ vector RRF fusion) plus the BPE encode
@@ -401,6 +401,52 @@ object Round13 {
       val packed = Curation.packByBudget(docs, "doc_id", "tokens", "source",
         budget = 512L)
       Curation.packStats(packed, "tokens", "source", budget = 512L)
+    },
+
+    // ----- vocabulary coverage curve --------------------------------------
+    // Tokenizer-design metric: corpus-token share covered by the top-N
+    // words. N values bracket the gate corpus's vocabulary so the
+    // partial slopes AND the full-coverage clamp both occur. The top-N
+    // cut is TakeOrderedAndProject; only the ≤ max(N) survivors see a
+    // window (rankTopK discipline).
+    Q("qt23_vocab_coverage",
+      s"""WITH w AS ($wCte),
+         |t AS (SELECT unnest(ws) AS word FROM w),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM t GROUP BY word),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+         |r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+         |      FROM c),
+         |ns AS (SELECT unnest([4, 8, 16, 64]) AS n),
+         |cov AS (SELECT n, CAST(SUM(cnt) AS BIGINT) AS covered
+         |        FROM ns JOIN r ON rnk <= n GROUP BY n)
+         |SELECT CAST(n AS BIGINT) AS n, covered, total,
+         |  CAST(covered AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+         |FROM cov, tot""".stripMargin) { (s, dir) =>
+      TextAnalysis.vocabCoverage(Tables(s, dir, "documents"), "text",
+        ns = Seq(4, 8, 16, 64))
+    },
+
+    // ----- deterministic weighted source interleave -----------------------
+    // The execution step of a mixing plan: source s with weight w
+    // surfaces its k-th doc at pos (k - 0.5) / w, so a pos-ordered
+    // consumer draws proportionally at every prefix. Weights derive
+    // from the portable hash of the source name (1..4) on BOTH
+    // engines — every weight class occurs. rank/weight are integers,
+    // pos is one exact IEEE subtract + divide.
+    Q("qc15_mixture_interleave",
+      s"""WITH r AS (SELECT doc_id, source,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+         |    FROM documents),
+         |wt AS (SELECT doc_id, source, rnk,
+         |        1 + ${Text.polyhashSql("source")} % 4 AS w FROM r)
+         |SELECT doc_id, source,
+         |  CAST(rnk AS BIGINT) AS rank_in_source,
+         |  CAST(w AS BIGINT) AS weight,
+         |  (CAST(rnk AS DOUBLE) - 0.5) / CAST(w AS DOUBLE) AS pos
+         |FROM wt""".stripMargin) { (s, dir) =>
+      Curation.interleaveByWeight(Tables(s, dir, "documents"),
+        "doc_id", "source",
+        weight = lit(1L) + pmod(Text.polyhash(col("source")), lit(4L)))
     },
 
     // ----- annotation aggregation (majority vote + agreement) -----------

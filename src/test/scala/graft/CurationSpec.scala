@@ -362,6 +362,35 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == (("zh", 1L, 1L, 0L, 1L)))
   }
 
+  test("interleaveByWeight reads sources proportionally at every prefix") {
+    import spark.implicits._
+    // source a weight 3, source b weight 1: 30 + 10 docs
+    val df = ((1L to 30L).map(i => (i, "a")) ++ (31L to 40L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val w = when(col("source") === "a", 3L).otherwise(1L)
+    val rows = Curation.interleaveByWeight(df, "doc_id", "source", w)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .sortBy(_._5)
+    // pos values: a at (k-0.5)/3, b at (k-0.5) — exact doubles
+    assert(rows.head == ((1L, "a", 1L, 3L, 0.5 / 3.0)))
+    // every prefix of the pos-ordered stream holds a:b near 3:1 —
+    // after any b at position p, a has consumed floor/ceil of 3p
+    rows.zipWithIndex.filter(_._1._2 == "b").foreach { case (b, i) =>
+      val aSeen = rows.take(i + 1).count(_._2 == "a")
+      assert(math.abs(aSeen - 3L * b._3) <= 2,
+        s"after b#${b._3}, a consumed $aSeen (want ~${3 * b._3})")
+    }
+    // determinism: a repartitioned input yields identical rows
+    val again = Curation.interleaveByWeight(df.repartition(7), "doc_id",
+        "source", w)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._5)
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("packStats accounts every packed token and flags boundary spill") {
     import spark.implicits._
     // one stratum, budget 10: docs of 4+4 fill shard 0 to 8; the

@@ -426,7 +426,11 @@ class PlanChecksSpec extends SparkSpec {
     // (Retrieval.rankTopK sorts+limits to k=10 rows before ranking;
     // qt21 is the index-served twin through the same ranking)
     "qt20_bm25",
-    "qt21_bm25_indexed")
+    "qt21_bm25_indexed",
+    // rank over the top-max(N)=64 vocabulary rows already taken by
+    // TakeOrderedAndProject (TextAnalysis.vocabCoverage, rankTopK
+    // discipline; the word-count aggregate sits below)
+    "qt23_vocab_coverage")
 
   test("single-partition windows sit only above provably bounded frames, " +
     "and only at the enumerated sites") {

@@ -158,4 +158,18 @@ class TextAnalysisSpec extends SparkSpec {
       assert(exact.nonEmpty, s"t=$t: degenerate test — no qualifying pairs")
     }
   }
+
+  test("vocabCoverage ranks by frequency then word, and clamps past the vocab") {
+    import spark.implicits._
+    // counts: x:4, b:3, a:2, z:1 — ties impossible here except via the
+    // word tie-break exercised by (a=2 vs the would-be c=2 absent)
+    val df = Seq((1L, "x x b a"), (2L, "x b z a"), (3L, "x b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", ns = Seq(1, 2, 10))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) == ((4L, 10L, 0.4)))       // top-1 = x
+    assert(got(2L) == ((7L, 10L, 0.7)))       // + b
+    assert(got(10L) == ((10L, 10L, 1.0)))     // clamp: whole vocab
+  }
 }
