@@ -280,4 +280,85 @@ object Similarity {
     df.select(col(idCol) +: (0 until Text.JlDims).map(j =>
       Text.dot(v, typedLit(Text.JlSigns(j))).as(s"y$j")): _*)
   }
+
+  /** Maximal-marginal-relevance re-ranking — the diversification step a
+    * retrieval-augmented or training-data pipeline runs over a
+    * candidate list: greedily pick `k` documents where each pick
+    * maximizes `λ·rel − (1−λ)·max_sim_to_already_picked`, so the
+    * result is relevant AND non-redundant (a plain top-k returns five
+    * near-copies; MMR returns one copy plus four distinct angles).
+    *
+    * Queries are the vectors with id ≡ 0 mod `queryMod`; candidates
+    * are their exact cosine top-`kCand`; rel = cosine to the query;
+    * pairwise candidate similarity is cosine. Output per pick:
+    * (query_id, doc_id, rnk 1..k, rel, pen, score) — the first pick
+    * carries pen = 0.0.
+    *
+    * Exactness: every number is a dot/√/×/−/÷ chain of exact IEEE ops
+    * shared with cosineTopK; `max` over doubles and the (score desc,
+    * id asc) argmax are order-free. λ must be exactly representable
+    * (default 0.5) so both engines scale identically.
+    *
+    * Scale: candidates are rank-truncated, so the pair-similarity join
+    * moves |Q| × kCand² bounded rows and each greedy step joins
+    * query-bounded state; the corpus appears only in the candidate
+    * arm, which at scale swaps for the ANN ladder unchanged. Steps are
+    * `k` tiny jobs on checkpointed picks — plan depth stays O(1).
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryMod: Int = 100, kCand: Int = 20, k: Int = 5,
+                lambda: Double = 0.5): DataFrame = {
+    val c = normed(emb, idCol, vecCol)
+    val q = c.filter(col("vid") % queryMod === 0)
+      .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wRel = Window.partitionBy("qid").orderBy(col("rel").desc, col("did"))
+    val cand = q.crossJoin(c)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rel",
+        Text.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+      .select(col("qid"), col("vid").as("did"), col("rel"), col("v"),
+        col("nrm"))
+      .withColumn("rs", row_number().over(wRel))
+      .filter(col("rs") <= kCand)
+      .localCheckpoint()
+    val a = cand.select(col("qid"), col("did").as("da"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = cand.select(col("qid"), col("did").as("db"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    val cs = a.join(b, Seq("qid")).filter(col("da") =!= col("db"))
+      .withColumn("sim",
+        Text.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("qid", "da", "db", "sim")
+      .localCheckpoint()
+    val candSlim = cand.select("qid", "did", "rel")
+
+    def score(pen: Column): Column =
+      lit(lambda) * col("rel") - lit(1 - lambda) * pen
+    def argmax(df: DataFrame, ord: Column): DataFrame =
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy("qid").orderBy(ord.desc, col("did"))))
+        .filter(col("__rn") === 1).drop("__rn")
+
+    var all = argmax(candSlim, col("rel"))
+      .withColumn("pen", lit(0.0))
+      .withColumn("score", score(lit(0.0)))
+      .withColumn("rnk", lit(1L))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val selKeys = all.select(col("qid"), col("did"))
+      val rem = candSlim.join(selKeys, Seq("qid", "did"), "left_anti")
+      val pen = cs
+        .join(selKeys.withColumnRenamed("did", "db"), Seq("qid", "db"))
+        .groupBy(col("qid"), col("da"))
+        .agg(max(col("sim")).as("pen"))
+        .withColumnRenamed("da", "did")
+      val scored = rem.join(pen, Seq("qid", "did"))
+        .withColumn("score", score(col("pen")))
+      all = all.unionByName(
+          argmax(scored, col("score")).withColumn("rnk", lit(t.toLong)))
+        .localCheckpoint()
+    }
+    all.select(col("qid").as("query_id"), col("did").as("doc_id"),
+      col("rnk"), col("rel"), col("pen"), col("score"))
+  }
 }

@@ -98,6 +98,58 @@ object Round13 {
        |         ORDER BY sim DESC, sdid) AS rs FROM p),
        |st AS (SELECT sqid, sdid, rs FROM sr WHERE rs <= $kArm)""".stripMargin
 
+  /** qs21's oracle: the greedy MMR recurrence UNROLLED to `k` CTE
+    * layers (the Pipeline centroid-iteration discipline) — each layer
+    * is the argmax of `0.5·rel − 0.5·max_sim_to_picked` over the not-
+    * yet-picked candidates, so the oracle replays the exact greedy
+    * walk rather than spot-checking invariants. λ is the literal 0.5
+    * in BOTH engines (exactly representable).
+    */
+  private def mmrOracleSql(kCand: Int, k: Int): String = {
+    val base =
+      s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n
+         |      WHERE vec_id % 100 = 0),
+         |c0 AS (SELECT qid, vec_id AS did,
+         |         list_dot_product(qv, v) / (qnrm * nrm) AS rel
+         |       FROM q, n WHERE vec_id <> qid),
+         |c1 AS (SELECT qid, did, rel, ROW_NUMBER() OVER (PARTITION BY qid
+         |         ORDER BY rel DESC, did) AS rs FROM c0),
+         |cand AS (SELECT qid, did, rel FROM c1 WHERE rs <= $kCand),
+         |cv AS (SELECT cand.*, n.v, n.nrm FROM cand JOIN n ON n.vec_id = cand.did),
+         |cs AS (SELECT a.qid, a.did AS da, b.did AS db,
+         |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |       FROM cv a JOIN cv b ON a.qid = b.qid AND a.did <> b.did),
+         |sel1 AS (SELECT qid, did, rel, 0.0 AS pen,
+         |           0.5 * rel - 0.5 * 0.0 AS score, CAST(1 AS BIGINT) AS rnk
+         |         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                 ORDER BY rel DESC, did) AS rn FROM cand)
+         |         WHERE rn = 1),
+         |selu1 AS (SELECT qid, did FROM sel1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s"""rem$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS
+         |  (SELECT 1 FROM selu${t - 1} s WHERE s.qid = c.qid AND s.did = c.did)),
+         |pen$t AS (SELECT cs.qid, cs.da AS did, MAX(cs.sim) AS pen
+         |          FROM cs JOIN selu${t - 1} s ON cs.qid = s.qid AND cs.db = s.did
+         |          GROUP BY cs.qid, cs.da),
+         |sc$t AS (SELECT r.qid, r.did, r.rel, p.pen,
+         |           0.5 * r.rel - 0.5 * p.pen AS score
+         |         FROM rem$t r JOIN pen$t p ON r.qid = p.qid AND r.did = p.did),
+         |sel$t AS (SELECT qid, did, rel, pen, score, CAST($t AS BIGINT) AS rnk
+         |          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |                  ORDER BY score DESC, did) AS rn FROM sc$t)
+         |          WHERE rn = 1),
+         |selu$t AS (SELECT qid, did FROM selu${t - 1}
+         |           UNION ALL SELECT qid, did FROM sel$t)""".stripMargin
+    }
+    val unions = (1 to k)
+      .map(t => s"SELECT qid AS query_id, did AS doc_id, rnk, rel, pen, score FROM sel$t")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${(base +: steps).mkString(",\n")}\n$unions"
+  }
+
   /** qs19's per-query metrics: system = lexical arm top-20, truth =
     * exact cosine top-10. Factored so qs20's rollup wraps it verbatim.
     */
@@ -401,6 +453,17 @@ object Round13 {
       val packed = Curation.packByBudget(docs, "doc_id", "tokens", "source",
         budget = 512L)
       Curation.packStats(packed, "tokens", "source", budget = 512L)
+    },
+
+    // ----- MMR diversified re-ranking -------------------------------------
+    // Relevance alone returns near-copies; MMR's greedy walk trades
+    // relevance against redundancy pick by pick. The oracle UNROLLS
+    // the same greedy recurrence to 5 CTE layers (see mmrOracleSql),
+    // so the full walk — picks, penalties, scores — hash-matches, not
+    // just the final set.
+    Q("qs21_mmr_rerank", mmrOracleSql(kCand = 20, k = 5)) { (s, dir) =>
+      Similarity.mmrRerank(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", queryMod = 100, kCand = 20, k = 5, lambda = 0.5)
     },
 
     // ----- vocabulary coverage curve --------------------------------------

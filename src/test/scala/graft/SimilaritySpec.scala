@@ -101,4 +101,34 @@ class SimilaritySpec extends SparkSpec {
     assert(order(Similarity.mipsLshTopK(corpus, q, "vec_id", "embedding", 3,
       planesPerTable = 2, tables = 16, dim = 2)) == Seq(2L, 1L, 3L))
   }
+
+  test("mmrRerank trades redundancy for diversity against the plain top-k") {
+    import spark.implicits._
+    // query (1,0); d2 at -5° is the most relevant, d1 at 10° is the
+    // second-most relevant but nearly parallel to d2 (sim .966);
+    // d3 is orthogonal (rel 0) and ANTI-similar to d2 (sim -.087).
+    // Plain top-2 = (d2, d1); MMR's second pick must be d3:
+    //   score(d1) = .5(.9848 - .96592) ≈ .0094
+    //   score(d3) = .5(0 - (-.0872))   ≈ .0436
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)),           // the query (100 % 100 == 0)
+      (1L, Array(0.9848f, 0.1736f)),
+      (2L, Array(0.9962f, -0.0872f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryMod = 100, kCand = 3, k = 2)
+      .collect()
+      .map(r => r.getLong(2) ->
+        ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 == 2L, "first pick is plain argmax relevance")
+    assert(got(1L)._3 == 0.0, "first pick carries zero penalty")
+    assert(got(2L)._1 == 3L,
+      s"second pick must diversify to the orthogonal doc, got ${got(2L)}")
+    // the plain ranking would have returned the near-parallel d1
+    val plain = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") === 100L), "vec_id", "embedding", 2)
+      .collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(2L, 1L))
+  }
 }
