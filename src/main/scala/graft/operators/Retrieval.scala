@@ -99,14 +99,28 @@ object Retrieval {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 10): DataFrame = {
     val t = tokenized(df, idCol, textCol)
-    val scored = termFreqs(t)
-      .filter(col("word").isin(terms: _*))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val scored = withDf(termFreqs(t).filter(col("word").isin(terms: _*)))
       .crossJoin(corpusStats(t))
       .withColumn("score", bm25Term)
       .groupBy("did").agg(Exact.dsum(col("score")).as("bm25"))
     rankTopK(scored, k)
   }
+
+  /** Attach per-word document frequency to pruned posting rows.
+    *
+    * NOT a `count over Window.partitionBy(word)`: that shuffles every
+    * surviving posting row into one partition PER WORD — at most
+    * |query vocabulary| partitions, each holding a full posting list,
+    * which is exactly the hot-key skew a 100 TB corpus cannot absorb
+    * (a stopword's posting list is corpus-scale). The aggregate side
+    * is query-vocabulary-scale — one (word, df) row per term — so it
+    * partial-aggregates map-side and BROADCASTS back onto the posting
+    * stream, which never re-shuffles. (did, word) is unique in tf, so
+    * the row count per word IS the document frequency.
+    */
+  private def withDf(tf: DataFrame): DataFrame =
+    tf.join(broadcast(tf.groupBy("word").agg(count(lit(1)).as("df"))),
+      Seq("word"))
 
   // Global top-k FIRST (TakeOrderedAndProject — per-partition heaps,
   // never a full sort), then rank the surviving <= k rows; the
@@ -190,9 +204,7 @@ object Retrieval {
     // the pre-cast addends is bit-identical to Exact.dsum on the fanned
     // rows: the cast is per-addend in both shapes and decimal addition
     // is associative.
-    val contrib = tf
-      .join(broadcast(qvocab), Seq("word"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val contrib = withDf(tf.join(broadcast(qvocab), Seq("word")))
       .crossJoin(corpusStats(t))
       .select(col("word"), col("did"), bm25Term.cast(Exact.Dec).as("c"))
     val lexScored = contrib

@@ -69,4 +69,39 @@ object DedupIngest {
     val p = new Path(s"${statePath(path)}/batch=$id")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** Collapse the accumulated per-batch state directories into one —
+    * the same small-files housekeeping [[IndexIngest.compactPostings]]
+    * does for postings (10k micro-batches = 10k directories; scan
+    * planning cost grows with file count). The compacted rows are the
+    * MERGED partials (min keep_id, summed n_copies per content), so
+    * serving is value-identical before and after.
+    *
+    * Same id discipline as the postings compaction: rows land under
+    * the OLDEST included batch id, and — because merged partials,
+    * unlike postings, OVERLAP a replayed batch's rows — compaction
+    * must only run on a quiescent index (after the last batch's
+    * checkpoint committed), where no replay is possible. A
+    * single-batch index stays replay-safe: the merge of one batch IS
+    * that batch's own rows, so the overwrite rewrites identical
+    * content.
+    */
+  def compact(spark: SparkSession, path: String, contentCol: String,
+              files: Int = 1): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = statePath(path)
+    AtomicSwap.recover(fs, root)
+    val cur = spark.read.parquet(root)
+    val minBatch = cur.select(min(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return
+      case r => r.get(0).toString.toLong
+    }
+    val flat = cur.drop("batch")
+      .groupBy(contentCol)
+      .agg(min(col("keep_id")).as("keep_id"),
+        sum(col("n_copies")).as("n_copies"))
+      .repartition(files)
+      .withColumn("batch", lit(minBatch))
+    AtomicSwap.rewrite(fs, root, flat, partitionCols = Seq("batch"))
+  }
 }

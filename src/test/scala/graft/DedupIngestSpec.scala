@@ -76,4 +76,35 @@ class DedupIngestSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(after == Set(("a", 0L, 3L), ("b", 2L, 1L)))
   }
+
+  test("compaction collapses batch dirs without changing served results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd4").toString
+    DedupIngest.applyBatch(
+      Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    DedupIngest.applyBatch(
+      Seq((1L, "x"), (7L, "z")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 1L)
+    DedupIngest.applyBatch(
+      Seq((2L, "x"), (3L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 2L)
+    val before = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    DedupIngest.compact(spark, dir, "text")
+    val after = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before, "compaction must not change served values")
+    assert(after == Set(("x", 1L, 3L), ("y", 3L, 2L), ("z", 7L, 1L)))
+    // all rows now live under the OLDEST batch id, in one directory
+    val dirs = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=0"), s"expected one compacted dir, got $dirs")
+    // and further ingest keeps composing
+    DedupIngest.applyBatch(
+      Seq((0L, "y")).toDF("doc_id", "text"), "doc_id", "text", dir, 3L)
+    val grown = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grown == Set(("x", 1L, 3L), ("y", 0L, 3L), ("z", 7L, 1L)))
+  }
 }

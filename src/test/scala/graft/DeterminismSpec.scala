@@ -34,7 +34,13 @@ class DeterminismSpec extends SparkSpec {
     // ... plus the graph family: integer fixed-point PageRank (whole
     // gate, not just the operator spec), monotone label propagation,
     // and the degree-ordered triangle join
-    "qg01_pagerank", "qg02_triangles", "qg03_label_prop")
+    "qg01_pagerank", "qg02_triangles", "qg03_label_prop",
+    // ... plus this round's risk families: the k-step greedy argmax
+    // walk (MMR — a max over doubles per step, order-free only because
+    // every candidate score is bit-identical), the shingle->min(id)
+    // first-occurrence credit, and the chunk-parallel per-source rank
+    // behind the weighted interleave
+    "qs21_mmr_rerank", "qt22_novelty", "qc15_mixture_interleave")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
