@@ -64,6 +64,30 @@ object Round13 {
   private val dedupDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qt24's maintained novelty state per sf dir — same discipline. */
+  private val noveltyDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qt22's oracle body — shared verbatim by qt24 (the incrementally-
+    * maintained serve path must be bit-identical to the corpus scan).
+    */
+  private val noveltyOracleSql =
+    s"""WITH w AS ($wCte),
+       |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
+       |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
+       |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
+       |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
+       |        GROUP BY fid)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+       |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+       |       ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
+       |            / CAST(n_shingles AS DOUBLE) END AS novelty
+       |FROM documents d
+       |LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)""".stripMargin
+
   /** Lexical per-query arm (Retrieval.bm25PerQueryTopK): qw..lt CTEs,
     * `lt` = (qid, did, rl), rl <= kArm. Assumes `bm25Prelude` + `d`.
     */
@@ -403,25 +427,29 @@ object Round13 {
     // No pairwise work — the min's owner gets the credit straight off
     // the shingle -> min(doc_id) table (see
     // Dedup.firstOccurrenceNovelty for the two-linear-aggregate shape).
-    Q("qt22_novelty",
-      s"""WITH w AS ($wCte),
-         |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
-         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-         |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
-         |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
-         |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
-         |        GROUP BY fid)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
-         |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
-         |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
-         |       ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
-         |            / CAST(n_shingles AS DOUBLE) END AS novelty
-         |FROM documents d
-         |LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)""".stripMargin) {
-      (s, dir) =>
-        Dedup.firstOccurrenceNovelty(Tables(s, dir, "documents"),
-          "doc_id", "text", n = 3)
+    Q("qt22_novelty", noveltyOracleSql) { (s, dir) =>
+      Dedup.firstOccurrenceNovelty(Tables(s, dir, "documents"),
+        "doc_id", "text", n = 3)
+    },
+
+    // ----- novelty served from the incrementally-maintained state ---------
+    // SAME oracle text as qt22, deliberately: the gate proves the
+    // per-batch append-only shingle minima (streaming.NoveltyIngest)
+    // merge back to the corpus-scan novelty bit for bit after a
+    // multi-batch build — min is a monoid, so a later batch carrying
+    // an earlier doc id correctly steals first-occurrence credit.
+    Q("qt24_novelty_indexed", noveltyOracleSql) { (s, dir) =>
+      val path = noveltyDirs.computeIfAbsent(dir, d => {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_qt24_nov").toString
+        val docs = Tables(s, d, "documents").select("doc_id", "text")
+        graft.streaming.NoveltyIngest.applyBatch(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", out, 0L)
+        graft.streaming.NoveltyIngest.applyBatch(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", out, 1L)
+        out
+      })
+      graft.streaming.NoveltyIngest.serve(s, path, "doc_id")
     },
 
     // ----- packing-efficiency report over qc02's shards -------------------
