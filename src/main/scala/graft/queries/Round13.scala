@@ -540,6 +540,67 @@ object Round13 {
         weight = lit(1L) + pmod(Text.polyhash(col("source")), lit(4L)))
     },
 
+    // ----- curriculum composition: quality x novelty -> interleave --------
+    // The end-to-end "make me a training curriculum" pipeline: qt02's
+    // quality bucket gates admission (no 'low'), qt22's novelty floor
+    // drops restatements (>= 0.5), and the survivors interleave with
+    // high-quality documents upweighted 4:1 — a pos-ordered consumer
+    // reads a quality-skewed, novelty-screened curriculum. One oracle
+    // composes all three stages; every number is an exact integer,
+    // ratio, or the interleave's subtract-and-divide.
+    Q("qp09_curriculum",
+      s"""WITH w AS ($wCte),
+         |qm AS (SELECT doc_id,
+         |        CAST(len(ws) AS BIGINT) AS n_words,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
+         |          / CAST(len(ws) AS BIGINT) AS distinct_ratio
+         |       FROM w),
+         |b AS (SELECT doc_id,
+         |        CASE WHEN n_words >= 40 AND distinct_ratio >= 0.35 THEN 'high'
+         |             WHEN n_words >= 20 THEN 'medium'
+         |             ELSE 'low' END AS quality_bucket
+         |      FROM qm),
+         |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
+         |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
+         |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
+         |        GROUP BY fid),
+         |nov AS (SELECT d.doc_id,
+         |          CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+         |               ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
+         |                    / CAST(n_shingles AS DOUBLE) END AS novelty
+         |        FROM documents d
+         |        LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)),
+         |kept AS (SELECT b.doc_id, quality_bucket, novelty
+         |         FROM b JOIN nov USING (doc_id)
+         |         WHERE quality_bucket <> 'low' AND novelty >= 0.5),
+         |r AS (SELECT doc_id, quality_bucket, novelty,
+         |        ROW_NUMBER() OVER (PARTITION BY quality_bucket
+         |          ORDER BY doc_id) AS rnk
+         |      FROM kept)
+         |SELECT doc_id, quality_bucket, novelty,
+         |  CAST(rnk AS BIGINT) AS rank_in_source,
+         |  CAST(CASE WHEN quality_bucket = 'high' THEN 4 ELSE 1 END
+         |    AS BIGINT) AS weight,
+         |  (CAST(rnk AS DOUBLE) - 0.5)
+         |    / CAST(CASE WHEN quality_bucket = 'high' THEN 4 ELSE 1 END
+         |        AS DOUBLE) AS pos
+         |FROM r""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val qual = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_bucket"))
+      val nov = Dedup.firstOccurrenceNovelty(docs, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("novelty"))
+      val kept = qual.join(nov, Seq("doc_id"))
+        .filter(col("quality_bucket") =!= "low" && col("novelty") >= 0.5)
+      Curation.interleaveByWeight(kept, "doc_id", "quality_bucket",
+          weight = when(col("quality_bucket") === "high", 4L).otherwise(1L))
+        .join(nov, Seq("doc_id"))
+        .select(col("doc_id"), col("quality_bucket"), col("novelty"),
+          col("rank_in_source"), col("weight"), col("pos"))
+    },
+
     // ----- annotation aggregation (majority vote + agreement) -----------
     // The label-consolidation step of an RLHF / classifier pipeline.
     // The corpus carries no annotations, so BOTH engines derive the
