@@ -281,6 +281,34 @@ object Similarity {
       Text.dot(v, typedLit(Text.JlSigns(j))).as(s"y$j")): _*)
   }
 
+  /** Per-dimension embedding health profile — the monitoring step that
+    * runs BEFORE any ANN build: a collapsed dimension (min == max), a
+    * dead dimension (all zeros), or a runaway scale (|max| orders above
+    * the rest) silently wrecks recall, and at 100 TB you find out from
+    * this report, not from eyeballing vectors.
+    *
+    * Output per dimension: (dim, n, mean, vmin, vmax, n_zero). The mean
+    * rides the decimal exact-sum (aggregation order can't perturb it);
+    * min/max/counts are exact by nature.
+    *
+    * Scale: one posexplode (rows × dim) into a map-side-combining
+    * group-by on the dimension index — linear, no shuffle wider than
+    * `dim` groups.
+    */
+  def embeddingProfile(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame =
+    df.select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        (graft.functions.Exact.dsum(col("x")) / count(lit(1))).as("mean"),
+        min(col("x")).as("vmin"),
+        max(col("x")).as("vmax"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .select(col("dim").cast(LongType).as("dim"), col("n"), col("mean"),
+        col("vmin"), col("vmax"), col("n_zero"))
+
   /** Maximal-marginal-relevance re-ranking — the diversification step a
     * retrieval-augmented or training-data pipeline runs over a
     * candidate list: greedily pick `k` documents where each pick

@@ -540,6 +540,27 @@ object Round13 {
         weight = lit(1L) + pmod(Text.polyhash(col("source")), lit(4L)))
     },
 
+    // ----- embedding health profile ---------------------------------------
+    // The pre-ANN monitoring report: per dimension, count/mean/min/max/
+    // zero-count — a collapsed, dead, or runaway dimension shows up
+    // here before it silently wrecks recall. Mean rides the decimal
+    // exact-sum; everything else is exact by nature.
+    Q("qs22_embedding_profile",
+      s"""WITH e AS (SELECT vec_id,
+         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |      FROM embeddings),
+         |x AS (SELECT generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+         |      FROM e)
+         |SELECT CAST(dim AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  ${Exact.davgSql("x")} AS mean,
+         |  MIN(x) AS vmin, MAX(x) AS vmax,
+         |  CAST(SUM(CASE WHEN x = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |FROM x GROUP BY dim""".stripMargin) { (s, dir) =>
+      Similarity.embeddingProfile(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding")
+    },
+
     // ----- curriculum composition: quality x novelty -> interleave --------
     // The end-to-end "make me a training curriculum" pipeline: qt02's
     // quality bucket gates admission (no 'low'), qt22's novelty floor
