@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
   */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: runMain graft.TimeQueries <sfDir> <prefix> [<prefix> ...]")
     val dir = args.head
     val prefixes = args.tail.toSeq
     val spark = SparkSession.builder().master("local[32]")
@@ -21,6 +23,8 @@ object TimeQueries {
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => prefixes.exists(n.startsWith))
+    if (names.isEmpty)
+      System.err.println(s"[time] no gates match ${prefixes.mkString(", ")}")
     for (n <- names; pass <- 1 to 2) {
       val t0 = System.nanoTime()
       val cnt = SparkEntry.queries(n)(spark, dir).count()

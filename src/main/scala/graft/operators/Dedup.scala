@@ -828,7 +828,19 @@ object Dedup {
     val novel = e.groupBy("sh").agg(min(col(idCol)).as("__fid"))
       .groupBy("__fid").agg(count(lit(1)).as("n_novel"))
       .withColumnRenamed("__fid", idCol)
-    df.select(col(idCol))
+    noveltyOf(df.select(col(idCol)), nsh, novel, idCol)
+  }
+
+  /** The shared per-document novelty projection: join the
+    * (id, n_shingles) and (id, n_novel) sides onto the document set
+    * and derive the rate. One definition serves BOTH the batch
+    * operator above and the streaming serve path
+    * (graft.streaming.NoveltyIngest) — "bit-identical" is maintained
+    * by shared code, not duplicated text.
+    */
+  private[graft] def noveltyOf(docs: DataFrame, nsh: DataFrame,
+                               novel: DataFrame, idCol: String): DataFrame =
+    docs
       .join(nsh, Seq(idCol), "left")
       .join(novel, Seq(idCol), "left")
       .select(col(idCol),
@@ -837,5 +849,4 @@ object Dedup {
         when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
           .otherwise(coalesce(col("n_novel"), lit(0L)).cast("double") /
             col("n_shingles").cast("double")).as("novelty"))
-  }
 }

@@ -68,23 +68,33 @@ object Round13 {
   private val noveltyDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The novelty CTE chain (assumes `w`) — shared by qt22/qt24's
+    * oracle AND qp09's composition, so the novelty definition lives in
+    * ONE place on the oracle side too.
+    */
+  private val noveltyCtes =
+    s"""sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
+       |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+       |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
+       |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
+       |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
+       |        GROUP BY fid)""".stripMargin
+
+  private val noveltyRateSql =
+    """CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
+      |     ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
+      |          / CAST(n_shingles AS DOUBLE) END""".stripMargin
+
   /** qt22's oracle body — shared verbatim by qt24 (the incrementally-
     * maintained serve path must be bit-identical to the corpus scan).
     */
   private val noveltyOracleSql =
     s"""WITH w AS ($wCte),
-       |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
-       |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-       |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
-       |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
-       |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
-       |        GROUP BY fid)
+       |$noveltyCtes
        |SELECT d.doc_id,
        |  CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
        |  CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
-       |  CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
-       |       ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
-       |            / CAST(n_shingles AS DOUBLE) END AS novelty
+       |  $noveltyRateSql AS novelty
        |FROM documents d
        |LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)""".stripMargin
 
@@ -581,16 +591,8 @@ object Round13 {
          |             WHEN n_words >= 20 THEN 'medium'
          |             ELSE 'low' END AS quality_bucket
          |      FROM qm),
-         |sh AS (SELECT doc_id, ${Text.shinglesSql("ws")} AS s FROM w),
-         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
-         |nsh AS (SELECT doc_id, COUNT(*) AS n_shingles FROM e GROUP BY doc_id),
-         |nvl AS (SELECT fid AS doc_id, COUNT(*) AS n_novel FROM
-         |         (SELECT min(doc_id) AS fid FROM e GROUP BY sh)
-         |        GROUP BY fid),
-         |nov AS (SELECT d.doc_id,
-         |          CASE WHEN COALESCE(n_shingles, 0) = 0 THEN 0.0
-         |               ELSE CAST(COALESCE(n_novel, 0) AS DOUBLE)
-         |                    / CAST(n_shingles AS DOUBLE) END AS novelty
+         |$noveltyCtes,
+         |nov AS (SELECT d.doc_id, $noveltyRateSql AS novelty
          |        FROM documents d
          |        LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)),
          |kept AS (SELECT b.doc_id, quality_bucket, novelty

@@ -76,18 +76,21 @@ object NoveltyIngest {
       .withColumnRenamed("__fid", idCol)
     val nsh = spark.read.parquet(docPath(path))
       .groupBy(idCol).agg(sum(col("n_shingles")).as("n_shingles"))
-    nsh.join(novel, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_shingles"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(coalesce(col("n_novel"), lit(0L)).cast("double") /
-            col("n_shingles").cast("double")).as("novelty"))
+    // the final projection is SHARED CODE with the batch operator —
+    // bit-identity by construction, not by parallel maintenance
+    graft.operators.Dedup.noveltyOf(nsh.select(col(idCol)), nsh, novel, idCol)
   }
 
-  /** True when `id` was already absorbed. */
+  /** True when `id` was FULLY absorbed — both state tables checked,
+    * because applyBatch's two writes are not atomic together: a crash
+    * between them must read as "not absorbed" so the caller replays
+    * (the replay overwrite is a value-level no-op). Testing only the
+    * first-written directory would report a half-applied batch as done
+    * and silently drop its documents from serve().
+    */
   def hasBatch(spark: SparkSession, path: String, id: Long): Boolean = {
-    val p = new Path(s"${shPath(path)}/batch=$id")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"${shPath(path)}/batch=$id", s"${docPath(path)}/batch=$id")
+      .forall { d => val p = new Path(d); p.getFileSystem(conf).exists(p) }
   }
 }
