@@ -202,6 +202,36 @@ object Curation {
           .as("utilization"),
         (col("tokens_used") > lit(budget)).cast("long").as("over_budget"))
 
+  /** Per-stratum percentile calibration — the cross-source score
+    * normalization a mixed-corpus curation pipeline needs: raw quality
+    * scores are not comparable across sources (a "good" forum post and
+    * a "good" paper live on different scales), so each document gets
+    * its PERCENTILE within its own source: calib = (rank − 1) /
+    * (count − 1) ∈ [0, 1], 0 = best of its source (single-row strata
+    * calibrate to 0.0). Thresholding calib then selects "the top X% of
+    * EACH source" instead of letting one source's scale dominate.
+    *
+    * Output: (idCol, partCol, scoreCol, rn, calib); rank is
+    * deterministic (score desc, id asc) and calib is one exact IEEE
+    * division of integers.
+    *
+    * Scale: per-stratum windows (one task per source — the qc12
+    * discipline); a pathologically huge single stratum would want the
+    * value-ranked two-phase variant, at the cost of a range exchange.
+    */
+  def percentileCalibrate(df: DataFrame, idCol: String, partCol: String,
+                          scoreCol: String): DataFrame = {
+    val byPart = Window.partitionBy(col(partCol))
+    df.select(col(idCol), col(partCol), col(scoreCol))
+      .withColumn("rn", row_number()
+        .over(byPart.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(byPart))
+      .select(col(idCol), col(partCol), col(scoreCol), col("rn"),
+        when(col("__cnt") === 1L, lit(0.0))
+          .otherwise((col("rn") - lit(1L)).cast("double") /
+            (col("__cnt") - lit(1L)).cast("double")).as("calib"))
+  }
+
   /** Length-bucketed batch packing — the padding-waste move every
     * fixed-shape trainer makes (fairseq/HF "bucketed batching"):
     * documents are grouped into length buckets (`tokenCol div

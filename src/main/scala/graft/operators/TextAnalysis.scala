@@ -696,6 +696,35 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), col("sim"))
   }
 
+  /** Tokenizer fertility by language — the tokenizer-evaluation metric
+    * "how many subword tokens does one word cost, per language?": a
+    * tokenizer trained on English text typically over-segments other
+    * languages, and fertility (Σ subword tokens / Σ words, grouped by
+    * predicted language) is where that shows up. Composes
+    * [[languageId]] with [[tokenCounts]]; the ratio is one IEEE
+    * division of exact integer sums.
+    *
+    * Scale: two linear per-document passes joined on the id, then a
+    * group-by on ≤ |languages| keys with map-side combine.
+    */
+  def tokenizerFertility(df: DataFrame, idCol: String, textCol: String,
+                         groupCols: Seq[String] = Nil): DataFrame = {
+    val base = languageId(df, idCol, textCol)
+      .select(col(idCol), col("predicted_lang"))
+      .join(tokenCounts(df, idCol, textCol), Seq(idCol))
+    val grouped =
+      if (groupCols.isEmpty) base
+      else base.join(df.select((idCol +: groupCols).map(col): _*), Seq(idCol))
+    grouped
+      .groupBy((groupCols :+ "predicted_lang").map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("ws_tokens"),
+        sum(col("bpe_tokens")).as("bpe_tokens"))
+      .withColumn("fertility",
+        col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-design question "how
     * much of the corpus do the N most frequent words cover?", answered
     * for each requested N.

@@ -624,6 +624,70 @@ object Round13 {
           col("rank_in_source"), col("weight"), col("pos"))
     },
 
+    // ----- per-source percentile score calibration -------------------------
+    // Raw quality scores aren't comparable across sources; each doc
+    // gets its percentile WITHIN its source (0 = best), so a calib
+    // threshold selects the top X% of EVERY source instead of letting
+    // one source's scale dominate the mix.
+    Q("qc16_score_calibration",
+      s"""WITH w AS ($wCte),
+         |m AS (SELECT w.doc_id, d.source,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) AS score
+         |      FROM w JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, source, score,
+         |        ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY score DESC, doc_id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY source) AS cnt
+         |      FROM m)
+         |SELECT doc_id, source, score, CAST(rn AS BIGINT) AS rn,
+         |  CASE WHEN cnt = 1 THEN 0.0
+         |       ELSE CAST(rn - 1 AS DOUBLE) / CAST(cnt - 1 AS DOUBLE)
+         |  END AS calib
+         |FROM r""".stripMargin) { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .withColumn("score",
+          size(array_distinct(expr(Text.wordsExpr("text")))).cast("long"))
+      Curation.percentileCalibrate(scored, "doc_id", "source", "score")
+    },
+
+    // ----- tokenizer fertility by (label, predicted) language --------------
+    // Subword tokens per word, grouped by the corpus's language label
+    // AND qt01's prediction — tokenizer fertility and language-ID
+    // confusion in one report (an English-centric tokenizer's
+    // over-segmentation of other languages shows up per label even
+    // when the predictor collapses to one class). Composes qt01's
+    // language ID with qt03's token counts under one oracle; fertility
+    // is one division of exact integer sums.
+    Q("qt25_fertility", {
+      val langs = Text.Stopwords.map(_._1)
+      val scoreCols = langs
+        .map(l => s"  ${Text.stopwordCountSql("ws", l)} AS score_$l")
+        .mkString(",\n")
+      val caseChain = langs.map { l =>
+        val cond = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH w AS ($wCte),
+         |s AS (SELECT doc_id, ws,\n$scoreCols\nFROM w),
+         |l AS (SELECT s.doc_id, ws, d.lang,
+         |        CASE $caseChain ELSE '${langs.last}' END AS predicted_lang
+         |      FROM s JOIN documents d USING (doc_id)),
+         |t AS (SELECT lang, predicted_lang,
+         |        CAST(len(ws) AS BIGINT) AS wt,
+         |        CAST(list_sum(list_transform(ws, w -> (length(w) + 3) // 4))
+         |          AS BIGINT) AS bt
+         |      FROM l)
+         |SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(bt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS fertility
+         |FROM t GROUP BY lang, predicted_lang""".stripMargin
+    }) { (s, dir) =>
+      TextAnalysis.tokenizerFertility(Tables(s, dir, "documents"),
+        "doc_id", "text", groupCols = Seq("lang"))
+    },
+
     // ----- annotation aggregation (majority vote + agreement) -----------
     // The label-consolidation step of an RLHF / classifier pipeline.
     // The corpus carries no annotations, so BOTH engines derive the

@@ -362,6 +362,27 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == (("zh", 1L, 1L, 0L, 1L)))
   }
 
+  test("percentileCalibrate normalizes within each stratum; singletons get 0") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 30L), (2L, "a", 10L), (3L, "a", 20L),   // ranks 1,3,2
+      (4L, "b", 5L)                                      // singleton
+    ).toDF("doc_id", "source", "score")
+    val got = Curation.percentileCalibrate(df, "doc_id", "source", "score")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 0.0)))
+    assert(got(3L) == ((2L, 0.5)))
+    assert(got(2L) == ((3L, 1.0)))
+    assert(got(4L) == ((1L, 0.0)), "single-row stratum calibrates to best")
+    // ties break by id: equal scores get distinct deterministic ranks
+    val tied = Curation.percentileCalibrate(
+        Seq((7L, "c", 1L), (5L, "c", 1L)).toDF("doc_id", "source", "score"),
+        "doc_id", "source", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(tied == Map(5L -> 1L, 7L -> 2L))
+  }
+
   test("interleaveByWeight reads sources proportionally at every prefix") {
     import spark.implicits._
     // source a weight 3, source b weight 1: 30 + 10 docs

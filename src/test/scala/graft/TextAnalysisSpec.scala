@@ -159,6 +159,25 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tokenizerFertility sums exact token counts per (label, predicted)") {
+    import spark.implicits._
+    // 'the a' -> en stopwords, predicted en; words cost ceil(len/4)=1
+    // token each. doc 3's label disagrees with its predicted lang.
+    val df = Seq(
+      (1L, "en", "the a and of"),          // 4 words, 4 bpe tokens
+      (2L, "en", "the the abcdefghijklmnopq"), // 3 words, 1+1+ceil(17/4)=7
+      (3L, "de", "the a")                  // labeled de, predicted en
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis
+      .tokenizerFertility(df, "doc_id", "text", groupCols = Seq("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("en", "en")) == ((2L, 7L, 11L, 11.0 / 7.0)))
+    assert(got(("de", "en")) == ((1L, 2L, 2L, 1.0)),
+      "label/prediction disagreement must surface as its own row")
+  }
+
   test("vocabCoverage ranks by frequency then word, and clamps past the vocab") {
     import spark.implicits._
     // counts: x:4, b:3, a:2, z:1 — ties impossible here except via the
