@@ -688,6 +688,55 @@ object Round13 {
         "doc_id", "text", groupCols = Seq("lang"))
     },
 
+    // ----- per-source dataset card -----------------------------------------
+    // The report a curation pipeline publishes per source: volume,
+    // token mass, exact duplicate rate, mean novelty, mean lexical
+    // diversity — four of this round's operators rolled up under ONE
+    // oracle. Means ride the decimal exact-sum; dup_rate is one exact
+    // division of counts.
+    Q("qc17_source_card",
+      s"""WITH w AS ($wCte),
+         |$noveltyCtes,
+         |nov AS (SELECT d.doc_id, $noveltyRateSql AS novelty
+         |        FROM documents d
+         |        LEFT JOIN nsh USING (doc_id) LEFT JOIN nvl USING (doc_id)),
+         |m AS (SELECT w.doc_id, d.source, d.text,
+         |        CAST(len(ws) AS BIGINT) AS tokens,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
+         |          / CAST(len(ws) AS BIGINT) AS distinct_ratio
+         |      FROM w JOIN documents d USING (doc_id))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS tokens,
+         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_unique_texts,
+         |  1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS dup_rate,
+         |  ${Exact.davgSql("novelty")} AS mean_novelty,
+         |  ${Exact.davgSql("distinct_ratio")} AS mean_distinct_ratio
+         |FROM m JOIN nov USING (doc_id)
+         |GROUP BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val nov = Dedup.firstOccurrenceNovelty(docs, "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("novelty"))
+      docs
+        .withColumn("__ws", expr(Text.wordsExpr("text")))
+        .select(col("doc_id"), col("source"), col("text"),
+          size(col("__ws")).cast("long").as("tokens"),
+          (size(array_distinct(col("__ws"))).cast("long") * lit(1.0) /
+            size(col("__ws")).cast("long")).as("distinct_ratio"))
+        .join(nov, Seq("doc_id"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("tokens"),
+          countDistinct(col("text")).as("n_unique_texts"),
+          (lit(1.0) - countDistinct(col("text")).cast("double") /
+            count(lit(1)).cast("double")).as("dup_rate"),
+          (Exact.dsum(col("novelty")) / count(lit(1))).as("mean_novelty"),
+          (Exact.dsum(col("distinct_ratio")) / count(lit(1)))
+            .as("mean_distinct_ratio"))
+    },
+
     // ----- annotation aggregation (majority vote + agreement) -----------
     // The label-consolidation step of an RLHF / classifier pipeline.
     // The corpus carries no annotations, so BOTH engines derive the
