@@ -131,4 +131,21 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq
     assert(plain == Seq(2L, 1L))
   }
+
+  test("mmrRerank stops early when a query has fewer candidates than k") {
+    import spark.implicits._
+    // 2 candidates, k = 5: exactly 2 picks, dense ranks 1..2 — the
+    // greedy loop must not invent picks or leave gaps
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryMod = 100, kCand = 10, k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L),
+      s"expected dense ranks 1..2 and no phantom picks, got $got")
+    assert(got.map(_._2).toSet == Set(1L, 2L))
+  }
 }
