@@ -154,37 +154,35 @@ object Retrieval {
     rankTopK(scored, k)
   }
 
-  /** Hybrid retrieval with reciprocal-rank fusion: each query document
-    * retrieves a lexical arm (BM25 over its distinct words, [[bm25Term]])
-    * and a semantic arm ([[Similarity.cosineTopK]] over embeddings),
-    * each truncated to `kArm`; arms fuse by `1/(rrfK + rank)` (missing
-    * arm contributes 0) and the fused top-`k` is returned.
-    * Output: (query_id, doc_id, rnk_lex, rnk_sem, rrf, rnk) — arm ranks
-    * are 0 when the arm missed the document, so every column is
-    * non-null (exact integer/double compare, no NULL-dtype drift).
+  /** Per-query BM25 top-`kArm`: each row of `queries` — an EXPLICIT,
+    * BOUNDED frame of (idCol, textCol), the fixed eval set a production
+    * retrieval stack keeps beside its corpus — retrieves from `docs`
+    * with its own distinct words. Output: (qid, did, rl), rl 1..kArm
+    * per query, self excluded (a query whose id matches a corpus doc
+    * never retrieves itself). This is [[hybridRrfTopK]]'s lexical arm,
+    * exposed on its own for retrieval evaluation ([[evalRanking]]).
     *
-    * RRF constants are integer ranks under exact division — both arms'
-    * contributions are correctly-rounded doubles and their sum is a
-    * single fixed-order addition, so fusion is bit-exact cross-engine.
-    */
-  /** Per-query BM25 top-`kArm`: every document whose id ≡ 0 mod
-    * `queryMod` queries the corpus with its own distinct words.
-    * Output: (qid, did, rl), rl 1..kArm per query, self excluded.
-    * This is [[hybridRrfTopK]]'s lexical arm, exposed on its own for
-    * retrieval evaluation ([[evalRanking]]).
+    * BOUNDED-QUERY CONTRACT: every per-query structure here — the
+    * vocabulary prune, the (query × posting) fan-out, the per-query
+    * window — is sized by |queries| × kArm, a constant the CALLER
+    * fixes, never by the corpus. The r13 shape derived queries as
+    * `id % mod` OF THE CORPUS, which made |queries| ∝ n and every
+    * exact arm O(n²/mod); the query set is now a parameter precisely
+    * so that growth law cannot reappear (the gates keep the `% 100`
+    * slice only as a FIXTURE for oracle reproducibility).
     */
   def bm25PerQueryTopK(docs: DataFrame, idCol: String, textCol: String,
-                       queryMod: Int = 100, kArm: Int = 20): DataFrame = {
+                       queries: DataFrame, kArm: Int = 20): DataFrame = {
     val t = tokenized(docs, idCol, textCol)
     val tf = termFreqs(t)
 
-    // Query vocabulary: distinct (qid, word) of the query documents.
+    // Query vocabulary: distinct (qid, word) of the query frame.
     // Materialized once (localCheckpoint): it is QUERY-sized state —
     // bounded by |queries| x query length, never corpus-sized — and
     // both broadcast subtrees below (the vocab prune and the qid
-    // attach) read it, which would otherwise re-scan and re-tokenize
-    // the corpus once each.
-    val qw = t.filter(col("did") % queryMod === 0)
+    // attach) read it, which would otherwise re-tokenize the query
+    // frame once each.
+    val qw = tokenized(queries, idCol, textCol)
       .select(col("did").as("qid"), explode(col("__ws")).as("word"))
       .distinct()
       .localCheckpoint()
@@ -220,22 +218,55 @@ object Retrieval {
       .select(col("qid"), col("did"), col("rl"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion: each query retrieves
+    * a lexical arm (BM25 over its distinct words, via
+    * [[bm25PerQueryTopK]]) and a semantic arm ([[Similarity.cosineTopK]]
+    * over embeddings), each truncated to `kArm`; arms fuse by
+    * [[rrfFuse]] and the fused top-`k` is returned.
+    *
+    * BOUNDED-QUERY CONTRACT (see [[bm25PerQueryTopK]]): `queryDocs`
+    * (idCol, textCol) and `queryVecs` (vidCol, vecCol) are explicit
+    * fixed-size eval frames; they need not cover the same query ids —
+    * a query present in one arm only fuses through the full-outer join
+    * with the other arm's rank = 0. The semantic arm here is the exact
+    * baseline; at scale swap in lshCosineTopK/Ivf.search — [[rrfFuse]]
+    * is rank-only, so the arm is pluggable (qs23 gates exactly that).
+    */
   def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
                     emb: DataFrame, vidCol: String, vecCol: String,
-                    queryMod: Int = 100, kArm: Int = 20, k: Int = 10,
+                    queryDocs: DataFrame, queryVecs: DataFrame,
+                    kArm: Int = 20, k: Int = 10,
                     rrfK: Int = 60): DataFrame = {
     // Lexical arm (see bm25PerQueryTopK for the posting-prune /
     // score-once-before-fan-out design).
-    val lex = bm25PerQueryTopK(docs, idCol, textCol, queryMod, kArm)
-
-    // Semantic arm: exact cosine top-k (the ANN ladder's baseline; at
-    // scale swap in lshCosineTopK/ivf — fusion is rank-only, so the
-    // arm is pluggable without touching this operator).
-    val sem = Similarity.cosineTopK(
-        emb, emb.filter(col(vidCol) % queryMod === 0), vidCol, vecCol, kArm)
+    val lex = bm25PerQueryTopK(docs, idCol, textCol, queryDocs, kArm)
+    val sem = Similarity.cosineTopK(emb, queryVecs, vidCol, vecCol, kArm)
       .select(col("query_id").as("sqid"), col("neighbor_id").as("sdid"),
         col("rnk").as("rs"))
+    rrfFuse(lex, sem, k, rrfK)
+  }
 
+  /** Reciprocal-rank fusion of two rank-truncated retrieval arms —
+    * lex (qid, did, rl) and sem (sqid, sdid, rs), ranks 1-based — by
+    * `1/(rrfK + rank)`, a missing arm contributing 0. Output:
+    * (query_id, doc_id, rnk_lex, rnk_sem, rrf, rnk ≤ k) — arm ranks
+    * are 0 when that arm missed the document, so every column is
+    * non-null (exact integer/double compare, no NULL-dtype drift).
+    *
+    * Fusion is a RANK-ONLY function of its arms: any (id, id, rank)
+    * frame plugs in — exact cosine, LSH, IVF, a remote service's
+    * ranking — without touching this operator (RetrievalSpec locks
+    * this; qs23 gates an IVF-armed fusion against the exact-armed one).
+    * RRF constants are integer ranks under exact division — both arms'
+    * contributions are correctly-rounded doubles and their sum is a
+    * single fixed-order addition, so fusion is bit-exact cross-engine.
+    *
+    * Scale: both inputs are rank-truncated (≤ kArm rows per query), so
+    * the full-outer join and the per-query window move query-bounded
+    * state only — the corpus never appears here.
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
     val fused = lex.join(sem,
         lex("qid") === sem("sqid") && lex("did") === sem("sdid"), "full_outer")
       .select(

@@ -316,11 +316,15 @@ object Similarity {
     * result is relevant AND non-redundant (a plain top-k returns five
     * near-copies; MMR returns one copy plus four distinct angles).
     *
-    * Queries are the vectors with id ≡ 0 mod `queryMod`; candidates
-    * are their exact cosine top-`kCand`; rel = cosine to the query;
-    * pairwise candidate similarity is cosine. Output per pick:
-    * (query_id, doc_id, rnk 1..k, rel, pen, score) — the first pick
-    * carries pen = 0.0.
+    * `queries` is an EXPLICIT, BOUNDED frame of (idCol, vecCol) — the
+    * fixed eval set the caller owns (the r13 shape derived queries as
+    * `id % mod` OF THE CORPUS, which made |queries| ∝ n and the exact
+    * candidate arm O(n²/mod); the bounded-query contract of
+    * [[graft.operators.Retrieval.bm25PerQueryTopK]] applies here
+    * verbatim). Candidates are the queries' exact cosine top-`kCand`;
+    * rel = cosine to the query; pairwise candidate similarity is
+    * cosine. Output per pick: (query_id, doc_id, rnk 1..k, rel, pen,
+    * score) — the first pick carries pen = 0.0.
     *
     * Exactness: every number is a dot/√/×/−/÷ chain of exact IEEE ops
     * shared with cosineTopK; `max` over doubles and the (score desc,
@@ -334,10 +338,10 @@ object Similarity {
     * `k` tiny jobs on checkpointed picks — plan depth stays O(1).
     */
   def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
-                queryMod: Int = 100, kCand: Int = 20, k: Int = 5,
+                queries: DataFrame, kCand: Int = 20, k: Int = 5,
                 lambda: Double = 0.5): DataFrame = {
     val c = normed(emb, idCol, vecCol)
-    val q = c.filter(col("vid") % queryMod === 0)
+    val q = normed(queries, idCol, vecCol)
       .select(col("vid").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     val wRel = Window.partitionBy("qid").orderBy(col("rel").desc, col("did"))
     val cand = q.crossJoin(c)

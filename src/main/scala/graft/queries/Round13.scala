@@ -68,6 +68,73 @@ object Round13 {
   private val noveltyDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // ----- shared retrieval arms, memoized per sf dir --------------------
+  // qs17/qs19/qs20 read the SAME lexical BM25 arm, qs19/qs20 the same
+  // exact-cosine truth, and qs17/qs23 the same exact semantic arm —
+  // r13 rebuilt each from scratch per gate (~11 s of the suite spent
+  // recomputing identical frames). Same memoization discipline as
+  // indexDirs: built once per (JVM, sf dir) into a temp parquet, read
+  // back by every consumer. Every column is an integer id/rank, so the
+  // parquet round trip is bit-exact and the gate hashes are unchanged.
+  //
+  // The query sets are the `% 100` FIXTURE slices of the corpus tables
+  // — constructed HERE, at the gate, and passed to the operators as
+  // explicit bounded frames (the operators' bounded-query contract;
+  // the oracle SQL mirrors the same fixture so hashes reproduce).
+  private val lexArmDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val semArmDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val truthDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The gates' fixed lexical query set: documents with id ≡ 0 (mod
+    * 100). A fixture choice, not operator behavior — the operators take
+    * the query frame as a parameter.
+    */
+  private def queryDocsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+
+  /** The gates' fixed semantic query set: vectors with id ≡ 0 (mod 100). */
+  private def queryVecsOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "embeddings").filter(col("vec_id") % 100 === 0)
+
+  private def memoParquet(
+      cache: java.util.concurrent.ConcurrentHashMap[String, String],
+      tag: String, s: org.apache.spark.sql.SparkSession, dir: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val path = cache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_$tag").toString
+      build.write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** Lexical BM25 arm, kArm = 20: (qid, did, rl). */
+  private def lexArm20(s: org.apache.spark.sql.SparkSession, dir: String) =
+    memoParquet(lexArmDirs, "lexarm", s, dir) {
+      Retrieval.bm25PerQueryTopK(Tables(s, dir, "documents"),
+        "doc_id", "text", queryDocsOf(s, dir), kArm = 20)
+    }
+
+  /** Exact-cosine semantic arm, kArm = 20: (sqid, sdid, rs). */
+  private def semArm20(s: org.apache.spark.sql.SparkSession, dir: String) =
+    memoParquet(semArmDirs, "semarm", s, dir) {
+      Similarity.cosineTopK(Tables(s, dir, "embeddings"),
+          queryVecsOf(s, dir), "vec_id", "embedding", k = 20)
+        .select(col("query_id").as("sqid"), col("neighbor_id").as("sdid"),
+          col("rnk").as("rs"))
+    }
+
+  /** Exact-cosine relevance truth, k = 10: (query_id, neighbor_id, rnk). */
+  private def truth10(s: org.apache.spark.sql.SparkSession, dir: String) =
+    memoParquet(truthDirs, "truth", s, dir) {
+      Similarity.cosineTopK(Tables(s, dir, "embeddings"),
+        queryVecsOf(s, dir), "vec_id", "embedding", k = 10)
+    }
+
   /** The novelty CTE chain (assumes `w`) — shared by qt22/qt24's
     * oracle AND qp09's composition, so the novelty definition lives in
     * ONE place on the oracle side too.
@@ -250,10 +317,50 @@ object Round13 {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf DESC, doc_id) AS rnk FROM f)
          |WHERE rnk <= 10""".stripMargin) { (s, dir) =>
-      Retrieval.hybridRrfTopK(
-        Tables(s, dir, "documents"), "doc_id", "text",
-        Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        queryMod = 100, kArm = 20, k = 10, rrfK = 60)
+      // rrfFuse over the memoized arms ≡ hybridRrfTopK over the same
+      // query fixtures (RetrievalSpec locks the equivalence); the gate
+      // reads the shared arms so qs17/qs19/qs20 stop triple-building
+      // identical frames.
+      Retrieval.rrfFuse(lexArm20(s, dir), semArm20(s, dir), k = 10, rrfK = 60)
+    },
+
+    // ----- hybrid retrieval with the ANN (IVF) semantic arm --------------
+    // Proves rrfFuse's documented arm pluggability AT THE GATE level:
+    // the semantic arm is Ivf.search (qs06's deterministic coarse
+    // quantizer, cells=8, nprobe=4) instead of the exact cosine, fused
+    // with the UNCHANGED lexical arm. The verdict row is per-semantic-
+    // query overlap between the ANN-armed fused top-10 and the
+    // exact-armed fused top-10 (qs05/qs06's recall_ok discipline: both
+    // paths are deterministic, so `hits >= floor` is a reproducible
+    // integer the oracle can state as all-ones; measured min hits@10 =
+    // 8 at sf0.001, 7 at sf0.01, 6 at sf0.1, 7 at sf1
+    // (tools.HybridTune) — fusion shares the whole lexical arm, so
+    // fused overlap sits above the raw qs06 floor; gate floor 4 keeps
+    // the qs05-style safety margin under the measured minima).
+    Q("qs23_hybrid_ann_recall",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val model = graft.operators.Ivf.train(s, emb, "vec_id", "embedding",
+        k = 8)
+      val annSem = graft.operators.Ivf.search(emb, queryVecsOf(s, dir),
+          model, "vec_id", "embedding", k = 20, nprobe = 4)
+        .select(col("query_id").as("sqid"), col("neighbor_id").as("sdid"),
+          col("rnk").as("rs"))
+      val annFused = Retrieval.rrfFuse(lexArm20(s, dir), annSem,
+        k = 10, rrfK = 60)
+      val exactFused = Retrieval.rrfFuse(lexArm20(s, dir), semArm20(s, dir),
+        k = 10, rrfK = 60)
+      // score only the semantic-query set: lexical-only queries fuse
+      // identically in both paths by construction (the lex arm is
+      // shared), so they carry no signal about the swapped arm
+      val semQids = queryVecsOf(s, dir).select(col("vec_id").as("query_id"))
+      Similarity.recallHits(
+          exactFused.join(semQids, Seq("query_id"))
+            .select(col("query_id"), col("doc_id").as("neighbor_id")),
+          annFused.select(col("query_id"), col("doc_id").as("neighbor_id")))
+        .select(col("query_id"),
+          (col("hits") >= 4).cast("long").as("recall_ok"))
     },
 
     // ----- retrieval evaluation: recall@k + reciprocal rank --------------
@@ -264,15 +371,8 @@ object Round13 {
     // lexical hits still emit a row (rr = 0.0), so a system arm that
     // silently drops a query breaks the hash.
     Q("qs19_retrieval_eval", evalPerQuerySql) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val truth = Similarity.cosineTopK(
-        emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 10)
-      val sys = Retrieval.bm25PerQueryTopK(
-        Tables(s, dir, "documents"), "doc_id", "text",
-        queryMod = 100, kArm = 20)
-      Retrieval.evalRanking(sys, "qid", "did", "rl",
-        truth, "query_id", "neighbor_id")
+      Retrieval.evalRanking(lexArm20(s, dir), "qid", "did", "rl",
+        truth10(s, dir), "query_id", "neighbor_id")
     },
 
     // ----- retrieval evaluation rollup: MRR + macro recall ---------------
@@ -284,15 +384,8 @@ object Round13 {
          |  ${Exact.davgSql("rr")} AS mrr,
          |  ${Exact.davgSql("recall")} AS macro_recall
          |FROM base""".stripMargin) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val truth = Similarity.cosineTopK(
-        emb, emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
-        k = 10)
-      val sys = Retrieval.bm25PerQueryTopK(
-        Tables(s, dir, "documents"), "doc_id", "text",
-        queryMod = 100, kArm = 20)
-      Retrieval.evalRanking(sys, "qid", "did", "rl",
-          truth, "query_id", "neighbor_id")
+      Retrieval.evalRanking(lexArm20(s, dir), "qid", "did", "rl",
+          truth10(s, dir), "query_id", "neighbor_id")
         .agg(
           count(lit(1)).as("n_queries"),
           (Exact.dsum(col("rr")) / count(lit(1))).as("mrr"),
@@ -501,7 +594,7 @@ object Round13 {
     // just the final set.
     Q("qs21_mmr_rerank", mmrOracleSql(kCand = 20, k = 5)) { (s, dir) =>
       Similarity.mmrRerank(Tables(s, dir, "embeddings"), "vec_id",
-        "embedding", queryMod = 100, kCand = 20, k = 5, lambda = 0.5)
+        "embedding", queryVecsOf(s, dir), kCand = 20, k = 5, lambda = 0.5)
     },
 
     // ----- vocabulary coverage curve --------------------------------------

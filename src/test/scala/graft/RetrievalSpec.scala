@@ -63,9 +63,10 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("hybridRrfTopK fuses both arms and fills missing-arm ranks with 0") {
-    // queryMod=1 makes EVERY doc a query; embeddings: doc 1 ~ doc 3
-    // nearly parallel, doc 2 orthogonal-ish — semantic arm must prefer
-    // 3 for query 1 even though the lexical arm is driven by words.
+    // every doc queries (the query frames are the full corpus tables);
+    // embeddings: doc 1 ~ doc 3 nearly parallel, doc 2 orthogonal-ish —
+    // semantic arm must prefer 3 for query 1 even though the lexical
+    // arm is driven by words.
     val emb = Seq(
       (1L, Array(1.0f, 0.0f, 0.1f)),
       (2L, Array(0.0f, 1.0f, 0.0f)),
@@ -73,7 +74,8 @@ class RetrievalSpec extends SparkSpec {
       (4L, Array(0.1f, 0.9f, 0.2f))
     ).toDF("vec_id", "embedding")
     val got = Retrieval.hybridRrfTopK(docs, "doc_id", "text",
-      emb, "vec_id", "embedding", queryMod = 1, kArm = 3, k = 3)
+      emb, "vec_id", "embedding", queryDocs = docs, queryVecs = emb,
+      kArm = 3, k = 3)
     val rows = got.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getDouble(4), r.getLong(5)))
@@ -97,6 +99,63 @@ class RetrievalSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (_, rs) =>
       assert(rs.map(_._6).sorted.toSeq == (1L to rs.length).toSeq)
     }
+  }
+
+  test("bm25PerQueryTopK is bounded by the explicit query frame") {
+    // The bounded-query contract: the query side is the frame the
+    // CALLER passes, so growing the corpus must grow the candidate
+    // side only — the set of queries (and thus every per-query
+    // structure) stays exactly the given frame. This is the structural
+    // lock against the r13 shape, where queries were derived as
+    // `id % mod` OF THE CORPUS and |queries| grew with the data.
+    val queries = docs.filter(col("doc_id").isin(1L, 3L))
+    val small = Retrieval.bm25PerQueryTopK(docs, "doc_id", "text",
+      queries, kArm = 5)
+    assert(small.select("qid").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L))
+
+    // corpus 3x the size (shifted copies), SAME query frame: the query
+    // set must not grow with the corpus
+    val big = docs.unionByName(
+        docs.select((col("doc_id") + 100L).as("doc_id"), col("text")))
+      .unionByName(
+        docs.select((col("doc_id") + 200L).as("doc_id"), col("text")))
+    val bigOut = Retrieval.bm25PerQueryTopK(big, "doc_id", "text",
+      queries, kArm = 5)
+    assert(bigOut.select("qid").distinct().collect().map(_.getLong(0)).toSet
+      == Set(1L, 3L),
+      "query set must be the explicit frame, never a function of corpus size")
+  }
+
+  test("rrfFuse is a rank-only function of its arms") {
+    // Arms that never came from any corpus: fusion must depend on the
+    // (id, id, rank) triples alone — this is the pluggability contract
+    // qs23 exercises with an IVF arm at the gate level.
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("qid", "did", "rl")
+    val sem = Seq((1L, 11L, 1L), (1L, 12L, 2L)).toDF("sqid", "sdid", "rs")
+    val got = Retrieval.rrfFuse(lex, sem, k = 3, rrfK = 60)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got(10L) == ((1L, 0L, 1.0 / 61.0)))
+    assert(got(11L) == ((2L, 1L, 1.0 / 62.0 + 1.0 / 61.0)))
+    assert(got(12L) == ((0L, 2L, 1.0 / 62.0)))
+    // composed operator ≡ rrfFuse over independently built arms (the
+    // memoized-arm gates rely on this equivalence)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.7f, 0.7f)), (4L, Array(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val composed = Retrieval.hybridRrfTopK(docs, "doc_id", "text",
+      emb, "vec_id", "embedding", queryDocs = docs, queryVecs = emb,
+      kArm = 3, k = 3)
+    val arms = Retrieval.rrfFuse(
+      Retrieval.bm25PerQueryTopK(docs, "doc_id", "text", docs, kArm = 3),
+      graft.operators.Similarity.cosineTopK(emb, emb, "vec_id", "embedding", 3)
+        .select(col("query_id").as("sqid"), col("neighbor_id").as("sdid"),
+          col("rnk").as("rs")),
+      k = 3)
+    assert(composed.collect().toSet == arms.collect().toSet)
   }
 
   test("bm25TopK tolerates zero-word and no-match documents") {

@@ -117,7 +117,7 @@ class SimilaritySpec extends SparkSpec {
       (3L, Array(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
     val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
-        queryMod = 100, kCand = 3, k = 2)
+        queries = emb.filter(col("vec_id") === 100L), kCand = 3, k = 2)
       .collect()
       .map(r => r.getLong(2) ->
         ((r.getLong(1), r.getDouble(3), r.getDouble(4)))).toMap
@@ -142,7 +142,7 @@ class SimilaritySpec extends SparkSpec {
       (2L, Array(0.1f, 0.9f))
     ).toDF("vec_id", "embedding")
     val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
-        queryMod = 100, kCand = 10, k = 5)
+        queries = emb.filter(col("vec_id") === 100L), kCand = 10, k = 5)
       .collect().map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
     assert(got.map(_._1).toSeq == Seq(1L, 2L),
       s"expected dense ranks 1..2 and no phantom picks, got $got")
