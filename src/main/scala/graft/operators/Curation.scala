@@ -160,6 +160,16 @@ object Curation {
     *
     * Output: (idCol, partCol, rank_in_source, weight, pos).
     *
+    * WEIGHT CONTRACT: `weight` must evaluate to a POSITIVE INTEGER per
+    * row — the (k − 0.5)/w position model counts whole documents per
+    * weight unit, so a fractional or non-positive weight has no
+    * interleave semantics. The contract is ENFORCED at run time
+    * (raise_error), not silently truncated: a temperature-mixing
+    * double like 2.7 used to cast to 2 without a sound, and a weight
+    * of 0 produced NULL positions. Callers with fractional mixing
+    * ratios scale them to integers first (e.g. ×10 — positions are
+    * ratio-invariant under a common scale at every prefix).
+    *
     * Exactness: rank and weight are integers; pos is one subtraction
     * and one division of exactly-representable doubles — bit-identical
     * cross-engine. Scale: the per-source rank rides [[prefixBefore]]'s
@@ -169,14 +179,21 @@ object Curation {
     */
   def interleaveByWeight(df: DataFrame, idCol: String, partCol: String,
                          weight: Column,
-                         chunkSize: Long = 1L << 20): DataFrame =
+                         chunkSize: Long = 1L << 20): DataFrame = {
+    val w = weight.cast("double")
+    val checked = when(w.isNull || w <= 0.0 || w =!= floor(w),
+        raise_error(concat(
+          lit("interleaveByWeight: weight must be a positive integer, got "),
+          coalesce(w.cast("string"), lit("NULL")))))
+      .otherwise(w).cast("long")
     prefixBefore(df.select(col(idCol), col(partCol))
         .withColumn("__one", lit(1L)), idCol, "__one", partCol, chunkSize)
       .withColumn("rank_in_source", col("__cb") + lit(1L))
-      .withColumn("weight", weight.cast("long"))
+      .withColumn("weight", checked)
       .select(col(idCol), col(partCol), col("rank_in_source"), col("weight"),
         ((col("rank_in_source").cast("double") - lit(0.5)) /
           col("weight").cast("double")).as("pos"))
+  }
 
   /** Shard-utilization report over a [[packByBudget]] packing — the
     * efficiency audit a sequence-packing step owes its trainer: per

@@ -702,7 +702,10 @@ object TextAnalysis {
     * languages, and fertility (Σ subword tokens / Σ words, grouped by
     * predicted language) is where that shows up. Composes
     * [[languageId]] with [[tokenCounts]]; the ratio is one IEEE
-    * division of exact integer sums.
+    * division of exact integer sums. A group whose documents all
+    * tokenize to zero words reports fertility 0.0 (explicit guard, the
+    * noveltyRate discipline) — an unguarded 0/0 would be NULL in Spark
+    * but engine-defined elsewhere, a latent cross-engine divergence.
     *
     * Scale: two linear per-document passes joined on the id, then a
     * group-by on ≤ |languages| keys with map-side combine.
@@ -722,7 +725,9 @@ object TextAnalysis {
         sum(col("ws_tokens")).as("ws_tokens"),
         sum(col("bpe_tokens")).as("bpe_tokens"))
       .withColumn("fertility",
-        col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType))
+        when(col("ws_tokens") === 0L, lit(0.0))
+          .otherwise(
+            col("bpe_tokens").cast(DoubleType) / col("ws_tokens").cast(DoubleType)))
   }
 
   /** Vocabulary coverage curve — the tokenizer-design question "how

@@ -774,7 +774,9 @@ object Round13 {
          |SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
          |  CAST(SUM(bt) AS BIGINT) AS bpe_tokens,
-         |  CAST(SUM(bt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS fertility
+         |  CASE WHEN SUM(wt) = 0 THEN 0.0
+         |       ELSE CAST(SUM(bt) AS DOUBLE) / CAST(SUM(wt) AS DOUBLE)
+         |  END AS fertility
          |FROM t GROUP BY lang, predicted_lang""".stripMargin
     }) { (s, dir) =>
       TextAnalysis.tokenizerFertility(Tables(s, dir, "documents"),

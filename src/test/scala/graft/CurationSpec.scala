@@ -412,6 +412,26 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("interleaveByWeight rejects fractional, zero and NULL weights") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "a")).toDF("doc_id", "source")
+    def run(w: org.apache.spark.sql.Column): Unit =
+      Curation.interleaveByWeight(df, "doc_id", "source", w).collect()
+    // fractional: the old code cast 2.7 to 2 without a sound
+    val frac = intercept[Exception] { run(lit(2.7)) }
+    assert(frac.getMessage.contains("positive integer"),
+      s"fractional weight must raise, got: ${frac.getMessage}")
+    // zero: the old code emitted NULL positions
+    val zero = intercept[Exception] { run(lit(0L)) }
+    assert(zero.getMessage.contains("positive integer"))
+    val neg = intercept[Exception] { run(lit(-3L)) }
+    assert(neg.getMessage.contains("positive integer"))
+    val nul = intercept[Exception] { run(lit(null).cast("long")) }
+    assert(nul.getMessage.contains("positive integer"))
+    // an integer-VALUED double is fine (3.0 counts as integer)
+    run(lit(3.0))
+  }
+
   test("packStats accounts every packed token and flags boundary spill") {
     import spark.implicits._
     // one stratum, budget 10: docs of 4+4 fill shard 0 to 8; the

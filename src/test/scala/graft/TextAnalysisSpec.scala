@@ -178,6 +178,25 @@ class TextAnalysisSpec extends SparkSpec {
       "label/prediction disagreement must surface as its own row")
   }
 
+  test("tokenizerFertility guards the zero-word group to fertility 0.0") {
+    import spark.implicits._
+    // a group whose only documents tokenize to zero words: the ratio's
+    // denominator is 0 and an unguarded division would be NULL in
+    // Spark but engine-defined elsewhere — the guard pins it to 0.0
+    val df = Seq(
+      (1L, "xx", ""),
+      (2L, "xx", "   "),
+      (3L, "en", "the a")
+    ).toDF("doc_id", "lang", "text")
+    val got = TextAnalysis
+      .tokenizerFertility(df, "doc_id", "text", groupCols = Seq("lang"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(5)))).toMap
+    assert(got("xx")._1 == 0L)
+    assert(got("xx")._2 == 0.0, "zero-word group must report fertility 0.0")
+    assert(got("en")._2 == 1.0)
+  }
+
   test("vocabCoverage ranks by frequency then word, and clamps past the vocab") {
     import spark.implicits._
     // counts: x:4, b:3, a:2, z:1 — ties impossible here except via the
