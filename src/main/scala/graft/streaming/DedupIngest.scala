@@ -32,13 +32,23 @@ object DedupIngest {
   private def statePath(path: String) = s"$path/state"
 
   /** Absorb one micro-batch of (id, content) documents. Idempotent per
-    * `batchId`: the directory overwrite replays to identical rows.
+    * `batchId`: the directory overwrite replays to identical rows, and
+    * a durable [[BatchMarkers]] marker (written last) makes a replay
+    * arriving AFTER [[compact]] relocated this batch's rows a complete
+    * no-op — without it the replay would re-create the batch directory
+    * beside the compacted partials and serve() would double-count
+    * n_copies.
     */
   def applyBatch(batch: DataFrame, idCol: String, contentCol: String,
-                 path: String, batchId: Long): Unit =
+                 path: String, batchId: Long): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (BatchMarkers.isAbsorbed(fs, path, batchId)) return
     Dedup.exact(batch, idCol, contentCol)
       .write.mode("overwrite")
       .parquet(s"${statePath(path)}/batch=$batchId")
+    BatchMarkers.record(fs, path, batchId)
+  }
 
   /** Start continuous dedup-state maintenance over a document stream. */
   def start(docs: DataFrame, idCol: String, contentCol: String,
@@ -60,14 +70,20 @@ object DedupIngest {
       .agg(min(col("keep_id")).as("keep_id"),
         sum(col("n_copies")).as("n_copies"))
 
-  /** True when `id` was already absorbed (its directory exists) — lets
-    * a caller driving applyBatch by hand (tests, backfills) skip work;
-    * the streaming path needs no check because replay overwrite is a
-    * no-op by value.
+  /** True when `id` was already absorbed — lets a caller driving
+    * applyBatch by hand (tests, backfills) skip work. The answer is
+    * the durable [[BatchMarkers]] marker, NOT the directory layout:
+    * after [[compact]] relocates all merged rows under the oldest
+    * batch id, every other absorbed batch's directory is gone, and a
+    * layout-based check would report those batches missing — a
+    * backfill driver trusting it would re-apply them and (pre-marker)
+    * double-count n_copies. Directory presence is kept as a fallback
+    * for state written before markers existed.
     */
   def hasBatch(spark: SparkSession, path: String, id: Long): Boolean = {
     val p = new Path(s"${statePath(path)}/batch=$id")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchMarkers.isAbsorbed(fs, path, id) || fs.exists(p)
   }
 
   /** Collapse the accumulated per-batch state directories into one —
@@ -78,13 +94,13 @@ object DedupIngest {
     * serving is value-identical before and after.
     *
     * Same id discipline as the postings compaction: rows land under
-    * the OLDEST included batch id, and — because merged partials,
-    * unlike postings, OVERLAP a replayed batch's rows — compaction
-    * must only run on a quiescent index (after the last batch's
-    * checkpoint committed), where no replay is possible. A
-    * single-batch index stays replay-safe: the merge of one batch IS
-    * that batch's own rows, so the overwrite rewrites identical
-    * content.
+    * the OLDEST included batch id, and the AtomicSwap rewrite vacuums
+    * every superseded per-batch directory in the same rename. Replays
+    * arriving after that are no-ops outright — every absorbed batch
+    * carries a durable [[BatchMarkers]] marker that survives the
+    * vacuum, and applyBatch returns before writing when the marker is
+    * present (DedupIngestSpec locks replay-after-compaction to a
+    * value-identical serve).
     */
   def compact(spark: SparkSession, path: String, contentCol: String,
               files: Int = 1): Unit = {

@@ -51,11 +51,17 @@ object IndexIngest {
     * carry the transactional batch-id column. Crash anywhere between
     * the three writes replays the batch, and each table individually
     * skips or applies — order (postings, vocab, stats) never matters
-    * because the guards are per-table.
+    * because the guards are per-table. A [[BatchMarkers]] marker is
+    * written LAST: once present the whole batch committed, so a replay
+    * — including one arriving AFTER [[compactPostings]] relocated this
+    * batch's rows and vacuumed its directory — is a complete no-op
+    * instead of a postings rewrite that would double-count (or, for
+    * the compacted id itself, drop every other batch's rows).
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, path: String,
                  batchId: Long): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (BatchMarkers.isAbsorbed(fs, path, batchId)) return
     val post = Retrieval.postingsOf(batch, "doc_id", "text")
 
     // corpus-scale: write once into this batch's own directory
@@ -93,6 +99,18 @@ object IndexIngest {
         .withColumn(BatchCol, lit(batchId))
       AtomicSwap.rewrite(fs, statsPath(path), merged)
     }
+
+    BatchMarkers.record(fs, path, batchId)
+  }
+
+  /** True when `batchId` was fully absorbed — durable across
+    * [[compactPostings]] (the marker, not the directory layout, is
+    * authoritative: compaction relocates rows and vacuums the batch's
+    * own directory). Lets a manual/backfill driver skip work safely.
+    */
+  def hasBatch(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    BatchMarkers.isAbsorbed(fs, path, batchId)
   }
 
   /** Start continuous index maintenance over a document stream. */
@@ -111,15 +129,16 @@ object IndexIngest {
     * grows with file count even though the data is fine). Serving is
     * unaffected: postings rows are merely relocated.
     *
-    * The compacted rows land under the OLDEST included batch id, not
-    * the newest: the only batch the stream can ever replay is the last
-    * one (a crash before its checkpoint commit), and replay overwrites
-    * that batch's directory with just its own rows — compacting into
-    * the newest id would let such a replay silently drop every other
-    * batch's postings. The oldest id can only be "replayed" when it IS
-    * the newest (single-batch index), where the overwrite rewrites
-    * identical content. Vocab/stats are untouched (they track stream
-    * batch ids transactionally, not directory layout).
+    * The compacted rows land under the OLDEST included batch id, and
+    * the AtomicSwap rewrite vacuums every superseded per-batch
+    * directory in the same rename (readers see old or new layout,
+    * whole). Replays arriving after that are no-ops outright: every
+    * absorbed batch carries a durable [[BatchMarkers]] marker that
+    * survives the vacuum, and applyBatch returns before touching any
+    * state when the marker is present (IndexIngestSpec locks
+    * replay-after-compaction to a bit-identical serve). Vocab/stats
+    * are untouched by compaction (they track stream batch ids
+    * transactionally, not directory layout).
     */
   def compactPostings(spark: SparkSession, path: String,
                       files: Int = 1): Unit = {

@@ -107,4 +107,38 @@ class DedupIngestSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(grown == Set(("x", 1L, 3L), ("y", 0L, 3L), ("z", 7L, 1L)))
   }
+
+  test("a replayed batch AFTER compaction no-ops; hasBatch stays true") {
+    import spark.implicits._
+    // Compaction relocates all merged rows under the oldest batch id
+    // and vacuums the other directories. A replay of an absorbed batch
+    // after that (manual backfill trusting hasBatch, or a crash-replay
+    // racing the compactor) must be a complete no-op — pre-marker it
+    // re-created the batch directory beside the compacted partials and
+    // serve() double-counted n_copies.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd5").toString
+    val b1 = Seq((4L, "x"), (8L, "w")).toDF("doc_id", "text")
+    DedupIngest.applyBatch(
+      Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L)
+    val before = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    DedupIngest.compact(spark, dir, "text")
+    // the absorbed-but-vacuumed batch still reads as absorbed
+    assert(DedupIngest.hasBatch(spark, dir, 0L))
+    assert(DedupIngest.hasBatch(spark, dir, 1L),
+      "hasBatch must survive compaction for absorbed batches")
+    assert(!DedupIngest.hasBatch(spark, dir, 2L))
+    // replay BOTH absorbed batches post-compaction: serve unchanged
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L)
+    DedupIngest.applyBatch(
+      Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    val after = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before,
+      s"replay after compaction must be a no-op: $after vs $before")
+    assert(after == Set(("x", 4L, 2L), ("y", 6L, 1L), ("w", 8L, 1L)))
+  }
 }

@@ -102,4 +102,38 @@ class IndexIngestSpec extends SparkSpec {
     assert(IndexIngest.postings(spark, dir)
       .filter(col("did") === 5L).count() == 1L)
   }
+
+  test("a replayed batch AFTER compaction no-ops; hasBatch stays true") {
+    import spark.implicits._
+    // Compaction relocates every batch's postings under the oldest id
+    // and vacuums the other directories. A replayed absorbed batch
+    // after that must be a complete no-op — pre-marker it re-created
+    // its postings directory beside the compacted rows (double-counted
+    // scores), and replaying the compacted id itself overwrote the
+    // merged rows with just its own (dropped every other batch).
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx4").toString
+    val b0 = Seq((1L, "spark vector spark"), (2L, "stream window"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "spark stream stream")).toDF("doc_id", "text")
+    IndexIngest.applyBatch(spark, b0, dir, 0L)
+    IndexIngest.applyBatch(spark, b1, dir, 1L)
+    val before = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val postBefore = IndexIngest.postings(spark, dir).collect().toSet
+
+    IndexIngest.compactPostings(spark, dir)
+    assert(IndexIngest.hasBatch(spark, dir, 0L))
+    assert(IndexIngest.hasBatch(spark, dir, 1L),
+      "hasBatch must survive compaction for absorbed batches")
+    assert(!IndexIngest.hasBatch(spark, dir, 2L))
+
+    // replay the vacuumed batch AND the compacted id itself
+    IndexIngest.applyBatch(spark, b1, dir, 1L)
+    IndexIngest.applyBatch(spark, b0, dir, 0L)
+    assert(IndexIngest.postings(spark, dir).collect().toSet == postBefore,
+      "replay after compaction must not touch the postings")
+    val after = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(after == before, "replay after compaction must be a no-op")
+  }
 }
