@@ -100,6 +100,52 @@ object SparkEntry {
       pruned
     },
 
+    // TWO-LEVEL (partition-grouped) manifest range read, END TO END:
+    // qj03's gate lifted to the layout a 100 TB table actually has —
+    // a directory-partitioned copy of orders (8 key bands), a
+    // partition-scale summary consulted FIRST, and per-file stats
+    // opened ONLY for partitions the summary could not decide. The
+    // builder REQUIRES both levels to have worked: per-file stats
+    // touched for a STRICT SUBSET of partitions (the driver-memory
+    // property — per-file rows for 10⁶ files never all load), and
+    // fewer files in the plan than live on disk. The oracle is qj03's:
+    // the plain full-scan predicate — pruning must be invisible in the
+    // result.
+    Q("qj24_two_level_manifest_read",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 1000 AND 5000""".stripMargin) { (s, dir) =>
+      val table = twoLevelTables.computeIfAbsent(dir, { d =>
+        val pid = ProcessHandle.current().pid()
+        val t = s"/tmp/graft_twolevel_${pid}_${Integer.toHexString(d.hashCode)}"
+        val base = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        // 8 key bands at ANY scale factor, so the 1000..5000 gate band
+        // always selects a proper subset of partitions
+        val kmax = base.agg(max(col("o_orderkey"))).head().getLong(0)
+        val band = math.max(1L, kmax / 8)
+        base.withColumn("pband", (col("o_orderkey") / band).cast("long"))
+          .repartition(2)
+          .write.mode("overwrite").partitionBy("pband").parquet(t)
+        sources.StatsManifest.writePartitioned(s, t, Seq("o_orderkey"))
+        t
+      })
+      val (pruned, stats) = sources.StatsManifest.rangeReadTwoLevel(
+        s, table, "o_orderkey", "1000", "5000")
+      require(stats.partsOpened < stats.partsTotal,
+        s"two-level prune read per-file stats for every partition: " +
+          s"${stats.partsOpened} of ${stats.partsTotal}")
+      val onDisk = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(table))
+      }
+      require(stats.files.size < onDisk,
+        s"two-level prune had no effect: ${stats.files.size} of $onDisk files")
+      pruned.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+
     // Bloom-manifest POINT lookup, end to end: the orders copy is
     // hash-scattered (repartition — every file's [min, max] spans the
     // whole key domain, so the stats prune can't help), and the
@@ -570,6 +616,10 @@ object SparkEntry {
 
   /** qj11's bloom-manifested table per sfDir. */
   private val bloomTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj24's partitioned, two-level-manifested table per sfDir. */
+  private val twoLevelTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

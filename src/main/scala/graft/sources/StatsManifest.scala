@@ -267,6 +267,251 @@ object StatsManifest {
     }
   }
 
+  // ----- Two-level (partition-grouped) stats manifest -------------------
+  //
+  // The single-file manifest above collects one row per data file on
+  // the driver at WRITE time and parses every line at PRUNE time —
+  // fine at gate scale (10³ files), but at 100 TB ≈ 10⁶ files that is
+  // GBs of driver state for a query touching one key range. The
+  // two-level layout bounds driver state by PARTITION count instead:
+  //
+  //   _stats_manifest_parts            one line per (partition dir,
+  //                                    col): part, col, type, min,
+  //                                    max, n_files — partition-scale,
+  //                                    read whole at prune time
+  //   _stats_manifest_files/<part>     that partition's per-file lines
+  //                                    (the write() 5-field format) —
+  //                                    opened ONLY for partitions the
+  //                                    parts summary could not decide
+  //
+  // Write side is ONE distributed pass: per-file stats group by
+  // input_file_name exactly as statsLines, but the per-file rows are
+  // WRITTEN BY SPARK (partitionBy on a partition index) instead of
+  // collected — the driver holds only the partition-scale summary and
+  // the partition-name index, never a per-file row.
+  //
+  // Prune side decides per partition: range intersects → open that
+  // partition's per-file lines and prune file by file; range disjoint
+  // AND the on-disk file count matches the recorded n_files → drop the
+  // whole partition WITHOUT touching per-file rows; disjoint but
+  // counts mismatch (files appended since the manifest) → open and
+  // prune per file, keeping unknown files. Unknown partitions and
+  // unknown files are always kept — the same stale-manifest-is-safe,
+  // never-lose-rows contract as filterByStats.
+
+  private def partsPath(table: String) = new Path(table, "_stats_manifest_parts")
+  private def filesDir(table: String) = new Path(table, "_stats_manifest_files")
+
+  /** Per-partition prune outcome: the surviving files, how many
+    * partitions the universe spanned, and how many per-file stats
+    * files the prune had to open — the number a 100 TB planner pays
+    * for (the qj24 gate requires it to be a strict subset).
+    */
+  final case class TwoLevelPrune(files: Seq[String], partsTotal: Int,
+                                 partsOpened: Int)
+
+  private def encCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.regexp_replace
+    // %-escape first, then the delimiters — mirrors enc()
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "%", "%25"), "\t", "%09"), "\n", "%0A"), "\r", "%0D")
+  }
+
+  /** Rebuild the two-level manifest for a DIRECTORY-PARTITIONED table
+    * (every data file under at least one subdirectory of `table`; the
+    * first path segment is the partition). One distributed stats pass;
+    * driver state is partition-scale only.
+    */
+  def writePartitioned(spark: SparkSession, table: String,
+                       cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{concat_ws, count, expr, lit,
+      substring_index, array, struct, explode}
+    val df = spark.read.parquet(table)
+    val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val bad = cols.filterNot(c => supportedType(types(c)))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"StatsManifest: unsupported (un-orderable) column types: " +
+          bad.map(c => s"$c:${types(c)}").mkString(", "))
+    val rootPath = new Path(table).toUri.getPath
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__rel", expr(
+        s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})"))
+      .withColumn("__part", substring_index(col("__rel"), "/", 1))
+      .localCheckpoint() // two consumers below; stats scan runs once
+
+    // partition-scale summary: (part, per-col min/max, file count)
+    val partAggs = cols.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"pmin_$c"), max(col(s"max_$c")).as(s"pmax_$c")))
+    val partRows = perFile.groupBy("__part")
+      .agg(count(lit(1)).as("__nf"), partAggs: _*)
+      .collect() // ONE row per partition dir: bounded driver metadata
+    val parts = partRows.map(_.getAs[String]("__part")).sorted
+    if (parts.exists(p => p == null || !p.contains("=") && p.endsWith(".parquet")))
+      throw new IllegalArgumentException(
+        "writePartitioned needs a directory-partitioned table " +
+          "(files directly under the root: use write() instead)")
+    val sb = new StringBuilder
+    partRows.foreach { r =>
+      val part = r.getAs[String]("__part")
+      val nf = r.getAs[Long]("__nf")
+      cols.foreach { c =>
+        val lo = r.getAs[Any](s"pmin_$c")
+        val hi = r.getAs[Any](s"pmax_$c")
+        if (lo != null && hi != null)
+          sb.append(s"${enc(part)}\t$c\t${types(c)}\t${enc(lo.toString)}" +
+            s"\t${enc(hi.toString)}\t$nf\n")
+      }
+    }
+
+    // per-file lines, written BY SPARK under a numeric partition index
+    // (numeric so partitionBy never escapes the directory name), then
+    // renamed to the partition's own name — rename work is
+    // partition-scale, row data never visits the driver
+    val pidx = parts.zipWithIndex.toMap
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pidx.toSeq.map { case (p, i) =>
+          org.apache.spark.sql.Row(p, i)
+        }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pidx",
+          org.apache.spark.sql.types.IntegerType))))
+    val lineStructs = cols.map(c => struct(
+      lit(c).as("c"), lit(types(c)).as("t"),
+      col(s"min_$c").cast("string").as("lo"),
+      col(s"max_$c").cast("string").as("hi")))
+    val lines = perFile
+      .join(org.apache.spark.sql.functions.broadcast(idxDf), Seq("__part"))
+      .select(col("__pidx"), col("__rel"), explode(array(lineStructs: _*)).as("s"))
+      .filter(col("s.lo").isNotNull && col("s.hi").isNotNull)
+      .select(col("__pidx"), concat_ws("\t",
+        encCol(col("__rel")), col("s.c"), col("s.t"),
+        encCol(col("s.lo")), encCol(col("s.hi"))).as("line"))
+    val fs = partsPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(table, "._stats_manifest_files.tmp")
+    fs.delete(staging, true)
+    lines.repartition(col("__pidx"))
+      .write.partitionBy("__pidx").text(staging.toString)
+    val target = filesDir(table)
+    fs.delete(target, true)
+    fs.mkdirs(target)
+    pidx.foreach { case (part, i) =>
+      val src = new Path(staging, s"__pidx=$i")
+      val dst = new Path(target, enc(part))
+      if (fs.exists(src)) {
+        // usually one text part-file per index (repartition by __pidx);
+        // concatenate defensively if the writer split it
+        val texts = fs.listStatus(src).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        if (texts.length == 1) fs.rename(texts.head, dst)
+        else {
+          val out = fs.create(dst, true)
+          try texts.foreach { t =>
+            val in = fs.open(t)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+          } finally out.close()
+        }
+      }
+    }
+    fs.delete(staging, true)
+    // the parts summary is published LAST: readers treat a missing
+    // parts file as "no two-level manifest" and fall back to keeping
+    // everything, so a crash mid-write can only under-prune
+    publishAt(spark, table, partsPath(table), "._stats_manifest_parts.tmp",
+      sb.toString)
+  }
+
+  /** Two-level prune of an explicit file universe (absolute paths
+    * under `table`). See the layout comment above for the per-partition
+    * decision table; the returned partsOpened counts how many
+    * partitions' per-file stats the prune had to read.
+    */
+  def filterByStatsPartitioned(spark: SparkSession, table: String,
+                               files: Seq[String], column: String,
+                               lo: String, hi: String): TwoLevelPrune = {
+    val fs = partsPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byPart = files.groupBy { f =>
+      val rel = relOf(table, f)
+      if (rel.contains("/")) rel.substring(0, rel.indexOf('/')) else ""
+    }
+    if (!fs.exists(partsPath(table)))
+      return TwoLevelPrune(files, byPart.size, 0)
+    val in = fs.open(partsPath(table))
+    val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    val partStats = plines.flatMap(_.split('\t') match {
+      case Array(p, c, tn, mn, mx, nf) if c == column =>
+        Some(dec(p) -> ((tn, dec(mn), dec(mx), nf.toLong)))
+      case _ => None
+    }).toMap
+
+    var opened = 0
+    val kept = Seq.newBuilder[String]
+
+    def openAndPrune(part: String, pfiles: Seq[String]): Unit = {
+      val pf = new Path(filesDir(table), enc(part))
+      if (!fs.exists(pf)) { kept ++= pfiles; return }
+      opened += 1
+      val pin = fs.open(pf)
+      val flines = try scala.io.Source.fromInputStream(pin, "UTF-8").getLines().toList
+      finally pin.close()
+      val stats = flines.flatMap(_.split('\t') match {
+        case Array(rel, c, tn, mn, mx) if c == column =>
+          Some(dec(rel) -> ((tn, dec(mn), dec(mx))))
+        case _ => None
+      }).toMap
+      pfiles.foreach { f =>
+        stats.get(relOf(table, f)) match {
+          case Some((tn, mn, mx)) =>
+            if (cmp(tn, mx, lo) >= 0 && cmp(tn, mn, hi) <= 0) kept += f
+          case None => kept += f // unknown file: keep (stale is safe)
+        }
+      }
+    }
+
+    byPart.foreach { case (part, pfiles) =>
+      partStats.get(part) match {
+        case None => kept ++= pfiles // unknown partition: keep whole
+        case Some((tn, mn, mx, nf)) =>
+          val intersects = cmp(tn, mx, lo) >= 0 && cmp(tn, mn, hi) <= 0
+          if (intersects) openAndPrune(part, pfiles)
+          else if (pfiles.size == nf) () // complete coverage: drop whole
+          else openAndPrune(part, pfiles) // stale: unknown files survive
+      }
+    }
+    TwoLevelPrune(kept.result(), byPart.size, opened)
+  }
+
+  /** Two-level manifest-pruned range read — [[rangeRead]] with the
+    * partition-grouped prune. Same exactness contract: the prune is a
+    * superset filter and the typed predicate re-applies in full.
+    */
+  def rangeReadTwoLevel(spark: SparkSession, table: String, column: String,
+                        lo: String, hi: String): (DataFrame, TwoLevelPrune) = {
+    import org.apache.spark.sql.functions.lit
+    val fs = partsPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val universe = listDataFiles(spark, fs, table)
+    val prune = filterByStatsPartitioned(spark, table, universe, column, lo, hi)
+    val base =
+      if (prune.files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          spark.read.parquet(table).schema)
+      else spark.read.option("basePath", table).parquet(prune.files: _*)
+    val t = base.schema(column).dataType
+    (base.filter(col(column) >= lit(lo).cast(t) && col(column) <= lit(hi).cast(t)),
+      prune)
+  }
+
   // ----- Bloom membership manifest (point-lookup file skipping) --------
 
   private def bloomPath(table: String) = new Path(table, "_bloom_manifest")

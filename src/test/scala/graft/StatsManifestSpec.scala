@@ -43,6 +43,64 @@ class StatsManifestSpec extends SparkSpec {
       expected.orderBy("o_orderkey", "o_custkey").collect().toSeq)
   }
 
+  test("two-level manifest plans from partition summaries, opening per-file " +
+      "stats for a strict subset of partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest2l").toString
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    // 8 key bands regardless of scale factor
+    val kmax = base.agg(max("o_orderkey")).head().getLong(0)
+    val band = math.max(1L, kmax / 8)
+    val orders = base
+      .withColumn("pband", (col("o_orderkey") / band).cast("long"))
+    orders.repartition(2).write.mode("overwrite")
+      .partitionBy("pband").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("pband="))
+    assert(parts > 3, s"need several partitions to prove skipping, got $parts")
+    StatsManifest.writePartitioned(spark, dir, Seq("o_orderkey"))
+
+    val (pruned, stats) = StatsManifest.rangeReadTwoLevel(
+      spark, dir, "o_orderkey", band.toString, (3 * band).toString)
+    // planning touched per-file rows for a STRICT SUBSET of partitions —
+    // the driver-memory property the two-level layout exists for
+    assert(stats.partsOpened < stats.partsTotal,
+      s"per-file stats opened for ${stats.partsOpened} of ${stats.partsTotal}")
+    assert(stats.partsOpened > 0 && stats.files.nonEmpty)
+    // and fewer files entered the plan than live on disk
+    assert(stats.files.size < dataFiles(dir).size)
+    // results are exactly the full-scan answer
+    val expected = spark.read.parquet(dir)
+      .filter(col("o_orderkey") >= band && col("o_orderkey") <= 3 * band)
+    assert(pruned.orderBy("o_orderkey", "o_custkey").collect().toSeq ==
+      expected.orderBy("o_orderkey", "o_custkey").collect().toSeq)
+  }
+
+  test("two-level manifest keeps files appended into a pruned-out partition") {
+    // a partition whose RECORDED range is disjoint from the predicate
+    // gets new files after the manifest refresh: the file count
+    // mismatch forces the per-file stats open, where the unknown files
+    // are conservatively kept — stale under-prunes, never loses rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest2s").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .withColumn("p", lit("p0")).unionByName(
+        Seq((100L, "c")).toDF("k", "v").withColumn("p", lit("p1")))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writePartitioned(spark, dir, Seq("k"))
+    // p0's recorded range is [1, 2]; now a row lands there that the
+    // predicate below WOULD match
+    Seq((50L, "late")).toDF("k", "v").withColumn("p", lit("p0"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+
+    val (got, stats) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "40", "60")
+    assert(got.select("k").collect().map(_.getLong(0)).toSet == Set(50L),
+      "a late file in a range-disjoint partition must survive the prune")
+    assert(stats.partsOpened == 1,
+      s"only the stale partition should open per-file stats: $stats")
+  }
+
   test("a stale manifest keeps unknown files — under-prunes, never loses rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest2").toString
     val nation = Tables(spark, sfDir, "nation")
