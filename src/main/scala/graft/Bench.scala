@@ -157,8 +157,9 @@ object Bench {
       }
     }
     val (regressions: Seq[(String, Double, Double)],
-         drifts: Seq[(String, Double, Double)]) = prevArchived match {
-      case None => (Nil, Nil)
+         drifts: Seq[(String, Double, Double)],
+         growth: String) = prevArchived match {
+      case None => (Nil, Nil, "null")
       case Some(p) =>
         val prevJson = java.nio.file.Files.readString(
           outDir.resolve(f"bench_out_r$p%02d.json"))
@@ -166,7 +167,7 @@ object Bench {
         // the prior archive ran at a different scale than this run
         val prevSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(prevJson)
           .map(_.group(1)).getOrElse("")
-        if (prevSf != sfDir) (Nil, Nil)
+        if (prevSf != sfDir) (Nil, Nil, "null")
         else {
           val prev = minimaOf(prevJson)
           if (prev.isEmpty && results.nonEmpty)
@@ -191,7 +192,26 @@ object Bench {
               case old if old >= 0.2 && cur > old => (k, old, cur)
             }
           }.sortBy { case (_, old, cur) => -(cur / old) }.take(5)
-          (reg, drf)
+          // suite-growth budget: as the suite grows ~20 queries/round,
+          // a fixed-cost creep in shared harness stages can hide inside
+          // "we added queries" — compare the per-entry cost against the
+          // prior round and flag when it outgrows entry growth by >25%
+          val prevTotal = prev.values.filter(_ >= 0).sum
+          val grw =
+            if (prev.isEmpty || prevTotal <= 0) "null"
+            else {
+              val perEntryRatio =
+                (total / results.length) / (prevTotal / prev.size)
+              if (perEntryRatio > 1.25)
+                System.err.println(f"[bench] BUDGET per-entry cost grew " +
+                  f"$perEntryRatio%.2fx vs r$p%02d " +
+                  f"($total%.1f s / ${results.length} entries vs " +
+                  f"$prevTotal%.1f s / ${prev.size}) — fixed-cost creep?")
+              f"""{"prev_total":$prevTotal%.3f,"prev_n":${prev.size},""" +
+                f""""per_entry_ratio":$perEntryRatio%.3f,""" +
+                f""""flag":${perEntryRatio > 1.25}}"""
+            }
+          (reg, drf, grw)
         }
     }
     regressions.foreach { case (k, old, cur) =>
@@ -208,7 +228,7 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.length},"warehouse_build":$warehouseSec%.3f,"failed":${failed.length},"noisy":$noisy,"regressed":${regressions.length},"sf":"$sfDir"}"""
     println(line)
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"vs_round":${prevArchived.getOrElse(-1)},"queries":$qs,"passes":$pj,"spread":$sj,"regressions":$rj,"top_drifts":$dj,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","round":$round,"vs_round":${prevArchived.getOrElse(-1)},"queries":$qs,"passes":$pj,"spread":$sj,"regressions":$rj,"top_drifts":$dj,"growth":$growth,"failed":${failed.length},"noisy":$noisy,"sf":"$sfDir"}"""
     // the round archive is only written at the driver's per-round scale
     // (sf0.1) so local sf0.01/sf1 iteration runs never clobber it with
     // unlike-for-unlike minima; bench_out.json itself always reflects
