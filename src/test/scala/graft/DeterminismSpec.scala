@@ -40,7 +40,11 @@ class DeterminismSpec extends SparkSpec {
     // every candidate score is bit-identical), the shingle->min(id)
     // first-occurrence credit, and the chunk-parallel per-source rank
     // behind the weighted interleave
-    "qs21_mmr_rerank", "qt22_novelty", "qc15_mixture_interleave")
+    "qs21_mmr_rerank", "qt22_novelty", "qc15_mixture_interleave",
+    // ... plus this round's: IVF-armed RRF fusion (rank-only fusion of
+    // two deterministic arms) and the two-level manifest range read
+    // (driver-side partition/file pruning must be layout-independent)
+    "qs23_hybrid_ann_recall", "qj24_two_level_manifest_read")
 
   private def rows(name: String): Seq[String] = {
     val q = SparkEntry.allQueries.find(_.name == name).get
