@@ -184,6 +184,57 @@ object SparkEntry {
       hit
     },
 
+    // TWO-LEVEL bloom-manifest POINT lookup, END TO END: qj11's gate
+    // lifted to the partition-grouped layout — orders partitioned by a
+    // column UNCORRELATED with the lookup key (custkey mod 8) and
+    // hash-scattered within each partition, so neither directory
+    // names nor min/max bands can skip anything; partition-level bloom
+    // UNIONS are consulted first and per-file filters open only where
+    // the union says "might contain". The builder REQUIRES per-file
+    // blooms loaded for a strict subset of partitions AND fewer files
+    // planned than on disk. The oracle is qj11's plain key-equality
+    // predicate — pruning must be invisible in the result.
+    Q("qj25_two_level_bloom_read",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)"""
+        .stripMargin) { (s, dir) =>
+      val table = twoLevelBloomTables.computeIfAbsent(dir, { d =>
+        val pid = ProcessHandle.current().pid()
+        val t = s"/tmp/graft_twolevelbloom_${pid}_" +
+          Integer.toHexString(d.hashCode)
+        val ord = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .withColumn("pgrp", pmod(col("o_custkey"), lit(8L)))
+        ord.repartition(2).write.mode("overwrite")
+          .partitionBy("pgrp").parquet(t)
+        // ~12 bits/key at 6 hashes per layer: per-file filters sized
+        // for rows/file, partition unions for rows/partition — a union
+        // at file capacity would saturate and never skip
+        val rows = ord.count()
+        def sized(keys: Long) = (((keys * 12) / 64 + 1) * 64).toInt
+        sources.StatsManifest.writeBloomsPartitioned(s, t, Seq("o_orderkey"),
+          fileBits = sized(rows / 16), partBits = sized(rows / 8))
+        t
+      })
+      val key = Tables(s, dir, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val (hit, stats) = sources.StatsManifest.pointReadTwoLevel(
+        s, table, "o_orderkey", key.toString)
+      require(stats.partsOpened < stats.partsTotal,
+        s"two-level bloom prune opened per-file filters everywhere: " +
+          s"${stats.partsOpened} of ${stats.partsTotal}")
+      val onDisk = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(table))
+      }
+      require(stats.files.size < onDisk,
+        s"two-level bloom prune had no effect: ${stats.files.size} of $onDisk")
+      hit.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+
     // JSONL SINK round trip (the qj02 ORC pattern, text edition): the
     // documents corpus written as gzipped JSON-lines — the de-facto
     // corpus release format — and scanned back with a declared schema
@@ -620,6 +671,10 @@ object SparkEntry {
 
   /** qj24's partitioned, two-level-manifested table per sfDir. */
   private val twoLevelTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj25's partitioned, two-level-bloom'd table per sfDir. */
+  private val twoLevelBloomTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

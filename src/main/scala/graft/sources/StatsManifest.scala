@@ -393,12 +393,28 @@ object StatsManifest {
       .select(col("__pidx"), concat_ws("\t",
         encCol(col("__rel")), col("s.c"), col("s.t"),
         encCol(col("s.lo")), encCol(col("s.hi"))).as("line"))
-    val fs = partsPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(table, "._stats_manifest_files.tmp")
+    writePerPartLines(spark, table, lines, pidx, filesDir(table),
+      "._stats_manifest_files.tmp")
+    // the parts summary is published LAST: readers treat a missing
+    // parts file as "no two-level manifest" and fall back to keeping
+    // everything, so a crash mid-write can only under-prune
+    publishAt(spark, table, partsPath(table), "._stats_manifest_parts.tmp",
+      sb.toString)
+  }
+
+  /** Spark-write a (__pidx, line) frame as one text file per partition
+    * under `target/<enc(part)>` — the per-file rows of both two-level
+    * manifests go through here, so row data never visits the driver;
+    * the rename loop is partition-scale.
+    */
+  private def writePerPartLines(spark: SparkSession, table: String,
+                                lines: DataFrame, pidx: Map[String, Int],
+                                target: Path, stagingName: String): Unit = {
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(table, stagingName)
     fs.delete(staging, true)
     lines.repartition(col("__pidx"))
       .write.partitionBy("__pidx").text(staging.toString)
-    val target = filesDir(table)
     fs.delete(target, true)
     fs.mkdirs(target)
     pidx.foreach { case (part, i) =>
@@ -424,11 +440,6 @@ object StatsManifest {
       }
     }
     fs.delete(staging, true)
-    // the parts summary is published LAST: readers treat a missing
-    // parts file as "no two-level manifest" and fall back to keeping
-    // everything, so a crash mid-write can only under-prune
-    publishAt(spark, table, partsPath(table), "._stats_manifest_parts.tmp",
-      sb.toString)
   }
 
   /** Two-level prune of an explicit file universe (absolute paths
@@ -588,6 +599,203 @@ object StatsManifest {
         case None => true
       }
     }
+  }
+
+  // ----- Two-level (partition-grouped) bloom manifest -------------------
+  //
+  // The writePartitioned/filterByStatsPartitioned layout applied to
+  // point lookups: writeBlooms collects one fixed-size filter per
+  // (file, column) on the driver — ~1 KB each is GBs at 10⁶ files —
+  // and filterByBloom parses them all per probe. Here the driver keeps
+  // only a PARTITION-level bloom union (the OR of the partition's file
+  // filters, computed directly as one BloomAgg over the partition's
+  // rows — same bit math) plus file counts; per-file filters live in
+  // one Spark-written text file per partition, opened only when the
+  // partition union says "might contain". Unions need their own
+  // capacity: a partition holds many files' keys, so `partBits` should
+  // be ~12 bits per PARTITION row where `fileBits` is per-file sized.
+  // Same never-lose-rows contract: unknown partitions/files are kept,
+  // and a file-count mismatch (late appends) forces the per-file open.
+
+  private def bloomPartsPath(table: String) =
+    new Path(table, "_bloom_manifest_parts")
+  private def bloomFilesDir(table: String) =
+    new Path(table, "_bloom_manifest_files")
+
+  /** Rebuild the two-level bloom manifest for a directory-partitioned
+    * table. Two distributed passes (per-file filters, per-partition
+    * unions); the driver holds partition-scale state only.
+    */
+  def writeBloomsPartitioned(spark: SparkSession, table: String,
+                             cols: Seq[String], fileBits: Int = 8192,
+                             partBits: Int = 131072): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.{concat_ws, count, expr, hex, lit,
+      substring_index, array, struct, explode}
+    val df = spark.read.parquet(table)
+    val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val bad = cols.filterNot(c => Set("integer", "long", "short", "byte",
+      "string").contains(types(c)))
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        "bloom manifest supports integral/string columns only: " +
+          bad.map(c => s"$c:${types(c)}").mkString(", "))
+    def agg(c: String, bits: Int) = GraftColumnBridge.column(
+      graft.expressions.BloomAgg(
+        GraftColumnBridge.expression(col(c)), bits, BloomHashes)
+        .toAggregateExpression())
+    val rootPath = new Path(table).toUri.getPath
+    val relExpr = expr(
+      s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})")
+
+    val fileAggs = cols.map(c => agg(c, fileBits).as(s"bloom_$c"))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(fileAggs.head, fileAggs.tail: _*)
+      .withColumn("__rel", relExpr)
+      .withColumn("__part", substring_index(col("__rel"), "/", 1))
+      .localCheckpoint() // consumed twice: file counts + line write
+
+    // partition unions from the DATA at partition capacity (identical
+    // bit math to OR-ing the file filters, but correctly sized)
+    val partAggs = cols.map(c => agg(c, partBits).as(s"bloom_$c"))
+    val partRows = df
+      .withColumn("__file", input_file_name())
+      .withColumn("__part", substring_index(relExpr, "/", 1))
+      .groupBy("__part")
+      .agg(partAggs.head, partAggs.tail: _*)
+      .collect() // ONE filter per partition dir: bounded driver metadata
+    val nFiles = perFile.groupBy("__part").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val parts = nFiles.keys.toSeq.sorted
+    if (parts.exists(p => p == null || p.endsWith(".parquet")))
+      throw new IllegalArgumentException(
+        "writeBloomsPartitioned needs a directory-partitioned table " +
+          "(files directly under the root: use writeBlooms instead)")
+    val sb = new StringBuilder
+    partRows.foreach { r =>
+      val part = r.getAs[String]("__part")
+      cols.foreach { c =>
+        val hx = r.getAs[Array[Byte]](s"bloom_$c")
+          .map(b => f"${b & 0xff}%02x").mkString
+        sb.append(s"${enc(part)}\t$c\t$BloomHashes\t$hx\t${nFiles(part)}\n")
+      }
+    }
+
+    val pidx = parts.zipWithIndex.toMap
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pidx.toSeq.map { case (p, i) => org.apache.spark.sql.Row(p, i) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pidx",
+          org.apache.spark.sql.types.IntegerType))))
+    val lineStructs = cols.map(c => struct(
+      lit(c).as("c"), hex(col(s"bloom_$c")).as("hx")))
+    val lines = perFile
+      .join(org.apache.spark.sql.functions.broadcast(idxDf), Seq("__part"))
+      .select(col("__pidx"), col("__rel"),
+        explode(array(lineStructs: _*)).as("s"))
+      .select(col("__pidx"), concat_ws("\t",
+        encCol(col("__rel")), col("s.c"), lit(BloomHashes.toString),
+        col("s.hx")).as("line"))
+    writePerPartLines(spark, table, lines, pidx, bloomFilesDir(table),
+      "._bloom_manifest_files.tmp")
+    publishAt(spark, table, bloomPartsPath(table),
+      "._bloom_manifest_parts.tmp", sb.toString)
+  }
+
+  /** Two-level bloom prune of an explicit file universe: partition
+    * unions first, per-file filters only for partitions that might
+    * contain `value` (or whose file count no longer matches — late
+    * appends are conservatively kept).
+    */
+  def filterByBloomPartitioned(spark: SparkSession, table: String,
+                               files: Seq[String], column: String,
+                               value: Any): TwoLevelPrune = {
+    val fs = bloomPartsPath(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val byPart = files.groupBy { f =>
+      val rel = relOf(table, f)
+      if (rel.contains("/")) rel.substring(0, rel.indexOf('/')) else ""
+    }
+    if (!fs.exists(bloomPartsPath(table)))
+      return TwoLevelPrune(files, byPart.size, 0)
+    val in = fs.open(bloomPartsPath(table))
+    val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    val partBlooms = plines.flatMap(_.split('\t') match {
+      case Array(p, c, k, hx, nf) if c == column =>
+        Some(dec(p) -> ((k.toInt,
+          hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+          nf.toLong)))
+      case _ => None
+    }).toMap
+
+    var opened = 0
+    val kept = Seq.newBuilder[String]
+
+    def openAndPrune(part: String, pfiles: Seq[String]): Unit = {
+      val pf = new Path(bloomFilesDir(table), enc(part))
+      if (!fs.exists(pf)) { kept ++= pfiles; return }
+      opened += 1
+      val pin = fs.open(pf)
+      val flines = try scala.io.Source.fromInputStream(pin, "UTF-8").getLines().toList
+      finally pin.close()
+      val blooms = flines.flatMap(_.split('\t') match {
+        case Array(rel, c, k, hx) if c == column =>
+          Some(dec(rel) -> ((k.toInt,
+            hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray)))
+        case _ => None
+      }).toMap
+      pfiles.foreach { f =>
+        blooms.get(relOf(table, f)) match {
+          case Some((k, bytes)) =>
+            if (graft.expressions.BloomAgg.mightContain(bytes, k, value))
+              kept += f
+          case None => kept += f // unknown file: keep (stale is safe)
+        }
+      }
+    }
+
+    byPart.foreach { case (part, pfiles) =>
+      partBlooms.get(part) match {
+        case None => kept ++= pfiles
+        case Some((k, bytes, nf)) =>
+          val might = graft.expressions.BloomAgg.mightContain(bytes, k, value)
+          if (might) openAndPrune(part, pfiles)
+          else if (pfiles.size == nf) () // union says no, coverage complete
+          else openAndPrune(part, pfiles) // stale: unknown files survive
+      }
+    }
+    TwoLevelPrune(kept.result(), byPart.size, opened)
+  }
+
+  /** Two-level bloom-pruned point lookup — [[pointRead]]'s layout-aware
+    * sibling: `column = value` planned from partition bloom unions,
+    * then per-file filters for surviving partitions, then the exact
+    * typed predicate. Works on columns the partition layout is
+    * UNCORRELATED with (the min/max bands span everything; membership
+    * per partition is still sparse).
+    */
+  def pointReadTwoLevel(spark: SparkSession, table: String, column: String,
+                        value: String): (DataFrame, TwoLevelPrune) = {
+    import org.apache.spark.sql.functions.lit
+    val fs = bloomPartsPath(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val universe = listDataFiles(spark, fs, table)
+    val t = spark.read.parquet(table).schema(column).dataType
+    val typed: Any = t.typeName match {
+      case "integer" | "long" | "short" | "byte" => value.toLong
+      case _ => value
+    }
+    val prune = filterByBloomPartitioned(spark, table, universe, column, typed)
+    val base =
+      if (prune.files.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          spark.read.parquet(table).schema)
+      else spark.read.option("basePath", table).parquet(prune.files: _*)
+    (base.filter(col(column) === lit(value).cast(t)), prune)
   }
 
   /** Bloom + stats pruned point lookup: `column = value` served by

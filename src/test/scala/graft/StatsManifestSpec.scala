@@ -101,6 +101,35 @@ class StatsManifestSpec extends SparkSpec {
       s"only the stale partition should open per-file stats: $stats")
   }
 
+  test("two-level bloom manifest skips whole partitions on point lookups " +
+      "and keeps late files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom2l").toString
+    import spark.implicits._
+    // 4 partitions x 2 files, keys unique and scattered across files
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("p", concat(lit("p"), pmod(col("k"), lit(4L))))
+    df.repartition(2).write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writeBloomsPartitioned(spark, dir, Seq("k"),
+      fileBits = 1024, partBits = 4096)
+
+    val (hit, stats) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "42")
+    assert(hit.select("k").collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // the key lives in ONE partition; unions must rule out (nearly)
+    // all others without opening their per-file filters
+    assert(stats.partsOpened < stats.partsTotal,
+      s"unions failed to skip partitions: $stats")
+    assert(stats.files.size < dataFiles(dir).size,
+      s"per-file blooms failed to skip files: $stats")
+
+    // a late file in a union-says-no partition: count mismatch forces
+    // the per-file open and the unknown file survives the prune
+    Seq((10042L, "late")).toDF("k", "v").withColumn("p", lit("p1"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val (late, _) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "10042")
+    assert(late.select("k").collect().map(_.getLong(0)).toSeq == Seq(10042L),
+      "a late file must survive a union that predates it")
+  }
+
   test("a stale manifest keeps unknown files — under-prunes, never loses rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest2").toString
     val nation = Tables(spark, sfDir, "nation")
