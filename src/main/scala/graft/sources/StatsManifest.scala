@@ -442,6 +442,144 @@ object StatsManifest {
     fs.delete(staging, true)
   }
 
+  /** Extend the two-level manifest to partitions whose on-disk file
+    * count no longer matches the recorded one — the streaming
+    * companion to [[writePartitioned]] (the [[appendMissing]]
+    * discipline at partition granularity): a continuous ingest appends
+    * files every micro-batch, and without maintenance every touched
+    * partition decays to open-and-keep-unknowns. Re-scans ONLY the
+    * stale partitions' files (one distributed pass over that subset),
+    * rewrites only their per-file stats files, and republishes the
+    * parts summary last. Untouched partitions' stats files are not
+    * read, not rewritten. Idempotent: a replay sees matching counts
+    * and no-ops. Returns the number of refreshed partitions.
+    */
+  def refreshStalePartitions(spark: SparkSession, table: String): Int = {
+    import org.apache.spark.sql.functions.{concat_ws, count, expr, lit,
+      substring_index, array, struct, explode}
+    val fs = partsPath(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(partsPath(table))) return 0
+    val in = fs.open(partsPath(table))
+    val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    // (part, col, type, min, max, nfiles) rows; cols tracked = distinct
+    val rows = plines.flatMap(_.split('\t') match {
+      case Array(p, c, tn, mn, mx, nf) =>
+        Some((dec(p), c, tn, mn, mx, nf.toLong))
+      case _ => None
+    })
+    val cols = rows.map(_._2).distinct
+    if (cols.isEmpty) return 0
+    val recorded = rows.groupBy(_._1).view.mapValues(_.head._6).toMap
+    val byPart = listDataFiles(spark, fs, table).groupBy { f =>
+      val rel = relOf(table, f)
+      if (rel.contains("/")) rel.substring(0, rel.indexOf('/')) else ""
+    }
+    val stale = byPart.filter { case (p, fl) =>
+      recorded.get(p) match {
+        case Some(nf) => fl.size != nf
+        case None => true // brand-new partition
+      }
+    }
+    if (stale.isEmpty) return 0
+
+    val df = spark.read.option("basePath", table)
+      .parquet(stale.values.flatten.toSeq: _*)
+    val types = cols.map(c => c -> df.schema(c).dataType.typeName).toMap
+    val rootPath = new Path(table).toUri.getPath
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("__rel", expr(
+        s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})"))
+      .withColumn("__part", substring_index(col("__rel"), "/", 1))
+      .localCheckpoint()
+    val partAggs = cols.flatMap(c =>
+      Seq(min(col(s"min_$c")).as(s"pmin_$c"), max(col(s"max_$c")).as(s"pmax_$c")))
+    val partRows = perFile.groupBy("__part")
+      .agg(count(lit(1)).as("__nf"), partAggs: _*)
+      .collect() // stale partitions only: bounded driver metadata
+
+    // rewrite ONLY the stale partitions' per-file stats files
+    val parts = partRows.map(_.getAs[String]("__part")).sorted
+    val pidx = parts.zipWithIndex.toMap
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pidx.toSeq.map { case (p, i) => org.apache.spark.sql.Row(p, i) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pidx",
+          org.apache.spark.sql.types.IntegerType))))
+    val lineStructs = cols.map(c => struct(
+      lit(c).as("c"), lit(types(c)).as("t"),
+      col(s"min_$c").cast("string").as("lo"),
+      col(s"max_$c").cast("string").as("hi")))
+    val lines = perFile
+      .join(org.apache.spark.sql.functions.broadcast(idxDf), Seq("__part"))
+      .select(col("__pidx"), col("__rel"), explode(array(lineStructs: _*)).as("s"))
+      .filter(col("s.lo").isNotNull && col("s.hi").isNotNull)
+      .select(col("__pidx"), concat_ws("\t",
+        encCol(col("__rel")), col("s.c"), col("s.t"),
+        encCol(col("s.lo")), encCol(col("s.hi"))).as("line"))
+    // per-partition target files swap individually (write to a staging
+    // dir, then rename each refreshed partition's file into place)
+    val staging = new Path(table, "._stats_manifest_refresh.tmp")
+    fs.delete(staging, true)
+    lines.repartition(col("__pidx"))
+      .write.partitionBy("__pidx").text(staging.toString)
+    val target = filesDir(table)
+    fs.mkdirs(target)
+    pidx.foreach { case (part, i) =>
+      val src = new Path(staging, s"__pidx=$i")
+      if (fs.exists(src)) {
+        val texts = fs.listStatus(src).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val dst = new Path(target, enc(part))
+        fs.delete(dst, false)
+        if (texts.length == 1) fs.rename(texts.head, dst)
+        else {
+          val out = fs.create(dst, true)
+          try texts.foreach { t =>
+            val tin = fs.open(t)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = tin.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
+            } finally tin.close()
+          } finally out.close()
+        }
+      }
+    }
+    fs.delete(staging, true)
+
+    // republish the parts summary: fresh rows for stale partitions,
+    // existing rows for the rest — LAST, so a crash mid-refresh leaves
+    // the old (count-mismatched, open-and-keep) behavior, never a
+    // summary that claims coverage the files dir doesn't have
+    val freshByPart = partRows.map { r =>
+      val part = r.getAs[String]("__part")
+      val nf = r.getAs[Long]("__nf")
+      val sb = new StringBuilder
+      cols.foreach { c =>
+        val lo = r.getAs[Any](s"pmin_$c")
+        val hi = r.getAs[Any](s"pmax_$c")
+        if (lo != null && hi != null)
+          sb.append(s"${enc(part)}\t$c\t${types(c)}\t${enc(lo.toString)}" +
+            s"\t${enc(hi.toString)}\t$nf\n")
+      }
+      part -> sb.toString
+    }.toMap
+    val keptLines = rows.filterNot(r => freshByPart.contains(r._1))
+      .map { case (p, c, tn, mn, mx, nf) =>
+        s"${enc(p)}\t$c\t$tn\t$mn\t$mx\t$nf\n"
+      }
+    publishAt(spark, table, partsPath(table), "._stats_manifest_parts.tmp",
+      keptLines.mkString + freshByPart.toSeq.sortBy(_._1).map(_._2).mkString)
+    stale.size
+  }
+
   /** Two-level prune of an explicit file universe (absolute paths
     * under `table`). See the layout comment above for the per-partition
     * decision table; the returned partsOpened counts how many

@@ -101,6 +101,38 @@ class StatsManifestSpec extends SparkSpec {
       s"only the stale partition should open per-file stats: $stats")
   }
 
+  test("refreshStalePartitions re-scans only stale partitions and restores " +
+      "the tight prune") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest2r").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").withColumn("p", lit("p0"))
+      .unionByName(Seq((100L, "c")).toDF("k", "v").withColumn("p", lit("p1")))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writePartitioned(spark, dir, Seq("k"))
+    // appends: one into an existing partition, one brand-new partition
+    Seq((50L, "late")).toDF("k", "v").withColumn("p", lit("p0"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+    Seq((200L, "new")).toDF("k", "v").withColumn("p", lit("p2"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+
+    assert(StatsManifest.refreshStalePartitions(spark, dir) == 2,
+      "exactly the appended-into and brand-new partitions refresh")
+    // idempotent: a replay sees matching counts and no-ops
+    assert(StatsManifest.refreshStalePartitions(spark, dir) == 0)
+
+    // the prune is tight again: the 40..60 band decides p1 and p2 from
+    // the summary alone (disjoint, counts match) and opens only p0
+    val (got, stats) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "40", "60")
+    assert(got.select("k").collect().map(_.getLong(0)).toSet == Set(50L))
+    assert(stats.partsOpened == 1, s"refresh must restore summary trust: $stats")
+    // and the new partition serves through the summary too
+    val (got2, stats2) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "150", "250")
+    assert(got2.select("k").collect().map(_.getLong(0)).toSet == Set(200L))
+    assert(stats2.partsOpened == 1, s"new partition must be covered: $stats2")
+  }
+
   test("two-level bloom manifest skips whole partitions on point lookups " +
       "and keeps late files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom2l").toString
