@@ -196,18 +196,25 @@ object Bench {
           // a fixed-cost creep in shared harness stages can hide inside
           // "we added queries" — compare the per-entry cost against the
           // prior round and flag when it outgrows entry growth by >25%
-          val prevTotal = prev.values.filter(_ >= 0).sum
+          // per-entry cost compares SUCCESSFUL entries on both sides:
+          // `total` already excludes failed (negative) minima, so the
+          // denominators must too — a failed entry in either archive
+          // would otherwise shrink its side's per-entry cost and
+          // fabricate (or mask) a BUDGET flag
+          val prevOk = prev.values.filter(_ >= 0).toSeq
+          val prevTotal = prevOk.sum
+          val curN = results.count(_._2.min >= 0)
           val grw =
-            if (prev.isEmpty || prevTotal <= 0) "null"
+            if (prevOk.isEmpty || prevTotal <= 0 || curN == 0) "null"
             else {
               val perEntryRatio =
-                (total / results.length) / (prevTotal / prev.size)
+                (total / curN) / (prevTotal / prevOk.size)
               if (perEntryRatio > 1.25)
                 System.err.println(f"[bench] BUDGET per-entry cost grew " +
                   f"$perEntryRatio%.2fx vs r$p%02d " +
-                  f"($total%.1f s / ${results.length} entries vs " +
-                  f"$prevTotal%.1f s / ${prev.size}) — fixed-cost creep?")
-              f"""{"prev_total":$prevTotal%.3f,"prev_n":${prev.size},""" +
+                  f"($total%.1f s / $curN entries vs " +
+                  f"$prevTotal%.1f s / ${prevOk.size}) — fixed-cost creep?")
+              f"""{"prev_total":$prevTotal%.3f,"prev_n":${prevOk.size},""" +
                 f""""per_entry_ratio":$perEntryRatio%.3f,""" +
                 f""""flag":${perEntryRatio > 1.25}}"""
             }

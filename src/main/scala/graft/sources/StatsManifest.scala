@@ -277,7 +277,8 @@ object StatsManifest {
   //
   //   _stats_manifest_parts            one line per (partition dir,
   //                                    col): part, col, type, min,
-  //                                    max, n_files — partition-scale,
+  //                                    max, n_files, file-set
+  //                                    fingerprint — partition-scale,
   //                                    read whole at prune time
   //   _stats_manifest_files/<part>     that partition's per-file lines
   //                                    (the write() 5-field format) —
@@ -292,12 +293,13 @@ object StatsManifest {
   //
   // Prune side decides per partition: range intersects → open that
   // partition's per-file lines and prune file by file; range disjoint
-  // AND the on-disk file count matches the recorded n_files → drop the
-  // whole partition WITHOUT touching per-file rows; disjoint but
-  // counts mismatch (files appended since the manifest) → open and
-  // prune per file, keeping unknown files. Unknown partitions and
-  // unknown files are always kept — the same stale-manifest-is-safe,
-  // never-lose-rows contract as filterByStats.
+  // AND the universe's file set matches the recorded one (count AND
+  // fingerprint — count alone misses an equal-count replacement) →
+  // drop the whole partition WITHOUT touching per-file rows; disjoint
+  // but set mismatch (files appended/replaced since the manifest) →
+  // open and prune per file, keeping unknown files. Unknown
+  // partitions and unknown files are always kept — the same
+  // stale-manifest-is-safe, never-lose-rows contract as filterByStats.
 
   private def partsPath(table: String) = new Path(table, "_stats_manifest_parts")
   private def filesDir(table: String) = new Path(table, "_stats_manifest_files")
@@ -315,6 +317,56 @@ object StatsManifest {
     // %-escape first, then the delimiters — mirrors enc()
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       c, "%", "%25"), "\t", "%09"), "\n", "%0A"), "\r", "%0D")
+  }
+
+  /** Order-independent fingerprint of a partition's file SET (XOR of
+    * xxhash64 over relative paths, seed 42 — the SQL `xxhash64`
+    * default, so the distributed agg below and this driver-side
+    * recompute agree bit-for-bit). The parts summary records it next
+    * to n_files, and the drop-whole-partition decision requires BOTH
+    * to match: file count alone misses an equal-count replacement
+    * (delete one file, append another with out-of-band values), and
+    * it misses a pinned-snapshot universe that happens to have the
+    * same cardinality as the live partition — either would drop a
+    * partition whose per-file stats were never consulted, losing
+    * rows. Names are a set, never a multiset, within one directory,
+    * so XOR cancellation can't occur.
+    */
+  private def fpOf(rels: Iterable[String]): String = {
+    var acc = 0L
+    rels.foreach { r =>
+      acc ^= org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r),
+        org.apache.spark.sql.types.StringType, 42L)
+    }
+    java.lang.Long.toHexString(acc)
+  }
+
+  /** The distributed twin of [[fpOf]] over a `__rel` column. */
+  private def fpAgg: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("bit_xor(xxhash64(__rel))")
+
+  /** `input_file_name()` is a URI — percent-encoded — while the rel
+    * keys everywhere else ([[statsLines]], [[relOf]]) come from
+    * DECODED paths. Deriving `__rel` with instr() on the raw string
+    * made a table path containing a space/%/non-ASCII produce garbage
+    * keys (the prune silently degrades to keep-everything), and a
+    * single quote broke the spliced SQL literal outright. Decode via
+    * java.net.URI exactly like statsLines; runs on per-FILE grouped
+    * rows only — metadata-scale, never the data path (the one place a
+    * UDF is the right tool: java.net.URI semantics, N_files rows).
+    * A root that doesn't prefix the decoded path yields the full path,
+    * which matches no reader key — the file is conservatively kept.
+    */
+  private val uriPathUdf = org.apache.spark.sql.functions.udf((s: String) =>
+    try new java.net.URI(s).getPath catch { case _: Exception => s })
+
+  private def relColOf(rootPath: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{length, lit, locate, when}
+    val p = uriPathUdf(col("__file"))
+    val pos = locate(rootPath + "/", p)
+    when(pos > 0, p.substr(pos + lit(rootPath.length + 1), length(p)))
+      .otherwise(p)
   }
 
   /** Rebuild the two-level manifest for a DIRECTORY-PARTITIONED table
@@ -338,16 +390,16 @@ object StatsManifest {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("__rel", expr(
-        s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})"))
+      .withColumn("__rel", relColOf(rootPath))
       .withColumn("__part", substring_index(col("__rel"), "/", 1))
       .localCheckpoint() // two consumers below; stats scan runs once
 
-    // partition-scale summary: (part, per-col min/max, file count)
+    // partition-scale summary: (part, per-col min/max, file count,
+    // file-set fingerprint)
     val partAggs = cols.flatMap(c =>
       Seq(min(col(s"min_$c")).as(s"pmin_$c"), max(col(s"max_$c")).as(s"pmax_$c")))
     val partRows = perFile.groupBy("__part")
-      .agg(count(lit(1)).as("__nf"), partAggs: _*)
+      .agg(count(lit(1)).as("__nf"), partAggs :+ fpAgg.as("__fp"): _*)
       .collect() // ONE row per partition dir: bounded driver metadata
     val parts = partRows.map(_.getAs[String]("__part")).sorted
     if (parts.exists(p => p == null || !p.contains("=") && p.endsWith(".parquet")))
@@ -358,12 +410,13 @@ object StatsManifest {
     partRows.foreach { r =>
       val part = r.getAs[String]("__part")
       val nf = r.getAs[Long]("__nf")
+      val fp = java.lang.Long.toHexString(r.getAs[Long]("__fp"))
       cols.foreach { c =>
         val lo = r.getAs[Any](s"pmin_$c")
         val hi = r.getAs[Any](s"pmax_$c")
         if (lo != null && hi != null)
           sb.append(s"${enc(part)}\t$c\t${types(c)}\t${enc(lo.toString)}" +
-            s"\t${enc(hi.toString)}\t$nf\n")
+            s"\t${enc(hi.toString)}\t$nf\t$fp\n")
       }
     }
 
@@ -462,22 +515,33 @@ object StatsManifest {
     val in = fs.open(partsPath(table))
     val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
-    // (part, col, type, min, max, nfiles) rows; cols tracked = distinct
-    val rows = plines.flatMap(_.split('\t') match {
-      case Array(p, c, tn, mn, mx, nf) =>
-        Some((dec(p), c, tn, mn, mx, nf.toLong))
-      case _ => None
-    })
+    // (part, col, nfiles, fp?, raw line) rows; legacy 6-field lines
+    // (pre-fingerprint) parse with fp = None and therefore always read
+    // as stale below — the first refresh upgrades them in place
+    val rows = plines.flatMap { l =>
+      l.split('\t') match {
+        case a if a.length == 6 || a.length == 7 =>
+          Some((dec(a(0)), a(1), a(5).toLong,
+            if (a.length == 7) Some(a(6)) else None, l))
+        case _ => None
+      }
+    }
     val cols = rows.map(_._2).distinct
     if (cols.isEmpty) return 0
-    val recorded = rows.groupBy(_._1).view.mapValues(_.head._6).toMap
+    val recorded = rows.groupBy(_._1).view
+      .mapValues(h => (h.head._3, h.head._4)).toMap
     val byPart = listDataFiles(spark, fs, table).groupBy { f =>
       val rel = relOf(table, f)
       if (rel.contains("/")) rel.substring(0, rel.indexOf('/')) else ""
     }
+    // stale = count OR file-set fingerprint mismatch: an equal-count
+    // replacement (delete one file, append another) must refresh too,
+    // or the drop-whole prune would trust a summary describing files
+    // that no longer exist
     val stale = byPart.filter { case (p, fl) =>
       recorded.get(p) match {
-        case Some(nf) => fl.size != nf
+        case Some((nf, fp)) =>
+          fl.size != nf || !fp.contains(fpOf(fl.map(relOf(table, _))))
         case None => true // brand-new partition
       }
     }
@@ -491,14 +555,13 @@ object StatsManifest {
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .withColumn("__rel", expr(
-        s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})"))
+      .withColumn("__rel", relColOf(rootPath))
       .withColumn("__part", substring_index(col("__rel"), "/", 1))
       .localCheckpoint()
     val partAggs = cols.flatMap(c =>
       Seq(min(col(s"min_$c")).as(s"pmin_$c"), max(col(s"max_$c")).as(s"pmax_$c")))
     val partRows = perFile.groupBy("__part")
-      .agg(count(lit(1)).as("__nf"), partAggs: _*)
+      .agg(count(lit(1)).as("__nf"), partAggs :+ fpAgg.as("__fp"): _*)
       .collect() // stale partitions only: bounded driver metadata
 
     // rewrite ONLY the stale partitions' per-file stats files
@@ -561,20 +624,19 @@ object StatsManifest {
     val freshByPart = partRows.map { r =>
       val part = r.getAs[String]("__part")
       val nf = r.getAs[Long]("__nf")
+      val fp = java.lang.Long.toHexString(r.getAs[Long]("__fp"))
       val sb = new StringBuilder
       cols.foreach { c =>
         val lo = r.getAs[Any](s"pmin_$c")
         val hi = r.getAs[Any](s"pmax_$c")
         if (lo != null && hi != null)
           sb.append(s"${enc(part)}\t$c\t${types(c)}\t${enc(lo.toString)}" +
-            s"\t${enc(hi.toString)}\t$nf\n")
+            s"\t${enc(hi.toString)}\t$nf\t$fp\n")
       }
       part -> sb.toString
     }.toMap
     val keptLines = rows.filterNot(r => freshByPart.contains(r._1))
-      .map { case (p, c, tn, mn, mx, nf) =>
-        s"${enc(p)}\t$c\t$tn\t$mn\t$mx\t$nf\n"
-      }
+      .map(_._5 + "\n") // non-stale lines pass through verbatim
     publishAt(spark, table, partsPath(table), "._stats_manifest_parts.tmp",
       keptLines.mkString + freshByPart.toSeq.sortBy(_._1).map(_._2).mkString)
     stale.size
@@ -598,9 +660,15 @@ object StatsManifest {
     val in = fs.open(partsPath(table))
     val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
+    // 7-field lines carry the partition file-set fingerprint; legacy
+    // 6-field lines parse with fp = None and can never drop-whole
+    // (the per-file stats are consulted instead — conservative)
     val partStats = plines.flatMap(_.split('\t') match {
       case Array(p, c, tn, mn, mx, nf) if c == column =>
-        Some(dec(p) -> ((tn, dec(mn), dec(mx), nf.toLong)))
+        Some(dec(p) -> ((tn, dec(mn), dec(mx), nf.toLong,
+          None: Option[String])))
+      case Array(p, c, tn, mn, mx, nf, fp) if c == column =>
+        Some(dec(p) -> ((tn, dec(mn), dec(mx), nf.toLong, Some(fp))))
       case _ => None
     }).toMap
 
@@ -631,10 +699,16 @@ object StatsManifest {
     byPart.foreach { case (part, pfiles) =>
       partStats.get(part) match {
         case None => kept ++= pfiles // unknown partition: keep whole
-        case Some((tn, mn, mx, nf)) =>
+        case Some((tn, mn, mx, nf, fp)) =>
           val intersects = cmp(tn, mx, lo) >= 0 && cmp(tn, mn, hi) <= 0
+          // drop-whole needs count AND file-set fingerprint to match:
+          // an equal-count replacement (or a pinned-snapshot universe
+          // of coincidentally equal size) would otherwise drop files
+          // the summary never described — see fpOf
+          val covered = pfiles.size == nf &&
+            fp.contains(fpOf(pfiles.map(relOf(table, _))))
           if (intersects) openAndPrune(part, pfiles)
-          else if (pfiles.size == nf) () // complete coverage: drop whole
+          else if (covered) () // complete coverage: drop whole
           else openAndPrune(part, pfiles) // stale: unknown files survive
       }
     }
@@ -783,13 +857,11 @@ object StatsManifest {
         GraftColumnBridge.expression(col(c)), bits, BloomHashes)
         .toAggregateExpression())
     val rootPath = new Path(table).toUri.getPath
-    val relExpr = expr(
-      s"substring(__file, instr(__file, '$rootPath') + ${rootPath.length + 1})")
 
     val fileAggs = cols.map(c => agg(c, fileBits).as(s"bloom_$c"))
     val perFile = df.groupBy(input_file_name().as("__file"))
       .agg(fileAggs.head, fileAggs.tail: _*)
-      .withColumn("__rel", relExpr)
+      .withColumn("__rel", relColOf(rootPath))
       .withColumn("__part", substring_index(col("__rel"), "/", 1))
       .localCheckpoint() // consumed twice: file counts + line write
 
@@ -798,13 +870,16 @@ object StatsManifest {
     val partAggs = cols.map(c => agg(c, partBits).as(s"bloom_$c"))
     val partRows = df
       .withColumn("__file", input_file_name())
-      .withColumn("__part", substring_index(relExpr, "/", 1))
+      .withColumn("__part", substring_index(relColOf(rootPath), "/", 1))
       .groupBy("__part")
       .agg(partAggs.head, partAggs.tail: _*)
       .collect() // ONE filter per partition dir: bounded driver metadata
-    val nFiles = perFile.groupBy("__part").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val parts = nFiles.keys.toSeq.sorted
+    val partMeta = perFile.groupBy("__part")
+      .agg(count(lit(1)).as("n"), fpAgg.as("fp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), java.lang.Long.toHexString(r.getLong(2))))).toMap
+    val parts = partMeta.keys.toSeq.sorted
     if (parts.exists(p => p == null || p.endsWith(".parquet")))
       throw new IllegalArgumentException(
         "writeBloomsPartitioned needs a directory-partitioned table " +
@@ -812,10 +887,11 @@ object StatsManifest {
     val sb = new StringBuilder
     partRows.foreach { r =>
       val part = r.getAs[String]("__part")
+      val (nf, fp) = partMeta(part)
       cols.foreach { c =>
         val hx = r.getAs[Array[Byte]](s"bloom_$c")
           .map(b => f"${b & 0xff}%02x").mkString
-        sb.append(s"${enc(part)}\t$c\t$BloomHashes\t$hx\t${nFiles(part)}\n")
+        sb.append(s"${enc(part)}\t$c\t$BloomHashes\t$hx\t$nf\t$fp\n")
       }
     }
 
@@ -862,11 +938,17 @@ object StatsManifest {
     val in = fs.open(bloomPartsPath(table))
     val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
     finally in.close()
+    // 6-field lines carry the partition file-set fingerprint; legacy
+    // 5-field lines parse with fp = None and can never drop-whole
     val partBlooms = plines.flatMap(_.split('\t') match {
       case Array(p, c, k, hx, nf) if c == column =>
         Some(dec(p) -> ((k.toInt,
           hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
-          nf.toLong)))
+          nf.toLong, None: Option[String])))
+      case Array(p, c, k, hx, nf, fp) if c == column =>
+        Some(dec(p) -> ((k.toInt,
+          hx.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+          nf.toLong, Some(fp))))
       case _ => None
     }).toMap
 
@@ -899,10 +981,14 @@ object StatsManifest {
     byPart.foreach { case (part, pfiles) =>
       partBlooms.get(part) match {
         case None => kept ++= pfiles
-        case Some((k, bytes, nf)) =>
+        case Some((k, bytes, nf, fp)) =>
           val might = graft.expressions.BloomAgg.mightContain(bytes, k, value)
+          // same drop-whole discipline as the stats prune: count AND
+          // file-set fingerprint must both match (see fpOf)
+          val covered = pfiles.size == nf &&
+            fp.contains(fpOf(pfiles.map(relOf(table, _))))
           if (might) openAndPrune(part, pfiles)
-          else if (pfiles.size == nf) () // union says no, coverage complete
+          else if (covered) () // union says no, coverage complete
           else openAndPrune(part, pfiles) // stale: unknown files survive
       }
     }

@@ -94,30 +94,56 @@ object DedupIngest {
     * serving is value-identical before and after.
     *
     * Same id discipline as the postings compaction: rows land under
-    * the OLDEST included batch id, and the AtomicSwap rewrite vacuums
-    * every superseded per-batch directory in the same rename. Replays
-    * arriving after that are no-ops outright — every absorbed batch
-    * carries a durable [[BatchMarkers]] marker that survives the
-    * vacuum, and applyBatch returns before writing when the marker is
-    * present (DedupIngestSpec locks replay-after-compaction to a
-    * value-identical serve).
+    * the OLDEST included MARKED batch id, and the AtomicSwap rewrite
+    * vacuums every superseded per-batch directory in the same rename.
+    * Replays arriving after that are no-ops — but only for batches
+    * whose marker exists, and applyBatch writes the marker AFTER the
+    * state write, so a crash in between leaves a committed directory
+    * with no marker. Compacting that directory's rows and then
+    * replaying the batch would double-count n_copies. So compact
+    * first RECONSTRUCTS the missing marker when the directory itself
+    * proves full commit (dedup state is single-table: the batch
+    * directory's _SUCCESS is the whole applyBatch transaction), and
+    * any batch it still can't prove passes through UNDER ITS OWN
+    * BATCH ID — the replay's directory overwrite then lands exactly
+    * where the rows live, and a later compact absorbs them once the
+    * marker exists (DedupIngestSpec locks both the replay-after-
+    * compaction and the crash-window shapes to a value-identical
+    * serve).
     */
   def compact(spark: SparkSession, path: String, contentCol: String,
               files: Int = 1): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = statePath(path)
     AtomicSwap.recover(fs, root)
-    val cur = spark.read.parquet(root)
-    val minBatch = cur.select(min(col("batch"))).head() match {
-      case r if r.isNullAt(0) => return
-      case r => r.get(0).toString.toLong
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return
+    val ids = fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    // marker reconstruction: a committed directory (_SUCCESS present)
+    // IS the full transaction for this single-table state
+    ids.filterNot(BatchMarkers.isAbsorbed(fs, path, _)).foreach { id =>
+      if (fs.exists(new Path(rootP, s"batch=$id/_SUCCESS")))
+        BatchMarkers.record(fs, path, id)
     }
-    val flat = cur.drop("batch")
+    val (marked, unmarked) = ids.partition(BatchMarkers.isAbsorbed(fs, path, _))
+    if (marked.isEmpty) return
+    val minBatch = marked.min
+    val cur = spark.read.parquet(root)
+    val markedRows =
+      if (unmarked.isEmpty) cur else cur.filter(!col("batch").isin(unmarked: _*))
+    val merged = markedRows
+      .drop("batch")
       .groupBy(contentCol)
       .agg(min(col("keep_id")).as("keep_id"),
         sum(col("n_copies")).as("n_copies"))
       .repartition(files)
       .withColumn("batch", lit(minBatch))
-    AtomicSwap.rewrite(fs, root, flat, partitionCols = Seq("batch"))
+    val out =
+      if (unmarked.isEmpty) merged
+      else merged.unionByName(cur.filter(col("batch").isin(unmarked: _*))
+        .withColumn("batch", col("batch").cast("long")))
+    AtomicSwap.rewrite(fs, root, out, partitionCols = Seq("batch"))
   }
 }

@@ -129,31 +129,58 @@ object IndexIngest {
     * grows with file count even though the data is fine). Serving is
     * unaffected: postings rows are merely relocated.
     *
-    * The compacted rows land under the OLDEST included batch id, and
-    * the AtomicSwap rewrite vacuums every superseded per-batch
-    * directory in the same rename (readers see old or new layout,
-    * whole). Replays arriving after that are no-ops outright: every
-    * absorbed batch carries a durable [[BatchMarkers]] marker that
-    * survives the vacuum, and applyBatch returns before touching any
-    * state when the marker is present (IndexIngestSpec locks
-    * replay-after-compaction to a bit-identical serve). Vocab/stats
-    * are untouched by compaction (they track stream batch ids
-    * transactionally, not directory layout).
+    * The compacted rows land under the OLDEST included MARKED batch
+    * id, and the AtomicSwap rewrite vacuums every superseded
+    * per-batch directory in the same rename (readers see old or new
+    * layout, whole). Replays arriving after that are no-ops for every
+    * batch whose [[BatchMarkers]] marker exists — applyBatch returns
+    * before touching any state when the marker is present. The marker
+    * is written AFTER the three state writes, though, so a crash in
+    * between leaves committed postings with no marker; compacting
+    * them and then replaying would rewrite the vacuumed directory and
+    * double-count. So compact first RECONSTRUCTS a missing marker
+    * when the state itself proves full commit (postings directory has
+    * _SUCCESS, and the vocab AND stats transactional batch ids have
+    * reached this id — batch ids apply in stream order, so table-id ≥
+    * id means id's merge committed), and any batch it still can't
+    * prove passes through UNDER ITS OWN BATCH ID: the pending
+    * replay's directory overwrite lands exactly where the rows live,
+    * completes vocab/stats under their guards, writes the marker, and
+    * a later compact absorbs it (IndexIngestSpec locks the
+    * replay-after-compaction and crash-window shapes to a
+    * bit-identical serve).
     */
   def compactPostings(spark: SparkSession, path: String,
                       files: Int = 1): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val root = postingsPath(path)
     AtomicSwap.recover(fs, root)
-    val cur = spark.read.parquet(root)
-    val minBatch = cur.select(min(col("batch"))).head() match {
-      case r if r.isNullAt(0) => return
-      case r => r.get(0).toString.toLong
+    val rootP = new Path(root)
+    if (!fs.exists(rootP)) return
+    val ids = fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val vocabLast = lastBatch(spark, vocabPath(path))
+    val statsLast = lastBatch(spark, statsPath(path))
+    ids.filterNot(BatchMarkers.isAbsorbed(fs, path, _)).foreach { id =>
+      if (fs.exists(new Path(rootP, s"batch=$id/_SUCCESS")) &&
+          vocabLast >= id && statsLast >= id)
+        BatchMarkers.record(fs, path, id)
     }
-    val flat = cur.drop("batch")
+    val (marked, unmarked) = ids.partition(BatchMarkers.isAbsorbed(fs, path, _))
+    if (marked.isEmpty) return
+    val minBatch = marked.min
+    val cur = spark.read.parquet(root)
+    val markedRows =
+      if (unmarked.isEmpty) cur else cur.filter(!col("batch").isin(unmarked: _*))
+    val flat = markedRows.drop("batch")
       .repartition(files)
       .withColumn("batch", lit(minBatch))
-    AtomicSwap.rewrite(fs, root, flat, partitionCols = Seq("batch"))
+    val out =
+      if (unmarked.isEmpty) flat
+      else flat.unionByName(cur.filter(col("batch").isin(unmarked: _*))
+        .withColumn("batch", col("batch").cast("long")))
+    AtomicSwap.rewrite(fs, root, out, partitionCols = Seq("batch"))
   }
 
   /** The index's three faces, bookkeeping stripped. */

@@ -141,4 +141,75 @@ class DedupIngestSpec extends SparkSpec {
       s"replay after compaction must be a no-op: $after vs $before")
     assert(after == Set(("x", 4L, 2L), ("y", 6L, 1L), ("w", 8L, 1L)))
   }
+
+  test("compact reconstructs the marker for a committed-but-unmarked batch " +
+      "so the crash-window replay still no-ops") {
+    import spark.implicits._
+    // crash window: applyBatch's state write committed (the batch
+    // directory has _SUCCESS) but the process died before
+    // BatchMarkers.record. Compacting that directory's rows and then
+    // replaying the batch used to double-count n_copies — compact now
+    // reconstructs the marker from the committed directory first.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd6").toString
+    val b1 = Seq((4L, "x"), (8L, "w")).toDF("doc_id", "text")
+    DedupIngest.applyBatch(
+      Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L)
+    val before = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // simulate the crash: the marker write never happened
+    assert(new java.io.File(s"$dir/_absorbed/batch-1").delete())
+
+    DedupIngest.compact(spark, dir, "text")
+    assert(DedupIngest.hasBatch(spark, dir, 1L),
+      "compact must reconstruct the marker from the committed directory")
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L) // the replay
+    val after = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before,
+      s"crash-window replay must not double-count: $after vs $before")
+  }
+
+  test("compact passes a torn (uncommitted) batch through under its own id " +
+      "so the pending replay lands where the rows live") {
+    import spark.implicits._
+    // torn write: no _SUCCESS, no marker — compact can't prove the
+    // batch committed, so its rows must NOT merge into the compacted
+    // partial (the replay would then re-apply them beside it)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dd7").toString
+    val b1 = Seq((4L, "x"), (8L, "w")).toDF("doc_id", "text")
+    DedupIngest.applyBatch(
+      Seq((5L, "x"), (6L, "y")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, 0L)
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L)
+    val before = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(new java.io.File(s"$dir/_absorbed/batch-1").delete())
+    assert(new java.io.File(s"$dir/state/batch=1/_SUCCESS").delete())
+
+    DedupIngest.compact(spark, dir, "text")
+    val dirs = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1"),
+      s"torn batch must survive under its own id, got $dirs")
+    // serving meanwhile is unchanged (the torn rows still count once)
+    assert(DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == before)
+
+    DedupIngest.applyBatch(b1, "doc_id", "text", dir, 1L) // the replay
+    val after = DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before,
+      s"replay onto the passthrough dir must not double-count: $after")
+    // with the marker now durable, a second compact absorbs it
+    DedupIngest.compact(spark, dir, "text")
+    val dirs2 = new java.io.File(s"$dir/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs2 == Set("batch=0"), s"second compact must absorb: $dirs2")
+    assert(DedupIngest.serve(spark, dir, "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet == before)
+  }
 }

@@ -136,4 +136,81 @@ class IndexIngestSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
     assert(after == before, "replay after compaction must be a no-op")
   }
+
+  test("compact reconstructs the marker for a fully-committed batch whose " +
+      "marker write crashed") {
+    import spark.implicits._
+    // crash window: all three state writes committed but the process
+    // died before BatchMarkers.record. The vocab/stats transactional
+    // batch ids prove the merges happened (ids apply in stream order)
+    // and the postings _SUCCESS proves the directory committed, so
+    // compact reconstructs the marker instead of leaving a replay
+    // free to rewrite the vacuumed directory and double-count.
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx5").toString
+    val b0 = Seq((1L, "spark vector spark"), (2L, "stream window"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "spark stream stream")).toDF("doc_id", "text")
+    IndexIngest.applyBatch(spark, b0, dir, 0L)
+    IndexIngest.applyBatch(spark, b1, dir, 1L)
+    val before = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(new java.io.File(s"$dir/_absorbed/batch-1").delete())
+
+    IndexIngest.compactPostings(spark, dir)
+    assert(IndexIngest.hasBatch(spark, dir, 1L),
+      "compact must reconstruct the marker the state proves")
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs == Set("batch=0"), s"proven batch must compact: $dirs")
+    IndexIngest.applyBatch(spark, b1, dir, 1L) // the replay
+    val after = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(after == before,
+      "crash-window replay must not double-count postings")
+  }
+
+  test("compact passes a half-applied batch through under its own id; the " +
+      "replay completes it in place") {
+    import spark.implicits._
+    // crash right after the postings write: vocab/stats never merged
+    // batch 1, so NOTHING can prove it absorbed — recording a marker
+    // here would make the replay skip the vocab/stats merges forever.
+    // The batch's postings must pass through under their own id so
+    // the replay's directory overwrite lands on them.
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx6").toString
+    val b0 = Seq((1L, "spark vector spark"), (2L, "stream window"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "spark stream stream")).toDF("doc_id", "text")
+    IndexIngest.applyBatch(spark, b0, dir, 0L)
+    Retrieval.postingsOf(b1, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/postings/batch=1")
+
+    IndexIngest.compactPostings(spark, dir)
+    assert(!IndexIngest.hasBatch(spark, dir, 1L),
+      "an unprovable batch must not gain a marker")
+    val dirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs == Set("batch=0", "batch=1"),
+      s"half-applied batch must survive under its own id: $dirs")
+
+    IndexIngest.applyBatch(spark, b1, dir, 1L) // the replay completes it
+    val served = IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val direct = Retrieval.bm25TopK(b0.unionByName(b1), "doc_id", "text",
+      terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(served == direct,
+      s"completed replay must serve the full corpus:\n  $served\n  $direct")
+    // with the marker durable, the next compact absorbs everything
+    IndexIngest.compactPostings(spark, dir)
+    val dirs2 = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    assert(dirs2 == Set("batch=0"), s"second compact must absorb: $dirs2")
+    assert(IndexIngest.bm25(spark, dir, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq == direct)
+  }
 }

@@ -162,6 +162,113 @@ class StatsManifestSpec extends SparkSpec {
       "a late file must survive a union that predates it")
   }
 
+  test("an equal-count file REPLACEMENT can't drop a partition whole — the " +
+      "file-set fingerprint forces the per-file open") {
+    // delete one file, append another with out-of-band values: the
+    // partition's file COUNT still matches the recorded n_files, so a
+    // count-only staleness signal would drop the whole partition on a
+    // range-disjoint probe and lose the new rows. The recorded
+    // fingerprint of the partition's file names must catch it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest2f").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .withColumn("p", lit("p0")).unionByName(
+        Seq((100L, "c")).toDF("k", "v").withColumn("p", lit("p1")))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writePartitioned(spark, dir, Seq("k"))
+
+    // replace p0's single file with a different single file holding a
+    // value the recorded [1, 2] range says can't be there
+    val p0 = new java.io.File(dir, "p=p0")
+    val old = p0.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(old.length == 1, s"test needs exactly one file, got ${old.length}")
+    val scratch = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    Seq((50L, "swapped")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    val repl = new java.io.File(scratch).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(repl.toPath,
+      new java.io.File(p0, "part-replaced.snappy.parquet").toPath)
+    assert(old.head.delete())
+
+    val (got, stats) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "40", "60")
+    assert(got.select("k").collect().map(_.getLong(0)).toSet == Set(50L),
+      "an equal-count replacement file must survive the prune")
+    assert(stats.partsOpened == 1,
+      s"only the fingerprint-mismatched partition opens: $stats")
+
+    // refresh treats the replacement as stale too, and restores trust
+    assert(StatsManifest.refreshStalePartitions(spark, dir) == 1,
+      "fingerprint mismatch must mark the partition stale")
+    assert(StatsManifest.refreshStalePartitions(spark, dir) == 0)
+    val (got2, stats2) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "40", "60")
+    assert(got2.select("k").collect().map(_.getLong(0)).toSet == Set(50L))
+    assert(stats2.partsOpened == 1, s"summary trust restored: $stats2")
+    // and a probe disjoint from EVERY partition decides from summaries
+    val (_, stats3) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "900", "999")
+    assert(stats3.partsOpened == 0,
+      s"refreshed fingerprints must allow drop-whole again: $stats3")
+  }
+
+  test("an equal-count replacement can't hide from the two-level bloom " +
+      "manifest either") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom2f").toString
+    import spark.implicits._
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("p", concat(lit("p"), pmod(col("k"), lit(4L))))
+    df.coalesce(1).write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writeBloomsPartitioned(spark, dir, Seq("k"),
+      fileBits = 1024, partBits = 4096)
+
+    // swap p1's single file for one holding a key no union ever saw
+    val p1 = new java.io.File(dir, "p=p1")
+    val old = p1.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(old.length == 1)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-replb").toString
+    Seq((77777L, "swapped")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    java.nio.file.Files.copy(
+      new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(p1, "part-replaced.snappy.parquet").toPath)
+    assert(old.head.delete())
+
+    val (hit, stats) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "77777")
+    assert(hit.select("k").collect().map(_.getLong(0)).toSeq == Seq(77777L),
+      "a replaced file's keys must survive a union that predates them")
+    assert(stats.partsOpened >= 1, s"the swapped partition must open: $stats")
+  }
+
+  test("table paths with URI-escapable characters still prune (rel keys " +
+      "decode like the reader's)") {
+    // input_file_name() is percent-encoded; deriving rel keys from the
+    // raw string made a path with a space produce garbage keys and the
+    // prune silently kept everything (and a quote broke the spliced
+    // SQL literal outright). Both now decode exactly like the reader.
+    val dir = java.nio.file.Files.createTempDirectory("graft man'fest").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .withColumn("p", lit("p0")).unionByName(
+        Seq((100L, "c")).toDF("k", "v").withColumn("p", lit("p1")))
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writePartitioned(spark, dir, Seq("k"))
+    val (got, stats) = StatsManifest.rangeReadTwoLevel(spark, dir, "k",
+      "90", "110")
+    assert(got.select("k").collect().map(_.getLong(0)).toSet == Set(100L))
+    assert(stats.partsOpened == 1,
+      s"decoded rel keys must let the summary decide p0: $stats")
+
+    StatsManifest.writeBloomsPartitioned(spark, dir, Seq("k"),
+      fileBits = 1024, partBits = 4096)
+    val (hit, bstats) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "100")
+    assert(hit.select("k").collect().map(_.getLong(0)).toSeq == Seq(100L))
+    assert(bstats.partsOpened < bstats.partsTotal,
+      s"bloom unions must skip through an escapable path: $bstats")
+  }
+
   test("a stale manifest keeps unknown files — under-prunes, never loses rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest2").toString
     val nation = Tables(spark, sfDir, "nation")
