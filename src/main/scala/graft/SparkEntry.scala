@@ -235,6 +235,65 @@ object SparkEntry {
       hit.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     },
 
+    // EQUAL-COUNT FILE REPLACEMENT under the two-level manifest: the
+    // adversarial shape a count-only staleness signal loses rows on.
+    // The highest key band's single data file is swapped for a file of
+    // LOW keys (o_orderkey 300..400) after the manifest refresh — same
+    // file count, range/bloom-disjoint content. A 200..600 probe finds
+    // the top partition's RECORDED range disjoint, and before the
+    // file-set fingerprint it would have dropped the partition whole
+    // (count matches) and lost the swapped-in rows; now the
+    // fingerprint mismatch forces the per-file open, where the unknown
+    // file is conservatively kept. The oracle states the post-swap
+    // truth logically: the probe range from the source rows, plus the
+    // swapped-in copies that also fall in it.
+    Q("qj26_replacement_safe_read",
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 200 AND 600
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey BETWEEN 300 AND 400""".stripMargin) {
+      (s, dir) =>
+      val table = replacementTables.computeIfAbsent(dir, { d =>
+        val pid = ProcessHandle.current().pid()
+        val t = s"/tmp/graft_replread_${pid}_${Integer.toHexString(d.hashCode)}"
+        val base = Tables(s, d, "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        val kmax = base.agg(max(col("o_orderkey"))).head().getLong(0)
+        val band = math.max(1L, kmax / 8)
+        // one file per partition, so the swap below is exactly
+        // count-preserving (1 file -> 1 file)
+        base.withColumn("pband", (col("o_orderkey") / band).cast("long"))
+          .repartition(1)
+          .write.mode("overwrite").partitionBy("pband").parquet(t)
+        sources.StatsManifest.writePartitioned(s, t, Seq("o_orderkey"))
+        // swap the TOP band's file for out-of-band low keys
+        val top = new java.io.File(t).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("pband="))
+          .maxBy(_.getName.stripPrefix("pband=").toLong)
+        val olds = top.listFiles().filter(_.getName.endsWith(".parquet"))
+        require(olds.length == 1, s"swap needs 1 file, got ${olds.length}")
+        val scratch = java.nio.file.Files
+          .createTempDirectory("graft_qj26_swap").toString
+        base.filter(col("o_orderkey").between(300, 400)).coalesce(1)
+          .write.mode("overwrite").parquet(scratch)
+        val repl = new java.io.File(scratch).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.copy(repl.toPath,
+          new java.io.File(top, "part-00000-replaced.snappy.parquet").toPath)
+        require(olds.head.delete(), "swap could not remove the old file")
+        t
+      })
+      val (pruned, stats) = sources.StatsManifest.rangeReadTwoLevel(
+        s, table, "o_orderkey", "200", "600")
+      require(stats.partsOpened < stats.partsTotal,
+        s"two-level prune opened every partition: " +
+          s"${stats.partsOpened} of ${stats.partsTotal}")
+      require(stats.files.exists(_.contains("part-00000-replaced")),
+        "the fingerprint mismatch must keep the swapped-in file")
+      pruned.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    },
+
     // JSONL SINK round trip (the qj02 ORC pattern, text edition): the
     // documents corpus written as gzipped JSON-lines — the de-facto
     // corpus release format — and scanned back with a declared schema
@@ -675,6 +734,10 @@ object SparkEntry {
 
   /** qj25's partitioned, two-level-bloom'd table per sfDir. */
   private val twoLevelBloomTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qj26's replaced-file table per sfDir. */
+  private val replacementTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

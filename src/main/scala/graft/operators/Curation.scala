@@ -559,6 +559,93 @@ object Curation {
     * no windows, no per-item state; the winner rides a min(struct)
     * argmax exactly like Pq.assign's tie discipline.
     */
+  /** Quality-aware near-dup cluster representative selection — the
+    * policy layer over [[Dedup.nearDupClusters]]: instead of keeping
+    * each cluster's MIN-id member (qp02's prune), keep its BEST
+    * member by quality. `quality` carries a coarse ordinal bucket
+    * (`bucketCol`, 'high' > 'medium' > 'low' — qt02's
+    * [[TextAnalysis.qualityScore]] shape) and an integer tiebreaker
+    * (`tieCol`, e.g. n_distinct_words); the winner is argmax by
+    * (bucket rank, tiebreaker), final ties to the LOWEST id — a pure
+    * function of the cluster's member multiset, exactly
+    * cross-engine-reproducible because every compared key is an
+    * integer or a string (no float argmax).
+    *
+    * One broadcast-eligible equi-join (clusters are near-dup-scale,
+    * quality row-local) + one partial-agg groupBy riding the
+    * min-struct argmax ([[labelMajority]]'s tie discipline) — no
+    * windows, no per-cluster state, linear at any corpus size.
+    */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+                         idCol: String, bucketCol: String = "quality_bucket",
+                         tieCol: String = "n_distinct_words"): DataFrame = {
+    val rank = when(col(bucketCol) === "high", lit(2L))
+      .when(col(bucketCol) === "medium", lit(1L)).otherwise(lit(0L))
+    clusters.join(
+        quality.select(col(idCol), rank.as("__qr"),
+          col(tieCol).cast("long").as("__tie")), idCol)
+      .groupBy(col("cluster"))
+      .agg(
+        min(struct((-col("__qr")).as("nq"), (-col("__tie")).as("nt"),
+          col(idCol).as("kid"))).as("__w"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("__w.kid").as("keep_id"), col("n_members"))
+  }
+
+  /** Temperature-scaled source sampling — the standard mixture shape
+    * (sample source i proportionally to n_i^alpha, alpha = 2^-halvings
+    * like [[mixingWeights]]) made EXACT: integer weights
+    * w_i = floor(alpha-tempered n_i) (repeated sqrt is IEEE
+    * correctly-rounded, so the floor agrees across engines), integer
+    * largest-remainder apportionment of `budget` over the weights
+    * (base_i = budget*w_i div W; the leftover goes to the largest
+    * remainders, ties to source name ascending — every comparison is
+    * on BIGINTs, so the target vector is bit-reproducible), then the
+    * per-source selection is the first target_i documents in
+    * deterministic hash order (the [[exactHashSample]] order, per
+    * source). Re-runs, retries and engines pick the SAME rows.
+    *
+    * Scale shape: one partial-agg count per source, a source-count-
+    * bounded apportionment frame (the remainder ranking is a window
+    * over ONE ROW PER SOURCE — the SurrogateKeys tiny-dim precedent,
+    * never the data), a broadcast join of targets, and a per-source
+    * rank window. At extreme per-source cardinality the rank window
+    * shards exactly like [[deterministicShuffle]]; sources here are
+    * languages/domains — tens, not millions.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        budget: Long, halvings: Int = 1): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(halvings >= 0 && halvings <= 6, "alpha = 2^-halvings in (0, 1]")
+    val tempered = (1 to halvings)
+      .foldLeft(col("__n").cast("double")) { (c, _) => sqrt(c) }
+    val weights = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(tempered).cast("long"))
+    val tot = weights.agg(sum(col("__w")).as("__tw"),
+      count(lit(1)).as("__nsrc"))
+    // integer apportionment: base + largest-remainder bonus. The
+    // window is bounded by the number of SOURCES (one row each).
+    val based = weights.join(broadcast(tot))
+      .withColumn("__base", expr(s"(${budget}L * __w) div __tw"))
+      .withColumn("__rem", expr(s"(${budget}L * __w) % __tw"))
+    val leftover = based.agg((lit(budget) - sum(col("__base"))).as("__left"))
+    val targets = based.join(broadcast(leftover))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__rem").desc, col(sourceCol))))
+      .withColumn("target",
+        (col("__base") + when(col("__rk") <= col("__left"), 1L)
+          .otherwise(0L)).cast("long"))
+      .select(col(sourceCol), col("target"))
+    df.withColumn("__h", Text.polyhash(col(idCol).cast("string")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__h"), col(idCol))))
+      .join(broadcast(targets), sourceCol)
+      .filter(col("__rn") <= col("target"))
+      .drop("__h", "__rn", "target")
+  }
+
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val counts = votes.groupBy(col(idCol), col(labelCol))
       .agg(count(lit(1)).as("__n"))

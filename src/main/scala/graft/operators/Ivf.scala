@@ -74,11 +74,34 @@ object Ivf {
     Model(centroids)
   }
 
+  /** The corpus half of the index — (vid, v, nrm, cid) rows, each
+    * vector labeled with its nearest coarse cell. Row-local map (no
+    * shuffle), deterministic given the model, and MERGEABLE: the
+    * assignment of a union is the union of the assignments, which is
+    * what lets [[graft.streaming.IvfIngest]] maintain it per
+    * micro-batch and serve bit-identically to a batch build.
+    */
+  def assign(corpus: DataFrame, model: Model,
+             idCol: String, vecCol: String): DataFrame =
+    normalized(corpus, idCol, vecCol)
+      .withColumn("cid", assignExpr("v", "nrm", model.centroids))
+
   /** Probe the `nprobe` nearest cells per query, rerank exactly. */
   def search(corpus: DataFrame, queries: DataFrame, model: Model,
-             idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
-    val c = normalized(corpus, idCol, vecCol)
-      .withColumn("cid", assignExpr("v", "nrm", model.centroids))
+             idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    searchAssigned(assign(corpus, model, idCol, vecCol), queries, model,
+      idCol, vecCol, k, nprobe)
+
+  /** [[search]] against a PRE-ASSIGNED corpus ((vid, v, nrm, cid) —
+    * [[assign]]'s schema, possibly persisted and streamed-into): the
+    * query side probes its `nprobe` nearest cells, candidates come
+    * from an equi-join on cid, exact rerank inside. Identical output
+    * to [[search]] on the same rows by construction.
+    */
+  def searchAssigned(assigned: DataFrame, queries: DataFrame, model: Model,
+                     idCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 2): DataFrame = {
+    val c = assigned
     val q = normalized(queries, idCol, vecCol)
       .withColumnRenamed("vid", "qid")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qnrm")

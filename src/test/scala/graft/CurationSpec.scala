@@ -362,6 +362,64 @@ class CurationSpec extends SparkSpec {
     assert(got(4L) == (("zh", 1L, 1L, 0L, 1L)))
   }
 
+  test("keepBestPerCluster: bucket rank dominates, integer tiebreak, " +
+      "final ties to lowest id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), // bucket decides
+      (4L, 40L), (5L, 40L),            // bucket tie -> n_distinct_words
+      (6L, 60L), (7L, 60L)             // full tie -> lowest id
+    ).toDF("doc_id", "cluster")
+    val quality = Seq(
+      (1L, "low", 90L), (2L, "high", 5L), (3L, "medium", 80L),
+      (4L, "medium", 30L), (5L, "medium", 31L),
+      (6L, "high", 12L), (7L, "high", 12L)
+    ).toDF("doc_id", "quality_bucket", "n_distinct_words")
+    val got = Curation.keepBestPerCluster(clusters, quality, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((2L, 3L)),
+      "a 'high' member must beat any tiebreaker value below it")
+    assert(got(40L) == ((5L, 2L)), "equal buckets fall to n_distinct_words")
+    assert(got(60L) == ((6L, 2L)), "full ties keep the lowest id")
+  }
+
+  test("temperatureSample: integer largest-remainder targets, exact " +
+      "deterministic per-source selection") {
+    import spark.implicits._
+    // counts 100 / 16 / 4 -> isqrt weights 10 / 4 / 2, W = 16.
+    // budget 11: raw 110/16=6.875, 44/16=2.75, 22/16=1.375 ->
+    // bases 6/2/1 (=9), remainders 14/12/6 -> two bonuses to a and b.
+    val rows = (1L to 100L).map(i => (i, "a")) ++
+      (101L to 116L).map(i => (i, "b")) ++
+      (117L to 120L).map(i => (i, "c"))
+    val df = rows.toDF("doc_id", "src")
+    val got = Curation.temperatureSample(df, "doc_id", "src",
+      budget = 11L, halvings = 1)
+    val bySrc = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 7L, "b" -> 3L, "c" -> 1L),
+      s"largest-remainder apportionment broke: $bySrc")
+    assert(got.count() == 11L)
+    // deterministic under partitioning AND monotone in nothing but the
+    // hash order: same rows every time
+    val again = Curation.temperatureSample(df.repartition(7), "doc_id",
+      "src", budget = 11L, halvings = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == got.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "selection must be a pure function of ids, not partitioning")
+    // a target above a source's size takes the whole source, no error
+    val tiny = Curation.temperatureSample(df, "doc_id", "src",
+      budget = 500L, halvings = 1)
+    assert(tiny.filter(col("src") === "c").count() == 4L)
+    // alpha = 1 (halvings = 0) degrades to proportional allocation
+    val prop = Curation.temperatureSample(df, "doc_id", "src",
+      budget = 30L, halvings = 0)
+    val p = prop.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 120 rows, weights 100/16/4 -> 25/4/1
+    assert(p == Map("a" -> 25L, "b" -> 4L, "c" -> 1L), s"alpha=1: $p")
+  }
+
   test("percentileCalibrate normalizes within each stratum; singletons get 0") {
     import spark.implicits._
     val df = Seq(

@@ -422,6 +422,10 @@ class PlanChecksSpec extends SparkSpec {
     // 64-row shard-offset cum-sum over the per-shard count aggregate
     // (Curation.deterministicShuffle's two-phase ranks)
     "qc09_corpus_shuffle",
+    // largest-remainder rank over ONE ROW PER SOURCE (the per-source
+    // count aggregate below it — Curation.temperatureSample's
+    // apportionment frame, source-count-bounded)
+    "qc18_temperature_sample",
     // rank over the global top-k ALREADY taken by TakeOrderedAndProject
     // (Retrieval.rankTopK sorts+limits to k=10 rows before ranking;
     // qt21 is the index-served twin through the same ranking)
