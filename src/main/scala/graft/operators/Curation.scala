@@ -646,6 +646,36 @@ object Curation {
       .drop("__h", "__rn", "target")
   }
 
+  /** Corpus release diff — the dataset-versioning report a training
+    * team reads before shipping v(n+1): per (source, change class)
+    * document counts and whitespace-token totals on both sides, with
+    * change ∈ added / removed / changed / unchanged decided by id
+    * presence and text equality. One id-keyed full outer join (the
+    * only shuffle — key-partitioned, no skew beyond the id space) +
+    * one partial-agg rollup; token counts are row-local word splits
+    * ([[graft.functions.Text.wordsExpr]], the qt03 primitive), so the
+    * whole diff is two scans however large the corpora.
+    */
+  def corpusDiff(v0: DataFrame, v1: DataFrame, idCol: String,
+                 textCol: String, sourceCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      df.select(col(idCol).as(s"__id$tag"), col(sourceCol).as(s"__src$tag"),
+        col(textCol).as(s"__t$tag"),
+        size(expr(Text.wordsExpr(textCol))).cast("long").as(s"__tok$tag"))
+    side(v0, "0").join(side(v1, "1"),
+        col("__id0") === col("__id1"), "full_outer")
+      .withColumn("change",
+        when(col("__t0").isNull, "added")
+          .when(col("__t1").isNull, "removed")
+          .when(col("__t0") === col("__t1"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(coalesce(col("__src0"), col("__src1")).as("source"),
+        col("change"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__tok0"), lit(0L))).as("tok_v0"),
+        sum(coalesce(col("__tok1"), lit(0L))).as("tok_v1"))
+  }
+
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val counts = votes.groupBy(col(idCol), col(labelCol))
       .agg(count(lit(1)).as("__n"))

@@ -489,6 +489,45 @@ object Pipeline {
         .select("doc_id", "lang")
     },
 
+    // ----- corpus release diff -------------------------------------------
+    // The dataset-versioning report: v0 and v1 are derived logically
+    // from the documents table (the qj10 snapshot-diff construction
+    // applied to a corpus) — different retention slices plus a text
+    // revision on every 5th doc — and the diff rolls up per (source,
+    // change class) with token totals on both sides. One id-keyed full
+    // outer join + one rollup; change classes from id presence + text
+    // equality.
+    Q("qp10_corpus_diff",
+      s"""WITH v0 AS (SELECT doc_id, source, text FROM documents
+         |            WHERE doc_id % 11 <> 0),
+         |v1 AS (SELECT doc_id, source,
+         |         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+         |              ELSE text END AS text
+         |       FROM documents WHERE doc_id % 13 <> 0),
+         |j AS (SELECT COALESCE(a.source, b.source) AS source,
+         |        a.text AS t0, b.text AS t1,
+         |        CAST(len(${Text.wordsSql("a.text")}) AS BIGINT) AS tok0,
+         |        CAST(len(${Text.wordsSql("b.text")}) AS BIGINT) AS tok1
+         |      FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id)
+         |SELECT source,
+         |  CASE WHEN t0 IS NULL THEN 'added'
+         |       WHEN t1 IS NULL THEN 'removed'
+         |       WHEN t0 = t1 THEN 'unchanged'
+         |       ELSE 'changed' END AS change,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(COALESCE(tok0, 0)) AS BIGINT) AS tok_v0,
+         |  CAST(sum(COALESCE(tok1, 0)) AS BIGINT) AS tok_v1
+         |FROM j GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val v0 = docs.filter(col("doc_id") % 11 =!= 0)
+        .select("doc_id", "source", "text")
+      val v1 = docs.filter(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")).as("text"))
+      Curation.corpusDiff(v0, v1, "doc_id", "text", "source")
+    },
+
     // ----- semantic (embedding-cluster) near-dup pairs -------------------
     // SemDeDup shape: k-means clusters (Pq.train with m=1 IS Lloyd's),
     // exact cosine only within clusters. The clustering is fully

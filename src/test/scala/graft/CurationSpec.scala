@@ -420,6 +420,35 @@ class CurationSpec extends SparkSpec {
     assert(p == Map("a" -> 25L, "b" -> 4L, "c" -> 1L), s"alpha=1: $p")
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged and accounts " +
+      "tokens on both sides") {
+    import spark.implicits._
+    val v0 = Seq(
+      (1L, "a", "one two"),     // unchanged
+      (2L, "a", "three"),       // changed (one token -> three)
+      (3L, "b", "gone now")     // removed
+    ).toDF("doc_id", "source", "text")
+    val v1 = Seq(
+      (1L, "a", "one two"),
+      (2L, "a", "three four five"),
+      (4L, "b", "brand new doc") // added
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.corpusDiff(v0, v1, "doc_id", "text", "source")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "unchanged")) == ((1L, 2L, 2L)))
+    assert(got(("a", "changed")) == ((1L, 1L, 3L)))
+    assert(got(("b", "removed")) == ((1L, 2L, 0L)),
+      "a removed doc's v1 tokens must count as 0, not null-poison the sum")
+    assert(got(("b", "added")) == ((1L, 0L, 3L)))
+    assert(got.size == 4)
+    // an empty v0 is a pure 'added' report, not a crash
+    val boot = Curation.corpusDiff(v0.limit(0), v1, "doc_id", "text", "source")
+      .collect().map(r => r.getString(1)).distinct.toSeq
+    assert(boot == Seq("added"))
+  }
+
   test("percentileCalibrate normalizes within each stratum; singletons get 0") {
     import spark.implicits._
     val df = Seq(
