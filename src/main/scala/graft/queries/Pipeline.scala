@@ -30,6 +30,29 @@ object Pipeline {
   private val ivfStreamState = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.operators.Ivf.Model)]()
 
+  /** qd06's near-dup cluster labels per sf dir, memoized to temp
+    * parquet — five gates consume the identical frame (qd06, qp02,
+    * qd17, qp11, qc13) and each was rebuilding the full
+    * band-join + connected-components chain (~2.2 s apiece at sf0.1).
+    * Both columns are BIGINT, so the round trip is bit-exact and every
+    * consumer's hash is unchanged — the shared-arm memoization
+    * discipline the retrieval trio already follows.
+    */
+  private val clusterDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[queries] def clustersOf(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val p = clusterDirs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qd06_clusters").toString
+      Dedup.nearDupClusters(Tables(s, d, "documents"), "doc_id", "text",
+          k = 48, bands = 24, threshold = 0.5)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(p)
+  }
+
   /** Shared qd13/qd14/qp06 oracle chain: w → duplicated-window islands
     * → maximal spans (CTEs `w` through `spans`), parameterized on the
     * window length. Callers append their own SELECT (qd13) or the
@@ -369,8 +392,7 @@ object Pipeline {
          |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node)
          |SELECT node AS doc_id, min(lbl) AS cluster
          |FROM reach GROUP BY node""".stripMargin) { (s, dir) =>
-      Dedup.nearDupClusters(Tables(s, dir, "documents"), "doc_id", "text",
-        k = 48, bands = 24, threshold = 0.5)
+      clustersOf(s, dir)
     },
 
     // ----- near-dup PRUNE policy (clusters applied to the corpus) --------
@@ -403,8 +425,7 @@ object Pipeline {
          |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |GROUP BY lang""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
-        k = 48, bands = 24, threshold = 0.5)
+      val clusters = clustersOf(s, dir)
       val dropped = clusters.filter(col("cluster") =!= col("doc_id"))
         .select(col("doc_id").as("__drop"))
       docs.join(dropped, col("doc_id") === col("__drop"), "left_anti")
@@ -454,8 +475,7 @@ object Pipeline {
          |SELECT cluster, doc_id AS keep_id, CAST(nm AS BIGINT) AS n_members
          |FROM m WHERE rn = 1""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
-        k = 48, bands = 24, threshold = 0.5)
+      val clusters = clustersOf(s, dir)
       val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
       Curation.keepBestPerCluster(clusters, quality, "doc_id")
     },
@@ -526,6 +546,86 @@ object Pipeline {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" [rev2]")))
             .otherwise(col("text")).as("text"))
       Curation.corpusDiff(v0, v1, "doc_id", "text", "source")
+    },
+
+    // ----- quality-kept, temperature-mixed release candidate -------------
+    // The round-15 operators composed end to end under ONE oracle:
+    // near-dup clusters keep their BEST member (qd17's policy), every
+    // other cluster member drops, and the surviving corpus is
+    // temperature-sampled per source (qc18's exact apportionment —
+    // weights from the SURVIVOR counts, not the raw corpus). Output is
+    // the per-source release manifest: sampled docs + token totals.
+    Q("qp11_release_candidate",
+      s"""WITH RECURSIVE w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.node),
+         |cl AS (SELECT node AS doc_id, min(lbl) AS cluster
+         |       FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |        CASE WHEN CAST(len(ws) AS BIGINT) >= 40
+         |               AND CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
+         |                   / CAST(len(ws) AS BIGINT) >= 0.35 THEN 2
+         |             WHEN CAST(len(ws) AS BIGINT) >= 20 THEN 1
+         |             ELSE 0 END AS qr,
+         |        CAST(len(list_distinct(ws)) AS BIGINT) AS ndw
+         |      FROM w),
+         |best AS (SELECT cluster, doc_id, row_number() OVER (
+         |           PARTITION BY cluster
+         |           ORDER BY qr DESC, ndw DESC, doc_id) AS rn
+         |         FROM cl JOIN q USING (doc_id)),
+         |drops AS (SELECT doc_id FROM best WHERE rn > 1),
+         |surv AS (SELECT d.doc_id, d.lang, ${Text.wordsSql("d.text")} AS ws
+         |         FROM documents d
+         |         WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)),
+         |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM surv
+         |      GROUP BY lang),
+         |wt AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+         |         AS wgt FROM c),
+         |b AS (SELECT lang, (150 * wgt) // (SELECT sum(wgt) FROM wt) AS base,
+         |        (150 * wgt) % (SELECT sum(wgt) FROM wt) AS rem
+         |      FROM wt),
+         |r AS (SELECT lang, base, rem,
+         |        row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM b),
+         |tg AS (SELECT lang, base + CASE WHEN
+         |          rk <= (SELECT 150 - sum(base) FROM b) THEN 1 ELSE 0 END
+         |          AS target FROM r),
+         |h AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS tok,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${Text.polyhashSql("CAST(doc_id AS VARCHAR)")},
+         |            doc_id) AS rn2
+         |      FROM surv)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens
+         |FROM h JOIN tg USING (lang) WHERE rn2 <= target
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val clusters = clustersOf(s, dir)
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      val keeps = Curation.keepBestPerCluster(clusters, quality, "doc_id")
+      val drops = clusters.join(keeps.select(col("keep_id")),
+        clusters("doc_id") === col("keep_id"), "left_anti")
+      val survivors = docs.join(drops.select(col("doc_id").as("__drop")),
+        docs("doc_id") === col("__drop"), "left_anti")
+      Curation.temperatureSample(survivors, "doc_id", "lang",
+          budget = 150L, halvings = 1)
+        .withColumn("tok",
+          size(expr(Text.wordsExpr("text"))).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
     },
 
     // ----- semantic (embedding-cluster) near-dup pairs -------------------

@@ -492,8 +492,7 @@ object Round13 {
          |  FROM g)""".stripMargin
     }) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val clusters = Dedup.nearDupClusters(docs, "doc_id", "text",
-        k = 48, bands = 24, threshold = 0.5)
+      val clusters = Pipeline.clustersOf(s, dir)
       val grouped = docs.select("doc_id")
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("grp"))
