@@ -409,6 +409,31 @@ object TextAnalysis {
       regexp_count(col(textCol), lit(Ipv4Re)).cast("long").as("n_ips"),
       regexp_count(col(textCol), lit(LongNumRe)).cast("long").as("n_numbers"))
 
+  /** HTML boilerplate stripping — the first step of a web-corpus
+    * pipeline (crawl HTML → training text): drop tags, decode the
+    * five core character entities, squeeze whitespace, and report the
+    * removed-tag count for audit. Deliberately REGULAR (no HTML
+    * parser): `<[^>]*>` + fixed entity table behaves identically in
+    * every regex engine, which is what makes the result exactly
+    * oracle-gateable — and covers the overwhelming share of crawl
+    * markup; script/style CONTENT survives as text, a documented
+    * trade-off a later quality filter (qt02/qt14) catches. `&amp;`
+    * decodes LAST so `&amp;lt;` can't double-decode. Per-row codegen'd
+    * regex — a narrow map over the scan, no shuffle, trivially
+    * partition-parallel at 100 TB.
+    */
+  def stripHtml(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val tagRe = "<[^>]*>"
+    val noTags = regexp_replace(col(htmlCol), tagRe, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&" // last: see above
+    ).foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    df.select(col(idCol),
+      trim(regexp_replace(decoded, "[ \t\n\r]+", " ")).as("text"),
+      regexp_count(col(htmlCol), lit(tagRe)).cast("long").as("n_tags"))
+  }
+
   /** Statistical-LM fluency score — the perplexity-style quality filter
     * (docs whose word transitions are improbable under a corpus-trained
     * bigram model are boilerplate/garble candidates), in a form that is

@@ -909,6 +909,39 @@ object Pipeline {
       TextAnalysis.languageId(Tables(s, dir, "documents"), "doc_id", "text")
     },
 
+    // ----- HTML boilerplate stripping ------------------------------------
+    // Crawl-HTML -> training-text extraction: the documents corpus is
+    // wrapped in deterministic markup (tags, attributes, entities) and
+    // stripHtml must recover the text — tags dropped, the five core
+    // entities decoded (&amp; last), whitespace squeezed — plus a
+    // removed-tag audit count. Purely regular (identical semantics in
+    // both regex engines), so the gate hash-compares exactly.
+    Q("qt26_html_strip", {
+      val html = "'<html><head><title>d</title></head>" +
+        "<body><div class=\"m\"><p>' || text || " +
+        "'</p><br/>&amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;" +
+        "</div></body></html>'"
+      s"""SELECT doc_id,
+         |  trim(regexp_replace(
+         |    replace(replace(replace(replace(replace(
+         |      regexp_replace($html, '<[^>]*>', ' ', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&amp;', '&'),
+         |    '[ \t\n\r]+', ' ', 'g')) AS text,
+         |  CAST(len(regexp_extract_all($html, '<[^>]*>')) AS BIGINT)
+         |    AS n_tags
+         |FROM documents""".stripMargin
+    }) { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>d</title></head><body><div class=\"m\"><p>"),
+        col("text"),
+        lit("</p><br/>&amp; &lt;raw&gt; &quot;q&quot; &#39;s&#39;" +
+          "</div></body></html>"))
+      TextAnalysis.stripHtml(
+        Tables(s, dir, "documents").select(col("doc_id"), html.as("html")),
+        "doc_id", "html")
+    },
+
     // ----- quality scoring ----------------------------------------------
     Q("qt02_quality",
       s"""WITH w AS ($wCte),
