@@ -919,6 +919,167 @@ object StatsManifest {
       "._bloom_manifest_parts.tmp", sb.toString)
   }
 
+  /** Extend the two-level bloom manifest to partitions whose on-disk
+    * file SET no longer matches the recorded one — the streaming
+    * companion to [[writeBloomsPartitioned]], exactly
+    * [[refreshStalePartitions]]' discipline on the bloom layout:
+    * re-scans ONLY the stale partitions' files (per-file filters at
+    * the layer's recorded file capacity, partition unions from the
+    * data at the recorded union capacity — both inferred from the
+    * existing manifest's hex widths), rewrites only their per-file
+    * filter files, republishes the parts summary last. Stale = count
+    * OR fingerprint mismatch, so equal-count replacements refresh
+    * too; legacy no-fingerprint lines always read as stale and
+    * upgrade in place. Idempotent: a replay sees matching sets and
+    * no-ops. Returns the number of refreshed partitions.
+    */
+  def refreshStaleBloomPartitions(spark: SparkSession, table: String): Int = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.{concat_ws, count, hex, lit,
+      substring_index, array, struct, explode}
+    val fs = bloomPartsPath(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(bloomPartsPath(table))) return 0
+    val in = fs.open(bloomPartsPath(table))
+    val plines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+    // (part, col, union hex width, nfiles, fp?, raw line)
+    val rows = plines.flatMap { l =>
+      l.split('\t') match {
+        case a if a.length == 5 || a.length == 6 =>
+          Some((dec(a(0)), a(1), a(3).length, a(4).toLong,
+            if (a.length == 6) Some(a(5)) else None, l))
+        case _ => None
+      }
+    }
+    val cols = rows.map(_._2).distinct
+    if (cols.isEmpty) return 0
+    val partBits = rows.head._3 * 4 // 2 hex chars per byte
+    // per-file capacity from any existing per-file line
+    val fileBits = {
+      val dirs = if (fs.exists(bloomFilesDir(table)))
+        fs.listStatus(bloomFilesDir(table)).toSeq else Nil
+      dirs.iterator.flatMap { st =>
+        val pin = fs.open(st.getPath)
+        val ls = try scala.io.Source.fromInputStream(pin, "UTF-8")
+          .getLines().take(1).toList finally pin.close()
+        ls.flatMap(_.split('\t') match {
+          case Array(_, _, _, hx) => Some(hx.length * 4)
+          case _ => None
+        })
+      }.nextOption().getOrElse(partBits / 16 max 64)
+    }
+    val recorded = rows.groupBy(_._1).view
+      .mapValues(h => (h.head._4, h.head._5)).toMap
+    val byPart = listDataFiles(spark, fs, table).groupBy { f =>
+      val rel = relOf(table, f)
+      if (rel.contains("/")) rel.substring(0, rel.indexOf('/')) else ""
+    }
+    val stale = byPart.filter { case (p, fl) =>
+      recorded.get(p) match {
+        case Some((nf, fp)) =>
+          fl.size != nf || !fp.contains(fpOf(fl.map(relOf(table, _))))
+        case None => true
+      }
+    }
+    if (stale.isEmpty) return 0
+
+    def agg(c: String, bits: Int) = GraftColumnBridge.column(
+      graft.expressions.BloomAgg(
+        GraftColumnBridge.expression(col(c)), bits, BloomHashes)
+        .toAggregateExpression())
+    val df = spark.read.option("basePath", table)
+      .parquet(stale.values.flatten.toSeq: _*)
+    val rootPath = new Path(table).toUri.getPath
+    val fileAggs = cols.map(c => agg(c, fileBits).as(s"bloom_$c"))
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(fileAggs.head, fileAggs.tail: _*)
+      .withColumn("__rel", relColOf(rootPath))
+      .withColumn("__part", substring_index(col("__rel"), "/", 1))
+      .localCheckpoint()
+    val partAggs = cols.map(c => agg(c, partBits).as(s"bloom_$c"))
+    val partRows = df
+      .withColumn("__file", input_file_name())
+      .withColumn("__part", substring_index(relColOf(rootPath), "/", 1))
+      .groupBy("__part")
+      .agg(partAggs.head, partAggs.tail: _*)
+      .collect() // stale partitions only: bounded driver metadata
+    val partMeta = perFile.groupBy("__part")
+      .agg(count(lit(1)).as("n"), fpAgg.as("fp"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), java.lang.Long.toHexString(r.getLong(2))))).toMap
+
+    // rewrite ONLY the stale partitions' per-file filter files
+    val parts = partMeta.keys.toSeq.sorted
+    val pidx = parts.zipWithIndex.toMap
+    val idxDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pidx.toSeq.map { case (p, i) => org.apache.spark.sql.Row(p, i) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__part",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pidx",
+          org.apache.spark.sql.types.IntegerType))))
+    val lineStructs = cols.map(c => struct(
+      lit(c).as("c"), hex(col(s"bloom_$c")).as("hx")))
+    val lines = perFile
+      .join(org.apache.spark.sql.functions.broadcast(idxDf), Seq("__part"))
+      .select(col("__pidx"), col("__rel"),
+        explode(array(lineStructs: _*)).as("s"))
+      .select(col("__pidx"), concat_ws("\t",
+        encCol(col("__rel")), col("s.c"), lit(BloomHashes.toString),
+        col("s.hx")).as("line"))
+    val staging = new Path(table, "._bloom_manifest_refresh.tmp")
+    fs.delete(staging, true)
+    lines.repartition(col("__pidx"))
+      .write.partitionBy("__pidx").text(staging.toString)
+    val target = bloomFilesDir(table)
+    fs.mkdirs(target)
+    pidx.foreach { case (part, i) =>
+      val src = new Path(staging, s"__pidx=$i")
+      if (fs.exists(src)) {
+        val texts = fs.listStatus(src).map(_.getPath)
+          .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val dst = new Path(target, enc(part))
+        fs.delete(dst, false)
+        if (texts.length == 1) fs.rename(texts.head, dst)
+        else {
+          val out = fs.create(dst, true)
+          try texts.foreach { t =>
+            val tin = fs.open(t)
+            try {
+              val buf = new Array[Byte](1 << 16)
+              var n = tin.read(buf)
+              while (n > 0) { out.write(buf, 0, n); n = tin.read(buf) }
+            } finally tin.close()
+          } finally out.close()
+        }
+      }
+    }
+    fs.delete(staging, true)
+
+    // republish the parts summary LAST: fresh rows for stale
+    // partitions, raw pass-through for the rest
+    val freshByPart = partRows.map { r =>
+      val part = r.getAs[String]("__part")
+      val (nf, fp) = partMeta(part)
+      val sb = new StringBuilder
+      cols.foreach { c =>
+        val hx = r.getAs[Array[Byte]](s"bloom_$c")
+          .map(b => f"${b & 0xff}%02x").mkString
+        sb.append(s"${enc(part)}\t$c\t$BloomHashes\t$hx\t$nf\t$fp\n")
+      }
+      part -> sb.toString
+    }.toMap
+    val keptLines = rows.filterNot(r => freshByPart.contains(r._1))
+      .map(_._6 + "\n")
+    publishAt(spark, table, bloomPartsPath(table),
+      "._bloom_manifest_parts.tmp",
+      keptLines.mkString + freshByPart.toSeq.sortBy(_._1).map(_._2).mkString)
+    stale.size
+  }
+
   /** Two-level bloom prune of an explicit file universe: partition
     * unions first, per-file filters only for partitions that might
     * contain `value` (or whose file count no longer matches — late

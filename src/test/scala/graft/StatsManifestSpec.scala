@@ -213,6 +213,57 @@ class StatsManifestSpec extends SparkSpec {
       s"refreshed fingerprints must allow drop-whole again: $stats3")
   }
 
+  test("refreshStaleBloomPartitions re-scans only stale partitions and " +
+      "restores partition skipping") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom2r").toString
+    import spark.implicits._
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("p", concat(lit("p"), pmod(col("k"), lit(4L))))
+    df.coalesce(1).write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writeBloomsPartitioned(spark, dir, Seq("k"),
+      fileBits = 1024, partBits = 4096)
+
+    // three staleness shapes at once: an append into p1 (count
+    // mismatch), an equal-count file REPLACEMENT in p2 (fingerprint
+    // mismatch), and a brand-new partition p9 (no recorded line)
+    Seq((10042L, "late")).toDF("k", "v").withColumn("p", lit("p1"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+    val p2 = new java.io.File(dir, "p=p2")
+    val old = p2.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(old.length == 1)
+    val scratch = java.nio.file.Files.createTempDirectory("graft-replbr").toString
+    Seq((77777L, "swapped")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(scratch)
+    java.nio.file.Files.copy(
+      new java.io.File(scratch).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath,
+      new java.io.File(p2, "part-replaced.snappy.parquet").toPath)
+    assert(old.head.delete())
+    Seq((20042L, "new")).toDF("k", "v").withColumn("p", lit("p9"))
+      .write.mode("append").partitionBy("p").parquet(dir)
+
+    assert(StatsManifest.refreshStaleBloomPartitions(spark, dir) == 3,
+      "exactly the appended-into, replaced, and brand-new partitions refresh")
+    // idempotent: a replay sees matching file sets and no-ops
+    assert(StatsManifest.refreshStaleBloomPartitions(spark, dir) == 0)
+
+    // every new key serves THROUGH the refreshed unions with partition
+    // skipping intact — the summary decides, per-file filters open for
+    // a strict subset of the 5 partitions
+    for (key <- Seq(10042L, 77777L, 20042L)) {
+      val (hit, stats) = StatsManifest.pointReadTwoLevel(
+        spark, dir, "k", key.toString)
+      assert(hit.select("k").collect().map(_.getLong(0)).toSeq == Seq(key),
+        s"refreshed blooms must serve $key")
+      assert(stats.partsTotal == 5 && stats.partsOpened < stats.partsTotal,
+        s"unions must keep skipping partitions for $key: $stats")
+    }
+    // untouched partitions still serve their original keys
+    val (keep, _) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "43")
+    assert(keep.select("k").collect().map(_.getLong(0)).toSeq == Seq(43L),
+      "pass-through parts lines must keep serving untouched partitions")
+  }
+
   test("an equal-count replacement can't hide from the two-level bloom " +
       "manifest either") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom2f").toString
