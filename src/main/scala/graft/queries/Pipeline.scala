@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data-pipeline suite: dedup, similarity search, text
   * analysis, multimodal plumbing over the `documents` and `embeddings`
@@ -960,6 +960,56 @@ object Pipeline {
          |       ELSE 'low' END AS quality_bucket
          |FROM m""".stripMargin) { (s, dir) =>
       TextAnalysis.qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // ----- trained quality classifier -------------------------------------
+    // The LEARNED counterpart of qt02: distill the heuristic teacher
+    // rule into a hashed-feature logistic model (Newton/IRLS, 4 full
+    // passes, decimal-exact gradient/Hessian sums so training is
+    // bit-reproducible across partitionings). Held-out = doc_id%5==4.
+    // The exact arm of the gate is the SPLIT ITSELF (per-class held-out
+    // counts, teacher labels recomputed by the oracle); the verdict arm
+    // is accuracy floors set below the measured minima across
+    // sf0.001/0.01/0.1/1 (ClassifierTune: global 0.900+, class0 0.858+,
+    // class1 0.932+ → floors 0.85/0.80/0.88) — deterministic, so any
+    // training/featurization regression breaks the hash.
+    Q("qt27_quality_classifier",
+      s"""WITH w AS ($wCte),
+         |lab AS (SELECT doc_id,
+         |  CASE WHEN CAST(len(ws) AS BIGINT) >= 40
+         |        AND CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
+         |            / CAST(len(ws) AS BIGINT) >= 0.35
+         |       THEN 1 ELSE 0 END AS y
+         |  FROM w WHERE doc_id % 5 = 4)
+         |SELECT 'class' || CAST(y AS VARCHAR) AS segment,
+         |  count(*) AS n, CAST(1 AS BIGINT) AS ok
+         |FROM lab GROUP BY 1
+         |UNION ALL
+         |SELECT 'global', count(*), CAST(1 AS BIGINT) FROM lab""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val teacher = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          (col("quality_bucket") === "high").cast("long").as("y"))
+      val feats = Classifier.featurizeText(docs, "doc_id", "text", dims = 16)
+        .join(teacher, "doc_id")
+        .localCheckpoint()
+      val model = Classifier.trainLogisticNewton(
+        feats.filter(col("doc_id") % 5 =!= 4), "x", "y", iters = 4)
+      val held = Classifier.predict(
+        feats.filter(col("doc_id") % 5 === 4), model, "doc_id",
+        passThrough = Seq("y"))
+      val correct = (col("pred") === col("y")).cast("double")
+      val byClass = held
+        .groupBy(concat(lit("class"), col("y").cast("string")).as("segment"))
+        .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
+      val global = held
+        .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
+        .select(lit("global").as("segment"), col("n"), col("acc"))
+      byClass.unionByName(global).select(col("segment"), col("n"),
+        when(col("segment") === "class0", col("acc") >= 0.80)
+          .when(col("segment") === "class1", col("acc") >= 0.88)
+          .otherwise(col("acc") >= 0.85).cast("long").as("ok"))
     },
 
     // ----- token counting -----------------------------------------------
