@@ -62,4 +62,29 @@ object Models {
       s"IVF model at $path has gaps in cell ids")
     Ivf.Model(rows.map(_._2))
   }
+
+  /** Linear classifier weights as one row per dimension — the trained
+    * quality filter is a registry artifact exactly like the ANN
+    * quantizers: train once (expensive full passes), score every
+    * ingest batch afterwards with the loaded copy.
+    */
+  def saveLinear(spark: SparkSession, model: Classifier.LinearModel,
+                 path: String): Unit = {
+    import spark.implicits._
+    model.weights.indices.map(j => (j, model.weights(j)))
+      .toDF("j", "w")
+      .repartition(1) // driver-scale artifact: d rows
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadLinear(spark: SparkSession, path: String): Classifier.LinearModel = {
+    val rows = spark.read.parquet(path)
+      .select("j", "w").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, s"no linear model at $path")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"linear model at $path has gaps in dimensions")
+    Classifier.LinearModel(rows.map(_._2))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ivf, Models, Pq, Similarity}
+import graft.operators.{Classifier, Ivf, Models, Pq, Similarity, TextAnalysis}
 
 /** Model artifacts must round-trip EXACTLY: a loaded model has to
   * produce identical codes and identical search results to the trained
@@ -58,5 +58,33 @@ class ModelsSpec extends SparkSpec {
       Models.loadPq(spark, s"$dir/pq2")
     }
     assert(ex.getMessage.contains("incomplete"))
+  }
+
+  test("linear classifier model round-trips bit-for-bit and scores " +
+      "identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-linmodel").toString
+    val docs = Tables(spark, sfDir, "documents")
+    val teacher = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (col("quality_bucket") === "high").cast("long").as("y"))
+    val feats = Classifier.featurizeText(docs, "doc_id", "text", dims = 16)
+      .join(teacher, "doc_id").localCheckpoint()
+    val trained = Classifier.trainLogisticNewton(feats, "x", "y", iters = 2)
+    Models.saveLinear(spark, trained, s"$dir/lin")
+    val loaded = Models.loadLinear(spark, s"$dir/lin")
+    assert(loaded.weights.toSeq == trained.weights.toSeq,
+      "doubles must survive parquet bit-for-bit")
+    val a = Classifier.predict(feats, trained, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    val b = Classifier.predict(feats, loaded, "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "a loaded model must score identically")
+    // a gap in the dimension space is a corrupt artifact
+    spark.read.parquet(s"$dir/lin").filter(col("j") =!= 3)
+      .write.mode("overwrite").parquet(s"$dir/lin2")
+    val ex = intercept[IllegalArgumentException] {
+      Models.loadLinear(spark, s"$dir/lin2")
+    }
+    assert(ex.getMessage.contains("gaps"))
   }
 }
