@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -40,6 +41,70 @@ object Pipeline {
     */
   private val clusterDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qt27/qt28's trained quality classifier per sf dir, persisted once
+    * per JVM through the Models registry (train = 4 Newton passes, the
+    * expensive part; both gates then score from the SAME artifact —
+    * which is also the deploy shape: one training run, many serving
+    * consumers).
+    */
+  private val clsModelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def clsModelPath(s: SparkSession, dir: String): String =
+    clsModelDirs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qt27_cls").toString
+      val docs = Tables(s, d, "documents")
+      val teacher = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          (col("quality_bucket") === "high").cast("long").as("y"))
+      val feats = Classifier
+        .featurizeText(docs, "doc_id", "text", dims = 16)
+        .join(teacher, "doc_id")
+        .filter(col("doc_id") % 5 =!= 4)
+        .localCheckpoint()
+      val model = Classifier.trainLogisticNewton(feats, "x", "y", iters = 4)
+      graft.operators.Models.saveLinear(s, model, s"$out/lin")
+      s"$out/lin"
+    })
+
+  /** Shared qt27/qt28 teacher + verdict rollup: held-out predictions
+    * (doc_id, pred) → the 3 (segment, n, ok) rows under the measured
+    * floors (BASELINE.md round 15).
+    */
+  private def clsVerdict(s: SparkSession, dir: String,
+                         preds: DataFrame): DataFrame = {
+    val teacher = TextAnalysis
+      .qualityScore(Tables(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"),
+        (col("quality_bucket") === "high").cast("long").as("y"))
+    val held = preds.join(teacher, "doc_id")
+    val correct = (col("pred") === col("y")).cast("double")
+    val byClass = held
+      .groupBy(concat(lit("class"), col("y").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
+    val global = held
+      .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
+      .select(lit("global").as("segment"), col("n"), col("acc"))
+    byClass.unionByName(global).select(col("segment"), col("n"),
+      when(col("segment") === "class0", col("acc") >= 0.80)
+        .when(col("segment") === "class1", col("acc") >= 0.88)
+        .otherwise(col("acc") >= 0.85).cast("long").as("ok"))
+  }
+
+  private val clsOracleSql =
+    s"""WITH w AS (SELECT doc_id, text, ${Text.wordsSql("text")} AS ws FROM documents),
+       |lab AS (SELECT doc_id,
+       |  CASE WHEN CAST(len(ws) AS BIGINT) >= 40
+       |        AND CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
+       |            / CAST(len(ws) AS BIGINT) >= 0.35
+       |       THEN 1 ELSE 0 END AS y
+       |  FROM w WHERE doc_id % 5 = 4)
+       |SELECT 'class' || CAST(y AS VARCHAR) AS segment,
+       |  count(*) AS n, CAST(1 AS BIGINT) AS ok
+       |FROM lab GROUP BY 1
+       |UNION ALL
+       |SELECT 'global', count(*), CAST(1 AS BIGINT) FROM lab""".stripMargin
   private[queries] def clustersOf(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame = {
     val p = clusterDirs.computeIfAbsent(dir, { d =>
@@ -973,43 +1038,35 @@ object Pipeline {
     // sf0.001/0.01/0.1/1 (ClassifierTune: global 0.900+, class0 0.858+,
     // class1 0.932+ → floors 0.85/0.80/0.88) — deterministic, so any
     // training/featurization regression breaks the hash.
-    Q("qt27_quality_classifier",
-      s"""WITH w AS ($wCte),
-         |lab AS (SELECT doc_id,
-         |  CASE WHEN CAST(len(ws) AS BIGINT) >= 40
-         |        AND CAST(len(list_distinct(ws)) AS BIGINT) * 1.0
-         |            / CAST(len(ws) AS BIGINT) >= 0.35
-         |       THEN 1 ELSE 0 END AS y
-         |  FROM w WHERE doc_id % 5 = 4)
-         |SELECT 'class' || CAST(y AS VARCHAR) AS segment,
-         |  count(*) AS n, CAST(1 AS BIGINT) AS ok
-         |FROM lab GROUP BY 1
-         |UNION ALL
-         |SELECT 'global', count(*), CAST(1 AS BIGINT) FROM lab""".stripMargin) {
-      (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val teacher = TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select(col("doc_id"),
-          (col("quality_bucket") === "high").cast("long").as("y"))
-      val feats = Classifier.featurizeText(docs, "doc_id", "text", dims = 16)
-        .join(teacher, "doc_id")
-        .localCheckpoint()
-      val model = Classifier.trainLogisticNewton(
-        feats.filter(col("doc_id") % 5 =!= 4), "x", "y", iters = 4)
-      val held = Classifier.predict(
-        feats.filter(col("doc_id") % 5 === 4), model, "doc_id",
-        passThrough = Seq("y"))
-      val correct = (col("pred") === col("y")).cast("double")
-      val byClass = held
-        .groupBy(concat(lit("class"), col("y").cast("string")).as("segment"))
-        .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
-      val global = held
-        .agg(count(lit(1)).as("n"), avg(correct).as("acc"))
-        .select(lit("global").as("segment"), col("n"), col("acc"))
-      byClass.unionByName(global).select(col("segment"), col("n"),
-        when(col("segment") === "class0", col("acc") >= 0.80)
-          .when(col("segment") === "class1", col("acc") >= 0.88)
-          .otherwise(col("acc") >= 0.85).cast("long").as("ok"))
+    Q("qt27_quality_classifier", clsOracleSql) { (s, dir) =>
+      val model = graft.operators.Models.loadLinear(s, clsModelPath(s, dir))
+      val held = Classifier.featurizeText(
+        Tables(s, dir, "documents").filter(col("doc_id") % 5 === 4),
+        "doc_id", "text", dims = 16)
+      clsVerdict(s, dir, Classifier.predict(held, model, "doc_id"))
+    },
+
+    // ----- streaming model serving ----------------------------------------
+    // The deploy shape of qt27: the SAME persisted artifact scores the
+    // held-out corpus arriving as two micro-batches
+    // (streaming.ScoreIngest, per-batch overwrite idempotency), and the
+    // served scores roll up to the IDENTICAL verdict rows — oracle text
+    // shared with qt27 verbatim. Stream-vs-batch bit-identity of the
+    // scores themselves is ScoreIngestSpec's lock.
+    Q("qt28_stream_scored", clsOracleSql) { (s, dir) =>
+      val mp = clsModelPath(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qt28_scores").toString
+      val held = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4).select("doc_id", "text")
+      graft.streaming.ScoreIngest.applyBatch(s,
+        held.filter(col("doc_id") % 10 === 4), "doc_id", "text",
+        mp, out, 0L)
+      graft.streaming.ScoreIngest.applyBatch(s,
+        held.filter(col("doc_id") % 10 === 9), "doc_id", "text",
+        mp, out, 1L)
+      clsVerdict(s, dir,
+        graft.streaming.ScoreIngest.serve(s, out).select("doc_id", "pred"))
     },
 
     // ----- token counting -----------------------------------------------
