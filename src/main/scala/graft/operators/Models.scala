@@ -63,6 +63,28 @@ object Models {
     Ivf.Model(rows.map(_._2))
   }
 
+  /** PCA model as one row per component plus a mean row (ci = -1). */
+  def savePca(spark: SparkSession, model: Pca.Model, path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, model.mean.toSeq) +:
+      model.components.indices.map(i => (i, model.components(i).toSeq))
+    rows.toDF("ci", "vec")
+      .repartition(1) // driver-scale artifact: outDims+1 rows
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPca(spark: SparkSession, path: String): Pca.Model = {
+    val rows = spark.read.parquet(path)
+      .select("ci", "vec").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.head._1 == -1,
+      s"no PCA model (or missing mean row) at $path")
+    require(rows.map(_._1).toSeq == (-1 until rows.length - 1).toSeq,
+      s"PCA model at $path has gaps in component ids")
+    Pca.Model(rows.head._2, rows.tail.map(_._2))
+  }
+
   /** Linear classifier weights as one row per dimension — the trained
     * quality filter is a registry artifact exactly like the ANN
     * quantizers: train once (expensive full passes), score every

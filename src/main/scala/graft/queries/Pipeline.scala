@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Bpe, Classifier, Curation, Dedup, MediaFixtures, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Classifier, Curation, Dedup, MediaFixtures, Multimodal, Pca, Similarity, TextAnalysis}
 
 /** Training-data-pipeline suite: dedup, similarity search, text
   * analysis, multimodal plumbing over the `documents` and `embeddings`
@@ -41,6 +41,19 @@ object Pipeline {
     */
   private val clusterDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** qs25's trained PCA model per sf dir (one distributed moment pass
+    * + driver eigensolve) — bench pass 2 times the SEARCH, not the
+    * one-time training (the qt21/qs24 memoization discipline).
+    */
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+  private def pcaModelOf(s: SparkSession, dir: String): Pca.Model =
+    pcaModels.computeIfAbsent(dir, { d =>
+      Pca.train(s,
+        Pca.normalized(Tables(s, d, "embeddings"), "vec_id", "embedding"),
+        "vec_id", "nv", outDims = 32)
+    })
 
   /** qt27/qt28's trained quality classifier per sf dir, persisted once
     * per JVM through the Models registry (train = 4 Newton passes, the
@@ -1845,6 +1858,29 @@ object Pipeline {
            s"list_dot_product(v, ${Text.jlSignsSql(j)}) AS y$j").mkString(", ")}
          |FROM e""".stripMargin) { (s, dir) =>
       Similarity.jlProject(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+    },
+
+    // ----- trained PCA projection: shortlist + exact rerank ---------------
+    // The LEARNED twin of qs11's train-free JL projection, run as the
+    // compressed-scan ANN rung (the qs09 PQ discipline): candidates
+    // from 32-dim projected dot products, top-256 exact-reranked. Raw
+    // projected top-k is useless on these near-isotropic embeddings
+    // (measured hits@10 of 0–5 — no low-variance subspace to drop);
+    // the rerank repairs it to minima 10/10/8/3 at sf0.001/0.01/0.1/1
+    // (tools.PcaTune; the sf1 dip is the fixed 256 shortlist being a
+    // smaller corpus fraction, the same qs09 behavior) → floor 2.
+    // Training is one decimal-exact distributed moment pass, so the
+    // model — and with it this gate — is bit-reproducible.
+    Q("qs25_pca_rerank_recall",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val ann = Pca.searchRerank(emb, q, pcaModelOf(s, dir),
+        "vec_id", "embedding", k = 10, shortlist = 256)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
     },
 
     // ----- multimodal metadata plumbing (stub decode) --------------------
