@@ -31,32 +31,53 @@ object Pca {
     def outDims: Int = components.length
   }
 
-  /** One-pass moment training + driver-side eigensolve. */
-  def train(spark: SparkSession, df: DataFrame, idCol: String,
-            vecCol: String, outDims: Int, sweeps: Int = 12): Model = {
+  /** The raw-moment rows a corpus contributes: (j=-1, k=-1) carries
+    * the vector count, (j, k=-1) carries Σx_j, (j, k>=j) carries
+    * Σ x_j·x_k — ALL as DECIMAL(38,18), which is what makes moments a
+    * true monoid: partial sums from any partitioning OR any batch
+    * split merge to the identical total (streaming.MomentIngest builds
+    * the exact same model from per-batch partials).
+    */
+  def momentRows(df: DataFrame, vecCol: String): DataFrame = {
     val base = df.select(col(vecCol).cast("array<double>").as("v"))
-    val d = base.select(size(col("v"))).head().getInt(0)
-    require(outDims > 0 && outDims <= d, s"outDims $outDims vs d=$d")
-    val n = base.count().toDouble
-    require(n > 1, "PCA needs at least two vectors")
-    // raw moments in one distributed pass: (j, -1) carries Σx_j,
-    // (j, k>=j) carries Σ x_j x_k — decimal-exact, tiny driver result
     val e1 = base.select(col("v"), posexplode(col("v")).as(Seq("j", "xj")))
-    val mean = Array.fill(d)(0.0)
-    e1.groupBy("j").agg(sum(col("xj").cast("decimal(38,18)")).as("s"))
-      .collect()
-      .foreach(r => mean(r.getInt(0)) = r.getDecimal(1).doubleValue() / n)
-    val cov = Array.fill(d, d)(0.0)
-    e1.select(col("j"), col("xj"), posexplode(col("v")).as(Seq("k", "xk")))
+    val first = e1.groupBy("j")
+      .agg(sum(col("xj").cast("decimal(38,18)")).as("s"))
+      .select(col("j"), lit(-1).as("k"), col("s"))
+    val second = e1
+      .select(col("j"), col("xj"), posexplode(col("v")).as(Seq("k", "xk")))
       .filter(col("k") >= col("j"))
       .groupBy("j", "k")
       .agg(sum((col("xj") * col("xk")).cast("decimal(38,18)")).as("s"))
-      .collect()
-      .foreach { r =>
-        val j = r.getInt(0); val k = r.getInt(1)
-        val c = r.getDecimal(2).doubleValue() / n - mean(j) * mean(k)
+      .select(col("j"), col("k"), col("s"))
+    val cnt = base
+      .agg(count(lit(1)).cast("decimal(38,18)").as("s"))
+      .select(lit(-1).as("j"), lit(-1).as("k"), col("s"))
+    first.unionByName(second).unionByName(cnt)
+  }
+
+  /** Build the model from collected moment rows (the [[momentRows]]
+    * schema). Deterministic: identical decimal totals → identical
+    * doubles → identical eigensolve.
+    */
+  def fromMoments(rows: Seq[(Int, Int, java.math.BigDecimal)],
+                  outDims: Int, sweeps: Int = 12): Model = {
+    val n = rows.collectFirst { case (-1, -1, s) => s.doubleValue() }
+      .getOrElse(0.0)
+    require(n > 1, "PCA needs at least two vectors")
+    val d = rows.collect { case (j, -1, _) if j >= 0 => j }.max + 1
+    require(outDims > 0 && outDims <= d, s"outDims $outDims vs d=$d")
+    val mean = Array.fill(d)(0.0)
+    rows.foreach { case (j, k, s) =>
+      if (j >= 0 && k == -1) mean(j) = s.doubleValue() / n
+    }
+    val cov = Array.fill(d, d)(0.0)
+    rows.foreach { case (j, k, s) =>
+      if (j >= 0 && k >= 0) {
+        val c = s.doubleValue() / n - mean(j) * mean(k)
         cov(j)(k) = c; cov(k)(j) = c
       }
+    }
     val (values, vectors) = jacobi(cov, sweeps)
     // top components by eigenvalue desc, ties by index asc; sign pinned
     // so the largest-|coordinate| entry is positive (first on ties)
@@ -69,6 +90,14 @@ object Pca {
       if (c(best) < 0) c.map(-_) else c
     }
     Model(mean, comps)
+  }
+
+  /** One-pass moment training + driver-side eigensolve. */
+  def train(spark: SparkSession, df: DataFrame, idCol: String,
+            vecCol: String, outDims: Int, sweeps: Int = 12): Model = {
+    val rows = momentRows(df, vecCol).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2))).toSeq
+    fromMoments(rows, outDims, sweeps)
   }
 
   /** Classical cyclic Jacobi for a symmetric matrix: fixed (p,q) sweep

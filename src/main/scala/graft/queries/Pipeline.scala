@@ -55,6 +55,30 @@ object Pipeline {
         "vec_id", "nv", outDims = 32)
     })
 
+  /** qs26's stream-trained PCA model: the same corpus absorbed as
+    * three micro-batches of decimal moment partials
+    * (streaming.MomentIngest) — bit-identical to [[pcaModelOf]]'s
+    * batch model by the moment-monoid property, so the gate shares
+    * qs25's oracle verbatim.
+    */
+  private val pcaStreamModels =
+    new java.util.concurrent.ConcurrentHashMap[String, Pca.Model]()
+  private def pcaStreamModelOf(s: SparkSession, dir: String): Pca.Model =
+    pcaStreamModels.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qs26_mom").toString
+      val normed = Pca.normalized(Tables(s, d, "embeddings"),
+        "vec_id", "embedding")
+      for (b <- 0L until 3L)
+        graft.streaming.MomentIngest.applyBatch(
+          normed.filter(pmod(col("vec_id"), lit(3L)) === b), "nv", out, b)
+      graft.streaming.MomentIngest.model(s, out, outDims = 32)
+    })
+
+  private val pcaRecallOracleSql =
+    """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+      |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin
+
   /** qt27/qt28's trained quality classifier per sf dir, persisted once
     * per JVM through the Models registry (train = 4 Newton passes, the
     * expensive part; both gates then score from the SAME artifact —
@@ -1871,13 +1895,28 @@ object Pipeline {
     // smaller corpus fraction, the same qs09 behavior) → floor 2.
     // Training is one decimal-exact distributed moment pass, so the
     // model — and with it this gate — is bit-reproducible.
-    Q("qs25_pca_rerank_recall",
-      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
-        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+    Q("qs25_pca_rerank_recall", pcaRecallOracleSql) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") % 100 === 0)
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
       val ann = Pca.searchRerank(emb, q, pcaModelOf(s, dir),
+        "vec_id", "embedding", k = 10, shortlist = 256)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
+    },
+
+    // ----- PCA trained ON THE STREAM --------------------------------------
+    // The same search served from a model trained by merging per-batch
+    // decimal moment partials (streaming.MomentIngest, 3 batches by
+    // vec_id mod): moments are an exact monoid, so the stream model is
+    // BIT-IDENTICAL to qs25's batch model (MomentIngestSpec locks the
+    // weights; this gate locks the served search under the same
+    // oracle text).
+    Q("qs26_pca_stream_model", pcaRecallOracleSql) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val ann = Pca.searchRerank(emb, q, pcaStreamModelOf(s, dir),
         "vec_id", "embedding", k = 10, shortlist = 256)
       Similarity.recallHits(exact, ann)
         .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))

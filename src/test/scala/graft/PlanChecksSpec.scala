@@ -434,7 +434,12 @@ class PlanChecksSpec extends SparkSpec {
     // rank over the top-max(N)=64 vocabulary rows already taken by
     // TakeOrderedAndProject (TextAnalysis.vocabCoverage, rankTopK
     // discipline; the word-count aggregate sits below)
-    "qt23_vocab_coverage")
+    "qt23_vocab_coverage",
+    // composes Curation.temperatureSample, so it inherits qc18's
+    // bounded window verbatim: largest-remainder ranking over the
+    // per-source AGGREGATE rows (|sources|, not |docs|; the group-by
+    // sits below the window)
+    "qp11_release_candidate")
 
   test("single-partition windows sit only above provably bounded frames, " +
     "and only at the enumerated sites") {
