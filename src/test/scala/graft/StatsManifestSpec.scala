@@ -264,6 +264,27 @@ class StatsManifestSpec extends SparkSpec {
       "pass-through parts lines must keep serving untouched partitions")
   }
 
+  test("a missing per-file bloom filter file is a conservative keep — " +
+      "readers are safe during the refresh swap window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom2w").toString
+    import spark.implicits._
+    val df = (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .withColumn("p", concat(lit("p"), pmod(col("k"), lit(4L))))
+    df.coalesce(1).write.mode("overwrite").partitionBy("p").parquet(dir)
+    StatsManifest.writeBloomsPartitioned(spark, dir, Seq("k"),
+      fileBits = 1024, partBits = 4096)
+    // refreshStaleBloomPartitions swaps per-file filter files with a
+    // delete+rename; a reader landing in that window sees the summary
+    // but no per-file file — it must keep the partition's files whole
+    val p1Filters = new java.io.File(dir, "_bloom_manifest_files/p=p1")
+    assert(p1Filters.exists(), s"expected per-file filters at $p1Filters")
+    assert(p1Filters.delete())
+    val (hit, stats) = StatsManifest.pointReadTwoLevel(spark, dir, "k", "41")
+    assert(hit.select("k").collect().map(_.getLong(0)).toSeq == Seq(41L),
+      "rows must survive a missing per-file filter file")
+    assert(stats.partsOpened <= stats.partsTotal)
+  }
+
   test("an equal-count replacement can't hide from the two-level bloom " +
       "manifest either") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom2f").toString
