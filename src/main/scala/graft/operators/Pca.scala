@@ -201,6 +201,17 @@ object Pca {
         Window.partitionBy("qid").orderBy(col("psim").desc, col("vid"))))
       .filter(col("r") <= shortlist)
       .select("qid", "vid")
+    rerankExact(cand, cN, qN, idCol, k)
+  }
+
+  /** Exact cosine rerank of a (qid, vid) candidate set on unit
+    * vectors — the shared final stage of [[searchRerank]] and
+    * [[searchIvfRerank]]. Output (query_id, neighbor_id, rnk).
+    */
+  private def rerankExact(cand: DataFrame, cN: DataFrame, qN: DataFrame,
+                          idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
     val rer = cand
       .join(cN.select(col(idCol).as("vid"), col("nv").as("v")), "vid")
       .join(qN.select(col(idCol).as("qid"), col("nv").as("qv")), "qid")
@@ -211,5 +222,28 @@ object Pca {
       .filter(col("rnk") <= k)
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         col("rnk"))
+  }
+
+  /** PCA × IVF composition — the full production rung: IVF buckets in
+    * the PROJECTED space give SUB-LINEAR candidate generation (probe
+    * `nprobe` of `ivfK` cells instead of scanning the corpus) AND
+    * cheap per-pair distances (outDims multiplies), then the
+    * top-`shortlist` exact-reranks on the true vectors. [[searchRerank]]
+    * is the projection-quality rung (full compressed scan); this one
+    * adds the index. The IVF model trains on the projected corpus —
+    * train both once, serve forever (the registry shape).
+    */
+  def searchIvfRerank(spark: SparkSession, corpus: DataFrame,
+                      queries: DataFrame, model: Model, ivf: Ivf.Model,
+                      idCol: String, vecCol: String, k: Int,
+                      shortlist: Int = 128, nprobe: Int = 4): DataFrame = {
+    val cN = normalized(corpus, idCol, vecCol)
+    val qN = normalized(queries, idCol, vecCol)
+    val cand = Ivf.search(
+        project(cN, model, idCol, "nv"),
+        project(qN, model, idCol, "nv"),
+        ivf, idCol, "proj", k = shortlist, nprobe = nprobe)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("vid"))
+    rerankExact(cand, cN, qN, idCol, k)
   }
 }

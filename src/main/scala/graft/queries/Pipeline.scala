@@ -79,6 +79,22 @@ object Pipeline {
     """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
       |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin
 
+  /** qs27's IVF model trained in qs25's projected space — the two
+    * registry artifacts of the composed rung, built once per JVM.
+    */
+  private val pcaIvfModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Ivf.Model]()
+  private def pcaIvfModelOf(s: SparkSession, dir: String)
+      : graft.operators.Ivf.Model =
+    pcaIvfModels.computeIfAbsent(dir, { d =>
+      val pca = pcaModelOf(s, d)
+      graft.operators.Ivf.train(s,
+        Pca.project(
+          Pca.normalized(Tables(s, d, "embeddings"), "vec_id", "embedding"),
+          pca, "vec_id", "nv"),
+        "vec_id", "proj", k = 8)
+    })
+
   /** qt27/qt28's trained quality classifier per sf dir, persisted once
     * per JVM through the Models registry (train = 4 Newton passes, the
     * expensive part; both gates then score from the SAME artifact —
@@ -1918,6 +1934,24 @@ object Pipeline {
       val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
       val ann = Pca.searchRerank(emb, q, pcaStreamModelOf(s, dir),
         "vec_id", "embedding", k = 10, shortlist = 256)
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
+    },
+
+    // ----- PCA × IVF: the composed production rung -------------------------
+    // Sub-linear candidates (nprobe=4 of 8 projected-space cells) AND
+    // compressed per-pair distances, exact rerank on the true vectors.
+    // Measured min hits@10 = 6 / 4 / 5 / 3 at sf0.001/0.01/0.1/1
+    // (tools.PcaTune ivfRerank, shortlist=256) → floor 2, same as
+    // qs25 — the index costs nothing the rerank doesn't repair here,
+    // while cutting the candidate scan by nprobe/ivfK.
+    Q("qs27_pca_ivf_recall", pcaRecallOracleSql) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      val ann = Pca.searchIvfRerank(s, emb, q,
+        pcaModelOf(s, dir), pcaIvfModelOf(s, dir),
+        "vec_id", "embedding", k = 10, shortlist = 256, nprobe = 4)
       Similarity.recallHits(exact, ann)
         .select(col("query_id"), (col("hits") >= 2).cast("long").as("recall_ok"))
     },

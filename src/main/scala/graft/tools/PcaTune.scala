@@ -65,6 +65,16 @@ object PcaTune {
       val rerankHits = Similarity.recallHits(exact, rerank)
         .select("hits").collect().map(_.getLong(0)).toSeq.sorted
 
+      val ivfModel = graft.operators.Ivf.train(spark,
+        Pca.project(normed, model, "vec_id", "nv"), "vec_id", "proj", k = 8)
+      val ivfRerank = Pca.searchIvfRerank(spark, emb,
+        emb.filter(col("vec_id") % 100 === 0), model, ivfModel,
+        "vec_id", "embedding", k = 10,
+        shortlist = sys.env.getOrElse("PCA_SHORTLIST", "128").toInt,
+        nprobe = sys.env.getOrElse("PCA_NPROBE", "4").toInt)
+      val ivfHits = Similarity.recallHits(exact, ivfRerank)
+        .select("hits").collect().map(_.getLong(0)).toSeq.sorted
+
       def stats(h: Seq[Long]) =
         f"min=${h.head} p10=${h(h.size / 10)} mean=${h.sum * 1.0 / h.size}%.2f"
       println(s"$dir outDims=$outDims train=${f"$trainS%.1f"}s " +
@@ -72,6 +82,7 @@ object PcaTune {
       println(s"  pca ${stats(pcaHits)}")
       println(s"  jl8 ${stats(jlHits)}")
       println(s"  rerank128 ${stats(rerankHits)}")
+      println(s"  ivfRerank ${stats(ivfHits)}")
     }
     spark.stop()
   }
