@@ -25,9 +25,17 @@ object TimeQueries {
       .filter(n => prefixes.exists(n.startsWith))
     if (names.isEmpty)
       System.err.println(s"[time] no gates match ${prefixes.mkString(", ")}")
+    // SPARK_GRAFT_TIMEQ_NOOP=1 evaluates via the noop sink exactly like
+    // Bench.timeOne (materializes every column; count() lets Catalyst
+    // prune aggregates-only columns) — use it when chasing a bench-only
+    // slowdown
+    val noop = sys.env.get("SPARK_GRAFT_TIMEQ_NOOP").contains("1")
     for (n <- names; pass <- 1 to 2) {
       val t0 = System.nanoTime()
-      val cnt = SparkEntry.queries(n)(spark, dir).count()
+      val df = SparkEntry.queries(n)(spark, dir)
+      val cnt =
+        if (noop) { df.write.format("noop").mode("overwrite").save(); -1L }
+        else df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[time] $n%-28s pass$pass $dt%7.3f s rows=$cnt")
     }
