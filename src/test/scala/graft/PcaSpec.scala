@@ -67,6 +67,26 @@ class PcaSpec extends SparkSpec {
       "a full-rank rotation must reproduce the exact ranking")
   }
 
+  test("the composed IVF rung is lossless too at full rank + all probes") {
+    val n = Pca.normalized(emb, "vec_id", "embedding").localCheckpoint()
+    val d = n.select(size(col("nv"))).head().getInt(0)
+    val m = Pca.train(spark, n, "vec_id", "nv", outDims = d)
+    val ivf = graft.operators.Ivf.train(spark,
+      Pca.project(n, m, "vec_id", "nv"), "vec_id", "proj", k = 4)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val exact = Similarity.cosineTopK(emb, q, "vec_id", "embedding", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // probe EVERY cell: candidate generation degenerates to the full
+    // scan, the rotation is lossless, so the rerank must reproduce the
+    // exact ranking — the anchor that separates index recall loss
+    // (nprobe) from projection recall loss (outDims)
+    val got = Pca.searchIvfRerank(spark, emb, q, m, ivf,
+        "vec_id", "embedding", k = 10, shortlist = 64, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == exact,
+      "full-rank + all-probes must reproduce the exact ranking")
+  }
+
   test("PCA model round-trips through the registry bit-for-bit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pcamodel").toString
     val n = Pca.normalized(emb, "vec_id", "embedding")
