@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13}
+import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13, Round15}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
   /** Every gated query, from the per-category suites. */
   def allQueries: Seq[Q] =
     Relational.all ++ Pipeline.all ++ Etl.all ++ Extra.all ++
-      RefStarQueries.all ++ Round11.all ++ Round13.all ++ queries_extra
+      RefStarQueries.all ++ Round11.all ++ Round13.all ++ Round15.all ++
+      queries_extra
 
   /** Non-relational suites are appended here as they land. */
   private def queries_extra: Seq[Q] = Seq(

@@ -676,6 +676,64 @@ object Curation {
         sum(coalesce(col("__tok1"), lit(0L))).as("tok_v1"))
   }
 
+  /** k-anonymity suppression ladder — the privacy gate a corpus release
+    * runs before publishing rows carrying quasi-identifiers (the
+    * attribute tuples that re-identify people when a group is small).
+    * A row is published at the LEAST-generalized level whose
+    * quasi-identifier tuple is shared by at least `k` of the rows
+    * still unpublished at that level: level 0 keeps the full tuple,
+    * level L blanks the LAST L quasi columns to "*" (coarsest column
+    * last in `quasiCols`), and the terminal all-"*" level publishes
+    * unconditionally (it carries no information, so any group size is
+    * safe). Counting each level over the RESIDUAL — not the whole
+    * table — matches the sequential audit a release reviewer runs:
+    * once a row is published at a finer level it no longer shields
+    * coarser groups.
+    *
+    * Output = the input rows with the quasi columns REPLACED by their
+    * published (string) form plus `anon_level`; every published
+    * level-<n group has ≥ k members by construction (qq03 gates this
+    * against a DuckDB replay of the ladder).
+    *
+    * Scale shape: `quasiCols.size + 1` rounds, each ONE partial-agg
+    * group-count on a geometrically-shrinking residual plus an
+    * equi-join of the count back onto it (the count side is bounded by
+    * distinct TUPLES, not rows — AQE broadcasts it when small). No
+    * windows over the data, no collect; deterministic because the
+    * keep decision is a pure (tuple, count) predicate.
+    */
+  def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val n = quasiCols.size
+    val keep = df.columns.filterNot(quasiCols.contains).map(col).toSeq
+    def published(level: Int): Seq[Column] =
+      quasiCols.zipWithIndex.map { case (c, i) =>
+        (if (i < n - level) col(c).cast("string") else lit("*")).as(c)
+      }
+    var rest = df
+    val parts = Seq.newBuilder[DataFrame]
+    for (level <- 0 to n) {
+      val keyed = rest.withColumn("__anon",
+        struct(published(level): _*))
+      if (level == n) {
+        parts += keyed.select(
+          keep ++ quasiCols.map(c => col(s"__anon.$c").as(c)) :+
+            lit(level).as("anon_level"): _*)
+      } else {
+        val counts = keyed.groupBy(col("__anon"))
+          .agg(count(lit(1)).as("__cnt"))
+        val joined = keyed.join(counts, Seq("__anon"))
+        parts += joined.filter(col("__cnt") >= k).select(
+          keep ++ quasiCols.map(c => col(s"__anon.$c").as(c)) :+
+            lit(level).as("anon_level"): _*)
+        rest = joined.filter(col("__cnt") < k)
+          .select(rest.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val counts = votes.groupBy(col(idCol), col(labelCol))
       .agg(count(lit(1)).as("__n"))

@@ -42,6 +42,45 @@ object Dedup {
       .withColumn("__sh", expr(Text.shinglesExpr("__ws", n)))
       .select(col(idCol), col("__sh"))
 
+  /** Cross-source contamination matrix: for every pair of sources that
+    * share at least one word n-gram, the exact shingle-set overlap and
+    * Jaccard — the report a curation team reads to find mirror sites,
+    * syndicated feeds, and scraped-twice domains BEFORE doc-level
+    * dedup (a source pair with high Jaccard is one crawl duplicated,
+    * not two corpora).
+    *
+    * Scale shape: the shingle explode collapses to DISTINCT
+    * (source, shingle) first, so however many documents repeat a
+    * shingle within a source it appears ONCE per source — the
+    * inverted-index self-join then fans out at most |sources| rows
+    * per shingle (pairs per shingle ≤ sources², a constant), never
+    * doc-pair-quadratic. Everything else is partial-agg group-bys and
+    * source-keyed equi-joins on a |sources|²-bounded frame. Pairs
+    * with ZERO shared shingles are absent (their Jaccard is 0;
+    * emitting them would need a non-equi pair join for no signal).
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
+                    n: Int = 3): DataFrame = {
+    val sh = df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+      .withColumn("__sh", expr(Text.shinglesExpr("__ws", n)))
+      .select(col(sourceCol).as("__src"), explode(col("__sh")).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("__src").as("src_a"), col("n_sh").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("__src").as("src_b"), col("n_sh").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact pairwise n-gram Jaccard >= threshold via inverted index —
     * the count rides a partial-agg group-by (map-side combine), so it
     * is the fastest exact formulation whenever shingles are selective

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Text
+import graft.operators.{Curation, Dedup, UnigramLm}
+
+/** Round-15 gate additions: privacy (k-anonymity) and the trained
+  * unigram-LM tokenizer. Same discipline as every other suite — each
+  * gate is a DuckDB-oracle hash compare at sf0.01, with the learned /
+  * non-SQL-expressible parts locked by invariant flags the oracle
+  * knows must all be 1 (the qt18 pattern) plus ScalaTest specs.
+  */
+object Round15 {
+
+  def all: Seq[Q] = Seq(
+
+    // ----- k-anonymity suppression ladder (privacy release gate) --------
+    // Quasi-identifiers (market segment, nation) generalize right-to-
+    // left until every published group has >= k members; the terminal
+    // all-'*' level is unconditional. The oracle replays the ladder
+    // with window counts over the same residuals, so ANY semantic
+    // drift — counting over the full table instead of the residual,
+    // off-by-one on the k threshold, wrong generalization order —
+    // breaks the hash, and the builder additionally REQUIRES the
+    // published groups to satisfy k (the property the gate exists
+    // for), so a regression goes red even if oracle and engine drift
+    // together.
+    Q("qq03_k_anonymity",
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |             CAST(c_nationkey AS VARCHAR) AS nat FROM customer),
+        |l0 AS (SELECT seg, nat, COUNT(*) OVER (PARTITION BY seg, nat) AS c0
+        |       FROM b),
+        |k0 AS (SELECT seg, nat, 0 AS lvl FROM l0 WHERE c0 >= 20),
+        |r0 AS (SELECT seg FROM l0 WHERE c0 < 20),
+        |l1 AS (SELECT seg, COUNT(*) OVER (PARTITION BY seg) AS c1 FROM r0),
+        |k1 AS (SELECT seg, '*' AS nat, 1 AS lvl FROM l1 WHERE c1 >= 20),
+        |r1 AS (SELECT seg FROM l1 WHERE c1 < 20),
+        |k2 AS (SELECT '*' AS seg, '*' AS nat, 2 AS lvl FROM r1),
+        |u AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |      UNION ALL SELECT * FROM k2)
+        |SELECT seg, nat, CAST(lvl AS BIGINT) AS anon_level,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val k = 20
+      val anon = Curation.kAnonymize(
+        Tables(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            col("c_nationkey").as("nat")),
+        Seq("seg", "nat"), k = k)
+      val out = anon
+        .groupBy(col("seg"), col("nat"),
+          col("anon_level").cast("long").as("anon_level"))
+        .agg(count(lit(1)).as("n"))
+      require(out.filter(col("anon_level") < 2 && col("n") < k).isEmpty,
+        s"k-anonymity violated: a published non-terminal group has < $k rows")
+      out
+    },
+
+    // ----- l-diversity audit over the k-anonymity ladder -----------------
+    // k alone doesn't stop attribute disclosure: a published group
+    // whose members all share the SENSITIVE value (here: negative
+    // account balance) reveals it for everyone in the group even
+    // without re-identification. The report = per published group,
+    // size AND distinct sensitive values — the reviewer reads
+    // l_distinct = 1 rows as disclosure risks. Also proves
+    // kAnonymize carries non-quasi payload columns through the
+    // ladder untouched.
+    Q("qq04_l_diversity",
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |             CAST(c_nationkey AS VARCHAR) AS nat,
+        |             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+        |               AS sens
+        |           FROM customer),
+        |l0 AS (SELECT seg, nat, sens,
+        |         COUNT(*) OVER (PARTITION BY seg, nat) AS c0 FROM b),
+        |k0 AS (SELECT seg, nat, sens, 0 AS lvl FROM l0 WHERE c0 >= 20),
+        |r0 AS (SELECT seg, sens FROM l0 WHERE c0 < 20),
+        |l1 AS (SELECT seg, sens,
+        |         COUNT(*) OVER (PARTITION BY seg) AS c1 FROM r0),
+        |k1 AS (SELECT seg, '*' AS nat, sens, 1 AS lvl FROM l1
+        |       WHERE c1 >= 20),
+        |r1 AS (SELECT seg, sens FROM l1 WHERE c1 < 20),
+        |k2 AS (SELECT '*' AS seg, '*' AS nat, sens, 2 AS lvl FROM r1),
+        |u AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |      UNION ALL SELECT * FROM k2)
+        |SELECT seg, nat, CAST(lvl AS BIGINT) AS anon_level,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+        |FROM u GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat"),
+        when(col("c_acctbal") < 0, "neg").otherwise("pos").as("sens"))
+      Curation.kAnonymize(base, Seq("seg", "nat"), k = 20)
+        .groupBy(col("seg"), col("nat"),
+          col("anon_level").cast("long").as("anon_level"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("sens")).as("l_distinct"))
+    },
+
+    // ----- cross-source contamination matrix -----------------------------
+    // Exact shingle-set overlap between SOURCES (mirror/syndication
+    // detection) — the distinct-per-source collapse bounds the
+    // inverted-index fan-out at sources² per shingle, so the matrix
+    // stays linear in corpus size however duplicated the documents
+    // are. Jaccard is one IEEE division of exact BIGINTs — bitwise
+    // cross-engine.
+    Q("qd18_source_overlap", {
+      val wSrc = s"SELECT source, ${Text.wordsSql("text")} AS ws FROM documents"
+      s"""WITH w AS ($wSrc),
+         |e AS (SELECT DISTINCT source AS src,
+         |        unnest(${Text.shinglesSql("ws")}) AS sh FROM w),
+         |sz AS (SELECT src, COUNT(*) AS n FROM e GROUP BY 1),
+         |i AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS inter
+         |      FROM e a JOIN e b ON a.sh = b.sh AND a.src < b.src
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, x.n AS n_a, y.n AS n_b, inter,
+         |  CAST(inter AS DOUBLE) / CAST(x.n + y.n - inter AS DOUBLE)
+         |    AS jaccard
+         |FROM i JOIN sz x ON src_a = x.src
+         |       JOIN sz y ON src_b = y.src""".stripMargin
+    }) { (s, dir) =>
+      Dedup.sourceOverlap(Tables(s, dir, "documents"), "text", "source")
+    },
+
+    // ----- unigram-LM tokenizer encode round-trip ------------------------
+    // The trained-model twin of qt18: the learned piece table is
+    // data-dependent (Viterbi EM — not expressible as a static
+    // oracle), so the gate checks the invariants every correct
+    // unigram encoder satisfies per document: concatenating the
+    // emitted pieces reproduces the concatenated words exactly
+    // (lossless segmentation — the coverage floor's contract), and
+    // the piece count sits in [n_words, n_chars] (>= 1 piece per
+    // word, pieces never shorter than a character). Model quality and
+    // determinism are locked by UnigramLmSpec (partitioning-invariant
+    // piece table, EM convergence to multi-char pieces, coverage).
+    Q("qt29_unigram_encode",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val vocab = UnigramLm.train(docs, "text")
+      val enc = UnigramLm.encode(docs, "doc_id", "text", vocab)
+      docs.select(col("doc_id"), expr(Text.wordsExpr("text")).as("__ws"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (concat_ws("", coalesce(col("pieces"),
+            array().cast("array<string>"))) ===
+            concat_ws("", col("__ws"))).cast("long").as("roundtrip_ok"),
+          (coalesce(col("n_pieces"), lit(0L)) >=
+            size(col("__ws")).cast("long") &&
+            coalesce(col("n_pieces"), lit(0L)) <=
+              aggregate(transform(col("__ws"), w => length(w)),
+                lit(0L), (a, x) => a + x))
+            .cast("long").as("bounds_ok"))
+    })
+}

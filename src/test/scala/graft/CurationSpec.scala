@@ -545,4 +545,35 @@ class CurationSpec extends SparkSpec {
     assert(st.getLong(0) == corpus.count())
     assert(st.getLong(1) == corpus.agg(sum("tokens")).head().getLong(0))
   }
+
+  test("kAnonymize publishes each row at the least-generalized level satisfying k") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(5)(("A", "1", "pay")) ++
+      Seq.fill(2)(("A", "2", "pay")) ++ Seq.fill(2)(("A", "3", "pay")) ++
+      Seq(("B", "9", "pay"), ("C", "9", "pay"))
+    val df = rows.toDF("city", "age", "payload").repartition(3)
+    val out = Curation.kAnonymize(df, Seq("city", "age"), k = 3)
+    assert(out.count() == rows.size.toLong, "no row may be lost or duplicated")
+    assert(out.columns.toSet == Set("city", "age", "payload", "anon_level"))
+    val g = out.groupBy("city", "age", "anon_level").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // (A,1) big enough at level 0; the OTHER A rows (4, not 9 - the
+    // published 5 must not shield the residual) pass at level 1; the
+    // B/C singletons only at the terminal all-star level
+    assert(g == Map(("A", "1", 0) -> 5L, ("A", "*", 1) -> 4L,
+      ("*", "*", 2) -> 2L), s"unexpected ladder: $g")
+    // the k property itself, on the real table: every published
+    // non-terminal group has >= k members
+    val cust = Tables(spark, sfDir, "customer")
+    val anon = Curation.kAnonymize(
+      cust.select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat")),
+      Seq("seg", "nat"), k = 7)
+    val viol = anon.groupBy("seg", "nat", "anon_level").count()
+      .filter(col("anon_level") < 2 && col("count") < 7).count()
+    assert(viol == 0, "published non-terminal group under k")
+    assert(anon.count() == cust.count())
+  }
 }

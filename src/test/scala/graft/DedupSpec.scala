@@ -338,4 +338,22 @@ class DedupSpec extends SparkSpec {
     assert(total == distinctShingles,
       s"sum(n_novel)=$total must equal |distinct shingles|=$distinctShingles")
   }
+
+  test("sourceOverlap counts distinct shared shingles per source pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "X"), (2L, "a b c", "X"),   // X: {abc, bcd}
+      (3L, "b c d e", "Y"),                        // Y: {bcd, cde}
+      (4L, "z z z", "Z")                           // Z: {zzz} - no overlap
+    ).toDF("doc_id", "text", "source").repartition(3)
+    val got = Dedup.sourceOverlap(docs, "text", "source").collect()
+    assert(got.length == 1, s"only (X,Y) overlaps, got ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[String]("src_a") == "X" && r.getAs[String]("src_b") == "Y")
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("inter") == 1L) // the shared 'b c d'
+    assert(math.abs(r.getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-15)
+    // within-source duplication must not inflate the count: doc2
+    // repeats X's 'a b c' and the distinct collapse absorbs it
+  }
 }
