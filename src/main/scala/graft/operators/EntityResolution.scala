@@ -51,4 +51,39 @@ object EntityResolution {
       .filter(col("dist") <= 1)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Golden-record survivorship merge — the step AFTER resolution:
+    * collapse each entity's record history into one published record,
+    * field by field, under the standard "most recent non-null wins"
+    * rule. Each field survives INDEPENDENTLY: the golden name can come
+    * from last week's record while the golden phone comes from last
+    * year's (the newer record left it null) — which is why this is a
+    * per-field argmax, not a per-record pick.
+    *
+    * Determinism: the winner per field is `max(struct(recency, tie,
+    * value))` over the non-null records — `tieCol` must be unique per
+    * record (a record id), making the order total; nulls are skipped
+    * by max's null discipline, and an all-null field survives as NULL.
+    *
+    * Scale shape: ONE partial-aggregate groupBy on the entity key —
+    * no windows, no joins, no per-field passes; `fieldCols.size`
+    * max-struct aggregates ride the same shuffle. At 100 TB this is
+    * the cheapest possible shape for the merge (a single key-partition
+    * of the record log).
+    */
+  def goldenRecord(df: DataFrame, entityCol: String, recencyCol: String,
+                   tieCol: String, fieldCols: Seq[String]): DataFrame = {
+    require(fieldCols.nonEmpty, "need at least one survivorship field")
+    val aggs = fieldCols.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(recencyCol).as("r"), col(tieCol).as("t"),
+          col(f).as("v")))).as(s"__$f")
+    } :+ count(lit(1)).as("n_records") :+
+      max(col(recencyCol)).as("last_seen")
+    df.groupBy(col(entityCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(entityCol) +:
+        fieldCols.map(f => col(s"__$f.v").as(f)) :+
+        col("n_records") :+ col("last_seen"): _*)
+  }
 }

@@ -66,10 +66,15 @@ object UnigramLm {
     * a global sort of data.
     */
   def seedVocab(wf: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame = {
+    // piece-table-sized checkpoint: the two branches below (chars /
+    // top-k multis) would otherwise each re-run the substring explode
+    // and its aggregate — the plan-reuse discipline UnigramDiag
+    // measured at 2× per extra reference
     val subs = wf
       .select(col("freq"), explode(substrExpr(col("word"), maxPieceLen)).as("s"))
       .groupBy(col("s.piece").as("piece"))
       .agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
     val chars = subs.filter(length(col("piece")) === 1)
     val multi = subs.filter(length(col("piece")) > 1)
       .orderBy(col("cnt").desc, col("piece")).limit(seedSize)
@@ -129,7 +134,13 @@ object UnigramLm {
           best("start").as("bp"),
           best("piece").as("piece"))))
       })
-    val withDp = edges.withColumn("__dp", dp)
+    // materialize the DP table before path reconstruction: the
+    // reconstruction fold reads `__dp` 2·L times, and project
+    // collapsing would otherwise INLINE the whole DP aggregate at
+    // every one of those references (UnigramDiag measured the
+    // un-materialized formulation at ~3.5× the pass cost); the
+    // checkpoint is distinct-words-sized — never corpus-scale
+    val withDp = edges.withColumn("__dp", dp).localCheckpoint()
     val pieces = aggregate(
       sequence(lit(1), length(col("word"))),
       struct(length(col("word")).as("pos"),
@@ -149,11 +160,14 @@ object UnigramLm {
     * feasibility never breaks.
     */
   private def emCounts(seg: DataFrame, chars: DataFrame): DataFrame = {
+    // single reference to `seg`: a full-outer join against the char
+    // floor keeps the Viterbi DP subtree evaluated ONCE (a filter/
+    // union formulation would clone it per branch)
     val used = seg.select(col("freq"), explode(col("pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-    val charFloor = chars.select(col("piece")).join(used, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
-    used.filter(length(col("piece")) > 1).unionByName(charFloor)
+    used.join(chars.select(col("piece"), lit(1L).as("__floor")),
+        Seq("piece"), "full_outer")
+      .select(col("piece"), coalesce(col("cnt"), col("__floor")).as("cnt"))
   }
 
   /** Prune to the `targetVocab` most-used multi-character pieces
@@ -181,7 +195,12 @@ object UnigramLm {
     val chars = vocab.filter(length(col("piece")) === 1).localCheckpoint()
     for (_ <- 1 to emIters) {
       val seg = segmentWords(wf, vocab, maxPieceLen)
-      val next = prune(emCounts(seg, chars), targetVocab).localCheckpoint()
+      // checkpoint BEFORE prune: prune's two branches (chars / top-k
+      // multis) re-read their input, and un-checkpointed that input is
+      // the whole segmentation DP
+      val counts = emCounts(seg, chars).localCheckpoint()
+      val next = prune(counts, targetVocab).localCheckpoint()
+      counts.unpersist()
       vocab.unpersist()
       vocab = next
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Text
-import graft.operators.{Curation, Dedup, UnigramLm}
+import graft.operators.{Curation, Dedup, EntityResolution, UnigramLm}
 
 /** Round-15 gate additions: privacy (k-anonymity) and the trained
   * unigram-LM tokenizer. Same discipline as every other suite — each
@@ -98,6 +98,54 @@ object Round15 {
           col("anon_level").cast("long").as("anon_level"))
         .agg(count(lit(1)).as("n"),
           countDistinct(col("sens")).as("l_distinct"))
+    },
+
+    // ----- golden-record survivorship merge -------------------------------
+    // q68 finds the duplicate pairs and qd06 resolves them into
+    // entities; this is the step a master-data pipeline runs NEXT:
+    // collapse each entity's record history into one published record
+    // under most-recent-non-null-wins, each field surviving
+    // independently (the fixture nulls the modal status/priority
+    // values, so a customer's golden status and golden priority
+    // regularly come from DIFFERENT orders). The oracle replays the
+    // survivorship with per-field ROW_NUMBER windows; the engine side
+    // is ONE partial-agg groupBy (max-of-struct per field — no
+    // windows, no joins), which is the shape that survives 100 TB.
+    Q("qe01_golden_record",
+      """WITH src AS (SELECT o_custkey,
+        |    o_orderdate AS r, o_orderkey AS t,
+        |    NULLIF(o_orderstatus, 'O') AS status,
+        |    NULLIF(o_orderpriority, '1-URGENT') AS priority,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |base AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |           MAX(r) AS last_seen FROM src GROUP BY 1),
+        |p1 AS (SELECT o_custkey, status FROM (
+        |         SELECT o_custkey, status, ROW_NUMBER() OVER (
+        |           PARTITION BY o_custkey ORDER BY r DESC, t DESC) AS rn
+        |         FROM src WHERE status IS NOT NULL) WHERE rn = 1),
+        |p2 AS (SELECT o_custkey, priority FROM (
+        |         SELECT o_custkey, priority, ROW_NUMBER() OVER (
+        |           PARTITION BY o_custkey ORDER BY r DESC, t DESC) AS rn
+        |         FROM src WHERE priority IS NOT NULL) WHERE rn = 1),
+        |p3 AS (SELECT o_custkey, price FROM (
+        |         SELECT o_custkey, price, ROW_NUMBER() OVER (
+        |           PARTITION BY o_custkey ORDER BY r DESC, t DESC) AS rn
+        |         FROM src WHERE price IS NOT NULL) WHERE rn = 1)
+        |SELECT b.o_custkey, p1.status, p2.priority, p3.price,
+        |  b.n_records, b.last_seen
+        |FROM base b
+        |LEFT JOIN p1 USING (o_custkey)
+        |LEFT JOIN p2 USING (o_custkey)
+        |LEFT JOIN p3 USING (o_custkey)""".stripMargin) { (s, dir) =>
+      val src = Tables(s, dir, "orders").select(
+        col("o_custkey"),
+        col("o_orderdate").as("r"), col("o_orderkey").as("t"),
+        expr("nullif(o_orderstatus, 'O')").as("status"),
+        expr("nullif(o_orderpriority, '1-URGENT')").as("priority"),
+        col("o_totalprice").as("price"))
+      EntityResolution.goldenRecord(src, "o_custkey", "r", "t",
+        Seq("status", "priority", "price"))
     },
 
     // ----- cross-source contamination matrix -----------------------------

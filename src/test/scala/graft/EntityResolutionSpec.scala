@@ -36,4 +36,21 @@ class EntityResolutionSpec extends SparkSpec {
     assert(labels(1L) == labels(2L) && labels(2L) == labels(3L))
     assert(!labels.contains(4L) || labels(4L) != labels(1L))
   }
+
+  test("goldenRecord: per-field most-recent-non-null, ties to the record id") {
+    import spark.implicits._
+    val recs = Seq(
+      // entity 1: f1 survives from (r=2,t=3); f2 from the OLDER r=2,t=2
+      (1L, 1L, 1L, Option("a"), Option.empty[String]),
+      (1L, 2L, 2L, Option.empty[String], Option("x")),
+      (1L, 2L, 3L, Option("b"), Option.empty[String]),
+      // entity 2: f2 never set - must survive as NULL, not vanish
+      (2L, 5L, 4L, Option("z"), Option.empty[String])
+    ).toDF("e", "r", "t", "f1", "f2").repartition(3)
+    val g = EntityResolution.goldenRecord(recs, "e", "r", "t", Seq("f1", "f2"))
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(1), x.getString(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(g(1L) == (("b", "x", 3L, 2L)), s"got ${g(1L)}")
+    assert(g(2L) == (("z", null, 1L, 5L)), s"got ${g(2L)}")
+  }
 }

@@ -479,4 +479,30 @@ class PlanChecksSpec extends SparkSpec {
         s"  allowed: ${SinglePartitionWindowSites.toSeq.sorted.mkString(", ")}\n" +
         "New sites need a proven bound; removed sites should leave the allowlist.")
   }
+
+  test("round-15 gates stay scale-shaped: no BNLJ or cartesian anywhere; " +
+      "the k-anonymity ladder and golden record aggregate without windows") {
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("qq03_k_anonymity", "qq04_l_diversity",
+        "qd18_source_overlap", "qe01_golden_record", "qt29_unigram_encode")) {
+      val all = collectAll(executed(q(name)))
+      // the unigram log-prob normalizer is a condition-free 1-row
+      // scalar broadcast (the qg01 N/dangling-mass pattern) — a
+      // CONDITIONAL nested-loop would mean a join fell off its keys
+      assert(!all.exists {
+        case b: BroadcastNestedLoopJoinExec => b.condition.nonEmpty
+        case _ => false
+      }, s"$name compiled to a conditional broadcast nested-loop join")
+      assert(!all.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name compiled to a cartesian product")
+    }
+    // both are pure aggregate ladders: a WindowExec would mean a
+    // per-partition sort crept into what must stay a partial agg
+    for (name <- Seq("qq03_k_anonymity", "qe01_golden_record")) {
+      val all = collectAll(executed(q(name)))
+      assert(!all.exists(_.isInstanceOf[WindowExec]),
+        s"$name must aggregate, never window-sort")
+    }
+  }
 }
