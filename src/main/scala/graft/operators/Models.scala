@@ -109,4 +109,25 @@ object Models {
       s"linear model at $path has gaps in dimensions")
     Classifier.LinearModel(rows.map(_._2))
   }
+
+  /** Unigram-LM piece table as one row per (piece, count). The counts
+    * are exact integers, so the loaded model reproduces the trained
+    * one bit-for-bit — [[UnigramLm.encode]] from a loaded vocabulary
+    * is IDENTICAL to encoding from the trained frame (ModelsSpec), the
+    * property that makes per-batch streaming encodes comparable across
+    * restarts. Stays a DataFrame on both sides: the piece table is the
+    * one model here that may outgrow the driver (100k–1M pieces at
+    * web-corpus scale), and nothing in train/encode ever collects it.
+    */
+  def saveVocab(spark: SparkSession, vocab: org.apache.spark.sql.DataFrame,
+                path: String): Unit =
+    vocab.select("piece", "cnt")
+      .repartition(1) // vocab-scale artifact: |pieces| rows
+      .write.mode("overwrite").parquet(path)
+
+  def loadVocab(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    val v = spark.read.parquet(path).select("piece", "cnt")
+    require(!v.isEmpty, s"no unigram vocabulary at $path")
+    v
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Classifier, Ivf, Models, Pq, Similarity, TextAnalysis}
+import graft.operators.{Classifier, Ivf, Models, Pq, Similarity, TextAnalysis, UnigramLm}
 
 /** Model artifacts must round-trip EXACTLY: a loaded model has to
   * produce identical codes and identical search results to the trained
@@ -86,5 +86,23 @@ class ModelsSpec extends SparkSpec {
       Models.loadLinear(spark, s"$dir/lin2")
     }
     assert(ex.getMessage.contains("gaps"))
+  }
+
+  test("unigram vocabulary round-trips; a loaded model encodes bit-identically") {
+    val docs = Tables(spark, sfDir, "documents")
+    val vocab = UnigramLm.train(docs, "text")
+    val path = s"/tmp/graft_models_vocab_${ProcessHandle.current().pid()}"
+    Models.saveVocab(spark, vocab, path)
+    val loaded = Models.loadVocab(spark, path)
+    val a = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = loaded.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "piece counts must survive the registry round trip")
+    val ea = UnigramLm.encode(docs, "doc_id", "text", vocab)
+      .select("doc_id", "pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val eb = UnigramLm.encode(docs, "doc_id", "text", loaded)
+      .select("doc_id", "pieces").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(ea == eb, "loaded vocabulary must encode identically")
   }
 }
