@@ -14,6 +14,25 @@ import graft.operators.{Curation, Dedup, EntityResolution, UnigramLm}
   */
 object Round15 {
 
+  /** qt30's trained-and-persisted unigram vocabulary per sf dir —
+    * trained ONCE per JVM (the clsModelPath discipline: the serve
+    * gate's operator is the SERVE, so bench passes 2..n time the
+    * stream encode, not the one-time train).
+    */
+  private val ugVocabDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ugVocabPath(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    ugVocabDirs.computeIfAbsent(dir, { d =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qt30_vocab").toString
+      val vocab = graft.operators.UnigramLm.train(Tables(s, d, "documents"),
+        "text")
+      graft.operators.Models.saveVocab(s, vocab, s"$out/vocab")
+      s"$out/vocab"
+    })
+
   def all: Seq[Q] = Seq(
 
     // ----- k-anonymity suppression ladder (privacy release gate) --------
@@ -191,6 +210,43 @@ object Round15 {
       val docs = Tables(s, dir, "documents")
       val vocab = UnigramLm.train(docs, "text")
       val enc = UnigramLm.encode(docs, "doc_id", "text", vocab)
+      docs.select(col("doc_id"), expr(Text.wordsExpr("text")).as("__ws"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (concat_ws("", coalesce(col("pieces"),
+            array().cast("array<string>"))) ===
+            concat_ws("", col("__ws"))).cast("long").as("roundtrip_ok"),
+          (coalesce(col("n_pieces"), lit(0L)) >=
+            size(col("__ws")).cast("long") &&
+            coalesce(col("n_pieces"), lit(0L)) <=
+              aggregate(transform(col("__ws"), w => length(w)),
+                lit(0L), (a, x) => a + x))
+            .cast("long").as("bounds_ok"))
+    },
+
+    // ----- streaming tokenizer serving -----------------------------------
+    // The deploy shape of qt29 (the qt28 discipline applied to the
+    // tokenizer): the SAME persisted vocabulary encodes the corpus
+    // arriving as two micro-batches (streaming.EncodeIngest, per-batch
+    // overwrite idempotency), and the served pieces satisfy the
+    // IDENTICAL per-document invariants — oracle text shared with
+    // qt29 verbatim. Stream-vs-batch bit-identity of the pieces
+    // themselves is EncodeIngestSpec's lock.
+    Q("qt30_stream_encoded",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val vp = ugVocabPath(s, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_qt30_pieces").toString
+      val docs = Tables(s, dir, "documents")
+      graft.streaming.EncodeIngest.applyBatch(s,
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", vp, out, 0L)
+      graft.streaming.EncodeIngest.applyBatch(s,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", vp, out, 1L)
+      val enc = graft.streaming.EncodeIngest.serve(s, out)
+        .select("doc_id", "pieces", "n_pieces")
       docs.select(col("doc_id"), expr(Text.wordsExpr("text")).as("__ws"))
         .join(enc, Seq("doc_id"), "left")
         .select(
