@@ -174,7 +174,6 @@ object Retrieval {
   def bm25PerQueryTopK(docs: DataFrame, idCol: String, textCol: String,
                        queries: DataFrame, kArm: Int = 20): DataFrame = {
     val t = tokenized(docs, idCol, textCol)
-    val tf = termFreqs(t)
 
     // Query vocabulary: distinct (qid, word) of the query frame.
     // Materialized once (localCheckpoint): it is QUERY-sized state —
@@ -186,36 +185,41 @@ object Retrieval {
       .select(col("did").as("qid"), explode(col("__ws")).as("word"))
       .distinct()
       .localCheckpoint()
-    val qvocab = qw.select("word").distinct()
-
-    // Posting lists pruned to the query vocabulary (broadcast
-    // semi-join), df over the pruned-but-complete lists, per-(query,
-    // doc) exact-sum BM25, rank, truncate.
-    //
-    // The BM25 contribution of a (word, doc) posting does NOT depend on
-    // which query asked, so the whole scoring chain — including the
-    // per-addend decimal cast that makes the sum order-free — runs ONCE
-    // per posting, BEFORE the query fan-out. The (query × posting) join
-    // then moves precomputed decimals only; with q queries sharing a
-    // term this is a q-fold reduction in scoring work (measured 2x+ on
-    // the gate corpus, and the factor grows with query volume). Summing
-    // the pre-cast addends is bit-identical to Exact.dsum on the fanned
-    // rows: the cast is per-addend in both shapes and decimal addition
-    // is associative.
-    val contrib = withDf(tf.join(broadcast(qvocab), Seq("word")))
-      .crossJoin(corpusStats(t))
-      .select(col("word"), col("did"), bm25Term.cast(Exact.Dec).as("c"))
-    val lexScored = contrib
-      .join(broadcast(qw), Seq("word"))
-      .filter(col("did") =!= col("qid"))
-      .groupBy("qid", "did")
-      .agg(sum(col("c")).cast(DoubleType).as("lex"))
-    lexScored
+    perQueryScores(termFreqs(t), corpusStats(t), qw, "lex")
       .withColumn("rl", row_number().over(
         Window.partitionBy("qid").orderBy(col("lex").desc, col("did")))
         .cast(LongType))
       .filter(col("rl") <= kArm)
       .select(col("qid"), col("did"), col("rl"))
+  }
+
+  /** Per-(query, doc) exact-sum BM25 over an explicit term frame —
+    * the shared scoring core of [[bm25PerQueryTopK]] and
+    * [[rm3ExpandedTopK]]'s two passes.
+    *
+    * `termSets` is (qid, word) WITH multiplicity (a duplicated row
+    * weights its term ×2 as a pure row-count effect). Posting lists
+    * prune to the term vocabulary (broadcast semi-join), df rides the
+    * pruned-but-complete lists, and the whole scoring chain —
+    * including the per-addend decimal cast that makes the sum
+    * order-free — runs ONCE per posting, BEFORE the query fan-out.
+    * The (query × posting) join then moves precomputed decimals only;
+    * with q queries sharing a term this is a q-fold reduction in
+    * scoring work (measured 2x+ on the gate corpus, and the factor
+    * grows with query volume). Summing the pre-cast addends is
+    * bit-identical to Exact.dsum on the fanned rows: the cast is
+    * per-addend in both shapes and decimal addition is associative.
+    */
+  private def perQueryScores(tf: DataFrame, stats: DataFrame,
+                             termSets: DataFrame, scoreName: String): DataFrame = {
+    val tvocab = termSets.select("word").distinct()
+    withDf(tf.join(broadcast(tvocab), Seq("word")))
+      .crossJoin(stats)
+      .select(col("word"), col("did"), bm25Term.cast(Exact.Dec).as("c"))
+      .join(broadcast(termSets), Seq("word"))
+      .filter(col("did") =!= col("qid"))
+      .groupBy("qid", "did")
+      .agg(sum(col("c")).cast(DoubleType).as(scoreName))
   }
 
   /** Hybrid retrieval with reciprocal-rank fusion: each query retrieves
@@ -265,6 +269,73 @@ object Retrieval {
     * the full-outer join and the per-query window move query-bounded
     * state only — the corpus never appears here.
     */
+  /** RM3-style pseudo-relevance-feedback query expansion: retrieve a
+    * first-pass top-`fbDocs` per query ([[bm25PerQueryTopK]]), mine
+    * the `fbTerms` most frequent NEW terms from those feedback
+    * documents (total tf, original query terms excluded), then rescore
+    * with the expanded term set — original terms at weight 2,
+    * expansion terms at weight 1 (the λ = 2/3 interpolation stated in
+    * INTEGERS).
+    *
+    * Cross-engine exactness: weights are applied as ROW MULTIPLICITY
+    * (the original term set unions in twice), so the score stays a
+    * pure decimal SUM of per-posting contributions — no decimal ×
+    * integer multiply whose precision/scale rules the two engines
+    * could disagree on. Expansion term selection orders by
+    * (total tf desc, word) — all integers, total order.
+    *
+    * BOUNDED-QUERY CONTRACT (see [[bm25PerQueryTopK]]): queries is an
+    * explicit fixed-size frame; every per-query structure here — the
+    * feedback join, the expansion window, the rescore fan-out — is
+    * sized by |queries| × (fbDocs + kArm), never by the corpus. The
+    * second pass reuses the score-once-before-fan-out shape: posting
+    * contributions are computed and decimal-cast per (word, doc) and
+    * only then meet the (query, word) side.
+    *
+    * Output: (qid, did, rm3, rr), rr 1..k per query, self excluded.
+    */
+  def rm3ExpandedTopK(docs: DataFrame, idCol: String, textCol: String,
+                      queries: DataFrame, fbDocs: Int = 5,
+                      fbTerms: Int = 3, k: Int = 10,
+                      firstPass: Option[DataFrame] = None): DataFrame = {
+    val t = tokenized(docs, idCol, textCol)
+    // BOTH passes read the posting table and the df/scoring chain
+    // reads it twice more inside withDf — build the index ONCE
+    // (localCheckpoint; exactly what IndexIngest persists as standing
+    // state) instead of re-tokenizing the corpus per reference.
+    val tf = termFreqs(t).localCheckpoint()
+    val stats = corpusStats(t).localCheckpoint()
+    val qw = tokenized(queries, idCol, textCol)
+      .select(col("did").as("qid"), explode(col("__ws")).as("word"))
+      .distinct().localCheckpoint()
+    // `firstPass`: a standing (qid, did, rl) BM25 arm to reuse —
+    // production retrieval stacks maintain this ranking anyway (it is
+    // qs17/qs19/qs20's shared arm), and any rl <= fbDocs prefix of a
+    // wider arm is EXACTLY the fbDocs-arm by the prefix property of
+    // rank truncation (RetrievalSpec locks provided == self-computed).
+    // Absent, the arm is computed here from the same posting table.
+    val fb = firstPass.getOrElse(
+        perQueryScores(tf, stats, qw, "lex")
+          .withColumn("rl", row_number().over(
+            Window.partitionBy("qid").orderBy(col("lex").desc, col("did")))))
+      .filter(col("rl") <= fbDocs)
+      .select("qid", "did")
+    val ftf = fb.join(tf.select("did", "word", "tf"), Seq("did"))
+      .join(qw, Seq("qid", "word"), "left_anti")
+      .groupBy("qid", "word").agg(sum(col("tf")).as("ftf"))
+    val expq = ftf.withColumn("re", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ftf").desc, col("word"))))
+      .filter(col("re") <= fbTerms).select("qid", "word")
+    // weight-as-multiplicity: originals twice, expansions once
+    val terms = qw.unionByName(qw).unionByName(expq).localCheckpoint()
+    perQueryScores(tf, stats, terms, "rm3")
+      .withColumn("rr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rm3").desc, col("did")))
+        .cast(LongType))
+      .filter(col("rr") <= k)
+      .select(col("qid"), col("did"), col("rm3"), col("rr"))
+  }
+
   def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 10,
               rrfK: Int = 60): DataFrame = {
     val fused = lex.join(sem,

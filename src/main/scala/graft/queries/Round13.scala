@@ -251,6 +251,42 @@ object Round13 {
     s"WITH ${(base +: steps).mkString(",\n")}\n$unions"
   }
 
+  /** qt31's oracle: the full RM3 replay — first-pass arm (lexArmSql at
+    * kArm = fbDocs), expansion term mining (total tf over the feedback
+    * docs, query terms anti-joined away, top-fbTerms by (tf desc,
+    * word)), then the weighted rescore with weights as ROW
+    * MULTIPLICITY (qw unions in twice — matching the operator, so the
+    * score stays a pure decimal sum in both engines).
+    */
+  private def rm3OracleSql(fbDocs: Int, fbTerms: Int, k: Int) =
+    s"""WITH $bm25Prelude,
+       |${lexArmSql(fbDocs)},
+       |ftf AS (SELECT fb.qid, tf.word, SUM(tf.tf) AS ftf
+       |        FROM (SELECT qid, did FROM lt) fb
+       |        JOIN tf USING (did)
+       |        LEFT JOIN qw q2 ON q2.qid = fb.qid AND q2.word = tf.word
+       |        WHERE q2.word IS NULL
+       |        GROUP BY fb.qid, tf.word),
+       |expq AS (SELECT qid, word FROM (
+       |          SELECT qid, word, ROW_NUMBER() OVER (PARTITION BY qid
+       |            ORDER BY ftf DESC, word) AS re FROM ftf)
+       |         WHERE re <= $fbTerms),
+       |terms AS (SELECT qid, word FROM qw UNION ALL
+       |          SELECT qid, word FROM qw UNION ALL
+       |          SELECT qid, word FROM expq),
+       |tv AS (SELECT DISTINCT word FROM terms),
+       |tf2 AS (SELECT tf.* FROM tf JOIN tv USING (word)),
+       |tfd2 AS (SELECT *, COUNT(*) OVER (PARTITION BY word) AS df FROM tf2),
+       |sc2 AS (SELECT t.qid, tfd2.did, $bm25ScoreSql AS score
+       |        FROM tfd2 JOIN terms t USING (word), s
+       |        WHERE tfd2.did <> t.qid),
+       |rm AS (SELECT qid, did, ${Exact.dsumSql("score")} AS rm3
+       |       FROM sc2 GROUP BY qid, did),
+       |rmr AS (SELECT qid, did, rm3, ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY rm3 DESC, did) AS rr FROM rm)
+       |SELECT qid, did, rm3, CAST(rr AS BIGINT) AS rr
+       |FROM rmr WHERE rr <= $k""".stripMargin
+
   /** qs19's per-query metrics: system = lexical arm top-20, truth =
     * exact cosine top-10. Factored so qs20's rollup wraps it verbatim.
     */
@@ -296,6 +332,25 @@ object Round13 {
         out
       })
       graft.streaming.IndexIngest.bm25(s, path, Bm25Terms, k = 10)
+    },
+
+    // ----- RM3 pseudo-relevance-feedback expansion ------------------------
+    // The classic fix for vocabulary mismatch: queries whose literal
+    // terms miss relevant documents recover them through terms mined
+    // from the first-pass top-5. The oracle replays ALL of it — arm,
+    // mining, anti-join, weighted rescore — so the gate is an exact
+    // hash compare, not an invariant check; weights ride as row
+    // multiplicity to keep the score a pure decimal sum cross-engine.
+    Q("qt31_rm3_expansion", rm3OracleSql(fbDocs = 5, fbTerms = 3, k = 10)) {
+      (s, dir) =>
+        // first pass = the memoized shared arm (qs17/qs19/qs20's),
+        // truncated to fbDocs by the rank-prefix property — the gate
+        // times the expansion + rescore, not a third rebuild of the
+        // identical arm (the r13 memoization discipline)
+        Retrieval.rm3ExpandedTopK(Tables(s, dir, "documents"),
+          "doc_id", "text", queryDocsOf(s, dir),
+          fbDocs = 5, fbTerms = 3, k = 10,
+          firstPass = Some(lexArm20(s, dir)))
     },
 
     // ----- hybrid retrieval: BM25 arm + cosine arm, RRF fusion -----------

@@ -188,4 +188,44 @@ class RetrievalSpec extends SparkSpec {
       (2L, 1L, 0L, 0.0, 0.0),
       (3L, 2L, 1L, 0.5, 1.0)))
   }
+
+  test("rm3 expansion recovers documents the literal query terms miss") {
+    import spark.implicits._
+    val docs = Seq(
+      (100L, "alpha"),                 // the query doc
+      (1L, "alpha beta beta"),         // feedback doc: matches alpha
+      (2L, "beta beta beta"),          // no alpha - only reachable via expansion
+      (3L, "gamma delta")              // unrelated
+    ).toDF("doc_id", "text").repartition(2)
+    val queries = docs.filter(col("doc_id") === 100L)
+    val plain = Retrieval.bm25PerQueryTopK(docs, "doc_id", "text",
+      queries, kArm = 10).select("did").as[Long].collect().toSet
+    assert(plain == Set(1L), s"literal query reaches only doc 1, got $plain")
+    val rm3 = Retrieval.rm3ExpandedTopK(docs, "doc_id", "text", queries,
+      fbDocs = 1, fbTerms = 1, k = 10)
+    val got = rm3.select("did").as[Long].collect().toSet
+    assert(got.contains(2L), s"expansion via 'beta' must recover doc 2: $got")
+    assert(!got.contains(100L), "self is excluded")
+    assert(!got.contains(3L), "unrelated doc stays unreachable")
+    // original terms outweigh expansion terms (weight 2:1): the doc
+    // holding the literal query term still ranks first
+    val top = rm3.orderBy("rr").select("did").as[Long].head()
+    assert(top == 1L, s"doc with the original term must lead, got $top")
+    // determinism across partitionings
+    val again = Retrieval.rm3ExpandedTopK(docs.repartition(5), "doc_id",
+      "text", queries, fbDocs = 1, fbTerms = 1, k = 10)
+      .select("did", "rr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = rm3.select("did", "rr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first, "rankings must not depend on partitioning")
+    // a provided standing arm (any rank-prefix superset) must yield
+    // the IDENTICAL expansion — the qt31 gate reuses the shared
+    // memoized arm under exactly this equivalence
+    val arm = Retrieval.bm25PerQueryTopK(docs, "doc_id", "text",
+      queries, kArm = 10)
+    val viaArm = Retrieval.rm3ExpandedTopK(docs, "doc_id", "text", queries,
+      fbDocs = 1, fbTerms = 1, k = 10, firstPass = Some(arm))
+      .select("did", "rr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArm == first, "provided first pass must not change the result")
+  }
 }
