@@ -225,6 +225,62 @@ object Round15 {
             .cast("long").as("bounds_ok"))
     },
 
+    // ----- tokenizer release composition ----------------------------------
+    // The end-to-end "ship a tokenized training corpus" pipeline:
+    // quality-filter (qt02's heuristic — kept ⇔ >= 20 words, the
+    // bucket rule's exact low-boundary), pack survivors into
+    // per-source 512-token shards (qc02's running-sum discipline),
+    // and encode every kept document with the PERSISTED unigram
+    // vocabulary (qt30's registry artifact). The per-shard rollup is
+    // exact where SQL can follow (doc counts, token sums, the
+    // filter+pack replay) and invariant-flagged where the model is
+    // learned (piece totals bounded by [words, chars] — any encoder
+    // or join regression zeroes the flag and breaks the hash).
+    Q("qp12_tokenizer_release", {
+      val wSrc = s"SELECT doc_id, ${Text.wordsSql("text")} AS ws FROM documents"
+      s"""WITH w AS ($wSrc),
+         |t AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS tokens
+         |      FROM w WHERE len(ws) >= 20),
+         |j AS (SELECT d.doc_id, d.source, t.tokens
+         |      FROM documents d JOIN t USING (doc_id)),
+         |c AS (SELECT doc_id, source, tokens,
+         |  CAST(COALESCE(SUM(tokens) OVER (PARTITION BY source
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cb
+         |  FROM j),
+         |p AS (SELECT doc_id, source, tokens,
+         |        CAST(cb // 512 AS BIGINT) AS shard FROM c)
+         |SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS ws_tokens,
+         |  CAST(1 AS BIGINT) AS pieces_ok
+         |FROM p GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val kept = docs
+        .join(graft.operators.TextAnalysis
+          .qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_bucket")), Seq("doc_id"))
+        .filter(col("quality_bucket") =!= "low")
+        .withColumn("tokens", size(expr(Text.wordsExpr("text"))).cast("long"))
+      val packed = Curation.packByBudget(kept, "doc_id", "tokens", "source",
+        budget = 512L)
+      val vocab = graft.operators.Models.loadVocab(s, ugVocabPath(s, dir))
+      val enc = UnigramLm.encode(kept, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_pieces"))
+      val chars = docs.select(col("doc_id"),
+        aggregate(transform(expr(Text.wordsExpr("text")), w => length(w)),
+          lit(0L), (a, x) => a + x).as("chars"))
+      packed.join(enc, Seq("doc_id"))
+        .join(chars, Seq("doc_id"))
+        .groupBy(col("source"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("ws_tokens"),
+          (sum(col("n_pieces")) >= sum(col("tokens")) &&
+            sum(col("n_pieces")) <= sum(col("chars")))
+            .cast("long").as("pieces_ok"))
+    },
+
     // ----- streaming tokenizer serving -----------------------------------
     // The deploy shape of qt29 (the qt28 discipline applied to the
     // tokenizer): the SAME persisted vocabulary encodes the corpus
