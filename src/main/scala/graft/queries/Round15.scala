@@ -225,6 +225,56 @@ object Round15 {
             .cast("long").as("bounds_ok"))
     },
 
+    // ----- sketch-algebra set intersection ---------------------------------
+    // q54 proved the persisted-sketch UNION answers any date range
+    // without a rescan; this is the other half of the algebra: the
+    // OVERLAP of two audiences from the same per-segment sketches via
+    // inclusion-exclusion (est A + est B − est A∪B, the union being a
+    // register-wise sketch merge — no raw data touched). At 100 TB
+    // the per-segment sketches are KBs and any pairwise overlap
+    // matrix costs |segments|² merges, not a corpus self-join. The
+    // verdict bands the estimate against 10% of the exact UNION size
+    // (inclusion-exclusion error scales with the union, not the
+    // intersection); the exact arm rides the same gate row, so the
+    // oracle pins both the true intersection and the verdict.
+    Q("qa12_sketch_intersect",
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+        |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |        COUNT(*) AS inter
+        |      FROM d x JOIN d y ON x.user_id = y.user_id
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2),
+        |t AS (SELECT DISTINCT event_type FROM d)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS exact_intersect,
+        |  TRUE AS within_band
+        |FROM t a JOIN t b ON a.event_type < b.event_type
+        |LEFT JOIN i ON i.type_a = a.event_type
+        |  AND i.type_b = b.event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events").createOrReplaceTempView("graft_qa12_events")
+      s.sql(
+        """WITH d AS (SELECT DISTINCT event_type, user_id
+          |           FROM graft_qa12_events),
+          |sk AS (SELECT event_type, hll_sketch_agg(user_id) AS sk,
+          |         COUNT(*) AS n FROM d GROUP BY 1),
+          |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          |        hll_sketch_estimate(a.sk) + hll_sketch_estimate(b.sk)
+          |          - hll_sketch_estimate(hll_union(a.sk, b.sk)) AS est,
+          |        a.n AS na, b.n AS nb
+          |      FROM sk a JOIN sk b ON a.event_type < b.event_type),
+          |i AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+          |        COUNT(*) AS inter
+          |      FROM d x JOIN d y ON x.user_id = y.user_id
+          |        AND x.event_type < y.event_type
+          |      GROUP BY 1, 2)
+          |SELECT p.type_a, p.type_b,
+          |  CAST(COALESCE(i.inter, 0) AS BIGINT) AS exact_intersect,
+          |  (abs(p.est - COALESCE(i.inter, 0)) <=
+          |    0.10 * (p.na + p.nb - COALESCE(i.inter, 0))) AS within_band
+          |FROM p LEFT JOIN i ON p.type_a = i.type_a
+          |  AND p.type_b = i.type_b""".stripMargin)
+    },
+
     // ----- tokenizer release composition ----------------------------------
     // The end-to-end "ship a tokenized training corpus" pipeline:
     // quality-filter (qt02's heuristic — kept ⇔ >= 20 words, the
