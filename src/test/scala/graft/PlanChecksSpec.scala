@@ -485,7 +485,8 @@ class PlanChecksSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     import org.apache.spark.sql.execution.window.WindowExec
     for (name <- Seq("qq03_k_anonymity", "qq04_l_diversity",
-        "qd18_source_overlap", "qe01_golden_record", "qt29_unigram_encode")) {
+        "qd18_source_overlap", "qe01_golden_record", "qt29_unigram_encode",
+        "qt31_rm3_expansion", "qp12_tokenizer_release")) {
       val all = collectAll(executed(q(name)))
       // the unigram log-prob normalizer is a condition-free 1-row
       // scalar broadcast (the qg01 N/dangling-mass pattern) — a
