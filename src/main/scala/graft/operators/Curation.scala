@@ -734,6 +734,90 @@ object Curation {
     parts.result().reduce(_.unionByName(_))
   }
 
+  /** [[kAnonymize]] with per-column GENERALIZATION HIERARCHIES — the
+    * release policy real privacy reviews apply: a quasi-identifier
+    * steps through typed coarsenings (value → bucket → region → "*")
+    * instead of jumping straight to full suppression, so published
+    * rows keep as much utility as k allows.
+    *
+    * `quasi` maps each quasi column to its ladder of generalization
+    * expressions, FINEST FIRST: level 0 is the identity (applied as a
+    * string cast), the given functions follow in order, and the
+    * terminal all-"*" level is appended implicitly. The global ladder
+    * generalizes RIGHT-TO-LEFT (the [[kAnonymize]] order — coarsest
+    * column last in `quasi`): each global level advances the rightmost
+    * column that still has a coarser step, one step at a time, until
+    * every column reads "*"; a row publishes at the FIRST level whose
+    * published tuple is shared by ≥ k rows still unpublished (the
+    * residual discipline, counted level by level exactly as there —
+    * qq05 replays the full ladder in the oracle).
+    *
+    * With every hierarchy empty this IS [[kAnonymize]] (each column's
+    * only coarser step is "*").
+    *
+    * Scale shape: identical to [[kAnonymize]] — levels × (one
+    * partial-agg tuple count on a shrinking residual + one equi-join
+    * back), no windows over data, no collect; the level count is
+    * Σ(hierarchy lengths + 1), a constant of the policy, not the data.
+    */
+  def kAnonymizeHierarchical(df: DataFrame,
+                             quasi: Seq[(String, Seq[Column => Column])],
+                             k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val names = quasi.map(_._1)
+    val keep = df.columns.filterNot(names.contains).map(col).toSeq
+    // per-column rungs, finest first: identity, then the hierarchy,
+    // then "*" — rung r of column c as a published string Column
+    def rung(c: String, steps: Seq[Column => Column], r: Int): Column =
+      if (r == 0) col(c).cast("string")
+      else if (r <= steps.size) steps(r - 1)(col(c)).cast("string")
+      else lit("*")
+    val rungs = quasi.map { case (_, steps) => steps.size + 1 } // coarser steps per col
+    // global level l -> per-column rung indices: advance right-to-left
+    val perLevel: Seq[Seq[Int]] = {
+      val levels = Seq.newBuilder[Seq[Int]]
+      var cur = Seq.fill(quasi.size)(0)
+      levels += cur
+      var advancing = true
+      while (advancing) {
+        // rightmost column not yet at its terminal rung
+        val idx = cur.zip(rungs).lastIndexWhere { case (r, m) => r < m }
+        if (idx < 0) advancing = false
+        else {
+          cur = cur.updated(idx, cur(idx) + 1)
+          levels += cur
+        }
+      }
+      levels.result()
+    }
+    def published(l: Int): Seq[Column] =
+      quasi.zip(perLevel(l)).map { case ((c, steps), r) =>
+        rung(c, steps, r).as(c)
+      }
+    var rest = df
+    val parts = Seq.newBuilder[DataFrame]
+    val last = perLevel.size - 1
+    for (level <- 0 to last) {
+      val keyed = rest.withColumn("__anon", struct(published(level): _*))
+      if (level == last) {
+        parts += keyed.select(
+          keep ++ names.map(c => col(s"__anon.$c").as(c)) :+
+            lit(level).as("anon_level"): _*)
+      } else {
+        val counts = keyed.groupBy(col("__anon"))
+          .agg(count(lit(1)).as("__cnt"))
+        val joined = keyed.join(counts, Seq("__anon"))
+        parts += joined.filter(col("__cnt") >= k).select(
+          keep ++ names.map(c => col(s"__anon.$c").as(c)) :+
+            lit(level).as("anon_level"): _*)
+        rest = joined.filter(col("__cnt") < k)
+          .select(rest.columns.map(col).toIndexedSeq: _*)
+      }
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {
     val counts = votes.groupBy(col(idCol), col(labelCol))
       .agg(count(lit(1)).as("__n"))

@@ -472,6 +472,196 @@ object MediaFixtures {
     Files.write(Paths.get(videoFramesCsv), vfb.toString.getBytes)
   }
 
+  // ----- Motion-JPEG (Photo-JPEG) MP4 fixtures -------------------------
+
+  /** Bump when the MJPEG fixture content changes. */
+  val MjpegVersion = 1
+
+  val MjpegCount = 24
+
+  def mjpegDir: String = s"$root/mjpeg"
+
+  def mjpegFramesCsv: String = s"$mjpegDir/expected_mjpeg_frames.csv"
+
+  /** Generate (once) and return the MJPEG fixture dir: MP4 containers
+    * whose video track is QuickTime Photo-JPEG (`jpeg` fourcc) — every
+    * sample a complete baseline JPEG, encoded by the JDK's ImageIO
+    * writer. JPEG is LOSSY, so the per-frame sidecar sums are recorded
+    * from DECODING the exact bytes written (ImageIO both ways): the
+    * Spark side must run the same real bitstream decode to reproduce
+    * them, and generation-time vs decode-time determinism holds
+    * because both are the same pure-Java decoder on the same bytes.
+    */
+  def ensureMjpeg(): String = synchronized {
+    val marker = Paths.get(mjpegDir, "VERSION")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == MjpegVersion.toString
+    if (!fresh) {
+      generateMjpeg()
+      Files.write(marker, MjpegVersion.toString.getBytes)
+    }
+    mjpegDir
+  }
+
+  private def generateMjpeg(): Unit = {
+    Files.createDirectories(Paths.get(mjpegDir))
+    val vfb = new StringBuilder(
+      "media_id,frame_id,width,height,sum_r,sum_g,sum_b\n")
+    (1 to MjpegCount).foreach { id =>
+      val timescale = 600
+      val duration = 100L + id * 37L
+      val nFrames = 2 + id % 3
+      val w = 16 + (id % 5) * 8
+      val h = 16 + (id % 3) * 8
+      // LCG-noise RGB frames, JPEG-encoded with the default writer
+      val frames: Array[Array[Byte]] = Array.tabulate(nFrames) { fi =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var seed = (id * 1000L + fi) * 0x9E3779B97F4A7C15L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            seed = seed * 6364136223846793005L + 1442695040888963407L
+            img.setRGB(x, y, ((seed >>> 32) & 0xFFFFFF).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val baos = new ByteArrayOutputStream()
+        require(ImageIO.write(img, "jpg", baos), "no JPEG writer available")
+        baos.toByteArray
+      }
+      // sidecar sums from the decoded (lossy) round-trip
+      frames.zipWithIndex.foreach { case (jb, fi) =>
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(jb))
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        vfb.append(
+          s"$id,${fi + 1},${img.getWidth},${img.getHeight},$r,$g,$b\n")
+      }
+
+      val ftyp = box("ftyp",
+        "isom".getBytes("ISO-8859-1"),
+        java.nio.ByteBuffer.allocate(4).putInt(0x200).array(),
+        "isommp42".getBytes("ISO-8859-1"))
+      val mvhd = {
+        val bb = java.nio.ByteBuffer.allocate(100)
+        bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+        bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+        bb.putInt(timescale).putInt(duration.toInt)
+        bb.putInt(0x00010000).putShort(0x0100.toShort)
+        bb.put(new Array[Byte](10))
+        UnityMatrix.foreach(bb.putInt)
+        bb.put(new Array[Byte](24))
+        bb.putInt(2) // next_track_ID
+        box("mvhd", bb.array())
+      }
+      def jpegTrak(offsets: Seq[Long]): Array[Byte] = {
+        val tkhd = {
+          val bb = java.nio.ByteBuffer.allocate(84)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 7))
+          bb.putInt(0x30000000 + id).putInt(0x30000000 + id)
+          bb.putInt(1) // track_ID
+          bb.putInt(0)
+          bb.putInt(duration.toInt)
+          bb.put(new Array[Byte](8))
+          bb.putShort(0).putShort(0).putShort(0).putShort(0)
+          UnityMatrix.foreach(bb.putInt)
+          bb.putInt(640 << 16).putInt(360 << 16) // decoy size, as ever
+          box("tkhd", bb.array())
+        }
+        val sampleEntry = {
+          val bb = java.nio.ByteBuffer.allocate(78)
+          bb.put(new Array[Byte](6)).putShort(1)
+          bb.putShort(0).putShort(0)
+          bb.put(new Array[Byte](12))
+          bb.putShort(w.toShort).putShort(h.toShort) // CODED size
+          bb.putInt(0x00480000).putInt(0x00480000)
+          bb.putInt(0)
+          bb.putShort(1)
+          bb.put(new Array[Byte](32))
+          bb.putShort(24)
+          bb.putShort(-1)
+          bb.array()
+        }
+        val stsd = box("stsd",
+          Array[Byte](0, 0, 0, 0),
+          java.nio.ByteBuffer.allocate(4).putInt(1).array(),
+          box("jpeg", sampleEntry))
+        val stts = {
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putInt(0).putInt(1).putInt(nFrames).putInt(100)
+          box("stts", bb.array())
+        }
+        val stsc = {
+          val bb = java.nio.ByteBuffer.allocate(20)
+          bb.putInt(0).putInt(1).putInt(1).putInt(1).putInt(1)
+          box("stsc", bb.array())
+        }
+        val stsz = {
+          val bb = java.nio.ByteBuffer.allocate(12 + 4 * nFrames)
+          bb.putInt(0).putInt(0).putInt(nFrames) // varying JPEG sizes
+          frames.foreach(f => bb.putInt(f.length))
+          box("stsz", bb.array())
+        }
+        val stco = {
+          val bb = java.nio.ByteBuffer.allocate(8 + 4 * nFrames)
+          bb.putInt(0).putInt(nFrames)
+          offsets.foreach(o => bb.putInt(o.toInt))
+          box("stco", bb.array())
+        }
+        val mdhd = {
+          val bb = java.nio.ByteBuffer.allocate(24)
+          bb.put(0.toByte).put(Array[Byte](0, 0, 0))
+          bb.putInt(0).putInt(0)
+          bb.putInt(timescale).putInt(duration.toInt)
+          bb.putShort(0x55C4.toShort).putShort(0)
+          box("mdhd", bb.array())
+        }
+        val hdlr = box("hdlr",
+          new Array[Byte](8), "vide".getBytes("ISO-8859-1"),
+          new Array[Byte](13))
+        box("trak", tkhd, box("mdia", mdhd, hdlr,
+          box("minf", box("stbl", stsd, stts, stsc, stsz, stco))))
+      }
+      // trailing LCG noise after the frames, so a decoder that reads
+      // "the rest of mdat" instead of the sample table fails
+      val noise = {
+        val data = new Array[Byte](40 + (id * 29) % 200)
+        var seed = id * 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < data.length) {
+          seed = seed * 6364136223846793005L + 1442695040888963407L
+          data(i) = (seed >>> 32).toByte
+          i += 1
+        }
+        data
+      }
+      val mdatPayload = frames.flatten ++ noise
+      def assemble(offsets: Seq[Long]): Array[Byte] =
+        ftyp ++ box("free", new Array[Byte](8)) ++
+          box("moov", mvhd, jpegTrak(offsets)) ++
+          box("mdat", mdatPayload)
+      val probe = assemble(Seq.fill(nFrames)(0L))
+      val payloadStart = (probe.length - mdatPayload.length).toLong
+      val offs = frames.scanLeft(payloadStart)((o, f) => o + f.length)
+        .init.toSeq
+      val bytes = assemble(offs)
+      require(bytes.length == probe.length, "offset patch changed layout")
+      Files.write(Paths.get(mjpegDir, f"vid_$id%04d.mp4"), bytes)
+    }
+    Files.write(Paths.get(mjpegFramesCsv), vfb.toString.getBytes)
+  }
+
   // ----- WebDataset-style tar shards over the media fixtures -----------
 
   val TarVersion = 1

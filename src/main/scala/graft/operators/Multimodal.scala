@@ -661,17 +661,19 @@ object Multimodal {
                            height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
   /** REAL video FRAME decode for the uncompressed `raw ` codec
-    * (QuickTime RGB24 sample entries): walks trak → mdia →
-    * minf → stbl for a `vide` handler whose first sample entry is
-    * `raw `, reads the sample table — stsz (per-sample byte sizes) and
-    * stco (absolute file offsets of each sample's chunk, here one
-    * sample per chunk per stsc) — then slices each frame's RGB24
-    * payload out of mdat and sums the channels. This is the full
-    * container→sample→pixel path with zero native code; compressed
-    * codecs (avc1/hev1) still require native decoders and remain out
-    * of scope, exactly like a production pipeline that routes them to
-    * a codec farm while handling uncompressed intermediates inline.
-    * Returns one (frameIdx, w, h, sumR, sumG, sumB) per frame.
+    * (QuickTime RGB24 sample entries) AND the COMPRESSED Motion-JPEG
+    * `jpeg` codec (QuickTime Photo-JPEG, one complete baseline JPEG
+    * per sample, decoded pure-JVM via javax.imageio): walks trak →
+    * mdia → minf → stbl for a `vide` handler, reads the sample table —
+    * stsz (per-sample byte sizes) and stco (absolute file offsets of
+    * each sample's chunk, here one sample per chunk per stsc) — then
+    * slices each frame's payload out of mdat and sums the decoded
+    * channels. This is the full container→sample→pixel path with zero
+    * native code, now crossing a real compressed bitstream (qm14);
+    * inter-frame codecs (avc1/hev1) still require native decoders and
+    * remain out of scope, exactly like a production pipeline that
+    * routes them to a codec farm while handling intra-only formats
+    * inline. Returns one (frameIdx, w, h, sumR, sumG, sumB) per frame.
     */
   def decodeVideoFrames(bytes: Array[Byte]): Seq[(Long, Long, Long, Long, Long, Long)] = {
     def u32(off: Int): Long = beU32(bytes, off)
@@ -683,7 +685,7 @@ object Multimodal {
       case ("moov", ms, me) => walk(ms, me) {
         case ("trak", ts, te) =>
           var handler = ""
-          var isRaw = false
+          var codec = ""
           var w = 0L
           var h = 0L
           var sizes: Array[Int] = Array.empty
@@ -696,7 +698,7 @@ object Multimodal {
                 case ("stbl", bs, be) => walk(bs, be) {
                   case ("stsd", cs, _) =>
                     val entry = cs + 8
-                    isRaw = new String(bytes, entry + 4, 4, "ISO-8859-1") == "raw "
+                    codec = new String(bytes, entry + 4, 4, "ISO-8859-1")
                     w = u16(entry + 8 + 24); h = u16(entry + 8 + 26)
                   case ("stsz", cs, _) =>
                     val fixed = u32(cs + 4)
@@ -715,23 +717,51 @@ object Multimodal {
             }
             case _ => ()
           }
-          if (handler == "vide" && isRaw) {
+          if (handler == "vide" && (codec == "raw " || codec == "jpeg")) {
             require(sizes.length == offsets.length && sizes.nonEmpty,
-              "raw track without a complete sample table")
+              s"$codec track without a complete sample table")
             var fi = 0
             while (fi < sizes.length) {
               val o = offsets(fi).toInt
-              require(sizes(fi) == w * h * 3,
-                s"frame $fi size ${sizes(fi)} != ${w}x${h}x3")
-              var (r, g, b) = (0L, 0L, 0L)
-              var i = o
-              val endPx = o + sizes(fi)
-              while (i < endPx) {
-                r += bytes(i) & 0xff; g += bytes(i + 1) & 0xff
-                b += bytes(i + 2) & 0xff
-                i += 3
+              if (codec == "raw ") {
+                require(sizes(fi) == w * h * 3,
+                  s"frame $fi size ${sizes(fi)} != ${w}x${h}x3")
+                var (r, g, b) = (0L, 0L, 0L)
+                var i = o
+                val endPx = o + sizes(fi)
+                while (i < endPx) {
+                  r += bytes(i) & 0xff; g += bytes(i + 1) & 0xff
+                  b += bytes(i + 2) & 0xff
+                  i += 3
+                }
+                out += (((fi + 1).toLong, w, h, r, g, b))
+              } else {
+                // Motion-JPEG (QuickTime 'jpeg' Photo-JPEG): every
+                // sample is a complete baseline JPEG — decode it with
+                // the pure-Java ImageIO decoder (same decoder the
+                // fixture generator used for the sidecar sums, so the
+                // lossy round-trip is bit-deterministic). Width/height
+                // come from the DECODED image, not the stsd entry: a
+                // decoder that trusts the container instead of the
+                // bitstream fails the gate.
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, o, sizes(fi)))
+                require(img != null, s"frame $fi is not decodable JPEG")
+                var (r, g, b) = (0L, 0L, 0L)
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val px = img.getRGB(x, y)
+                    r += (px >> 16) & 0xff; g += (px >> 8) & 0xff
+                    b += px & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                out += (((fi + 1).toLong, img.getWidth.toLong,
+                  img.getHeight.toLong, r, g, b))
               }
-              out += (((fi + 1).toLong, w, h, r, g, b))
               fi += 1
             }
           }

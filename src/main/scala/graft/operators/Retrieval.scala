@@ -269,6 +269,27 @@ object Retrieval {
     * the full-outer join and the per-query window move query-bounded
     * state only — the corpus never appears here.
     */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 10,
+              rrfK: Int = 60): DataFrame = {
+    val fused = lex.join(sem,
+        lex("qid") === sem("sqid") && lex("did") === sem("sdid"), "full_outer")
+      .select(
+        coalesce(col("qid"), col("sqid")).as("query_id"),
+        coalesce(col("did"), col("sdid")).as("doc_id"),
+        coalesce(col("rl"), lit(0L)).as("rnk_lex"),
+        coalesce(col("rs"), lit(0L)).as("rnk_sem"),
+        (when(col("rl").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("rl")).cast(DoubleType)) +
+         when(col("rs").isNull, lit(0.0))
+          .otherwise(lit(1.0) / (lit(rrfK) + col("rs")).cast(DoubleType)))
+          .as("rrf"))
+    fused
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast(LongType))
+      .filter(col("rnk") <= k)
+  }
+
   /** RM3-style pseudo-relevance-feedback query expansion: retrieve a
     * first-pass top-`fbDocs` per query ([[bm25PerQueryTopK]]), mine
     * the `fbTerms` most frequent NEW terms from those feedback
@@ -334,27 +355,6 @@ object Retrieval {
         .cast(LongType))
       .filter(col("rr") <= k)
       .select(col("qid"), col("did"), col("rm3"), col("rr"))
-  }
-
-  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 10,
-              rrfK: Int = 60): DataFrame = {
-    val fused = lex.join(sem,
-        lex("qid") === sem("sqid") && lex("did") === sem("sdid"), "full_outer")
-      .select(
-        coalesce(col("qid"), col("sqid")).as("query_id"),
-        coalesce(col("did"), col("sdid")).as("doc_id"),
-        coalesce(col("rl"), lit(0L)).as("rnk_lex"),
-        coalesce(col("rs"), lit(0L)).as("rnk_sem"),
-        (when(col("rl").isNull, lit(0.0))
-          .otherwise(lit(1.0) / (lit(rrfK) + col("rl")).cast(DoubleType)) +
-         when(col("rs").isNull, lit(0.0))
-          .otherwise(lit(1.0) / (lit(rrfK) + col("rs")).cast(DoubleType)))
-          .as("rrf"))
-    fused
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
-        .cast(LongType))
-      .filter(col("rnk") <= k)
   }
 
   /** Offline ranking evaluation — the retriever-selection step of a

@@ -39,8 +39,26 @@ import graft.functions.Text
   * prune, so Viterbi always has a feasible path and encoding is
   * LOSSLESS — concatenating a word's pieces reproduces the word
   * (qt29's hash gate; the qt18 invariant-flag pattern).
+  *
+  * Out-of-vocabulary input (the frozen-vocab serving contract —
+  * [[graft.streaming.EncodeIngest]] encodes arbitrary FUTURE batches
+  * with a vocabulary trained on the reference corpus, where unseen
+  * characters are expected): any single character absent from the
+  * vocabulary still segments, as its own piece at [[OovLogProb]] — a
+  * floor score below every real path, so known pieces always win and
+  * OOV input degrades DETERMINISTICALLY to character pieces instead
+  * of silently dropping words (the SentencePiece unknown-piece role,
+  * realized as char-fallback so losslessness survives: the emitted
+  * pieces still concatenate back to the word).
   */
 object UnigramLm {
+
+  /** Log-prob floor for the single-character OOV fallback edge: far
+    * below any real piece's log(cnt/total) at any plausible vocabulary
+    * size, yet finite — score comparisons and the DP's tie-break order
+    * stay total.
+    */
+  val OovLogProb: Double = -1e6
 
   /** All (start, len, piece) substrings of a word with len ≤ maxLen —
     * O(len · maxLen) entries, generated row-locally.
@@ -110,7 +128,21 @@ object UnigramLm {
         explode(substrExpr(col("word"), maxPieceLen)).as("s"))
       .select(col("word"), col("freq"), col("s.start").as("start"),
         col("s.len").as("len"), col("s.piece").as("piece"))
-    val edges = cand.join(broadcast(scoredPieces(vocab)), Seq("piece"))
+    val scored = scoredPieces(vocab)
+    val matched = cand.join(broadcast(scored), Seq("piece"))
+    // OOV char-fallback (see the object doc): single characters the
+    // vocabulary does not know become their own edge at the OovLogProb
+    // floor. Zero rows when the vocab covers the input (the training
+    // path — trained vocabs seed every corpus character), so this
+    // cannot perturb any full-coverage segmentation; under a FROZEN
+    // vocab it keeps every position reachable, so unseen input
+    // degrades to deterministic character pieces instead of null-field
+    // garbage or silently dropped words.
+    val fallback = cand.filter(col("len") === 1)
+      .join(broadcast(scored.select(col("piece"))), Seq("piece"), "left_anti")
+      .withColumn("lp", lit(OovLogProb))
+      .select("piece", "word", "freq", "start", "len", "lp")
+    val edges = matched.unionByName(fallback)
       .groupBy(col("word"), col("freq"))
       .agg(collect_list(struct(col("start"), col("len"), col("lp"),
         col("piece"))).as("edges"))

@@ -22,11 +22,33 @@ object Round15 {
   private val ugVocabDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** qt30's encoded-pieces dir per sf dir — memoized like the vocab
+    * (applyBatch overwrites its own batch=N subdirs, so re-invocations
+    * re-encode in place instead of leaving a fresh orphan directory
+    * per bench/verify pass), and registered for JVM-exit cleanup.
+    */
+  private val ugPiecesDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Recursive delete at JVM exit for the temp dirs this suite creates
+    * (deleteOnExit only removes empty dirs, so a shutdown hook walks).
+    */
+  private def tempDirForCleanup(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(p.toFile)
+    }))
+    p.toString
+  }
+
   private def ugVocabPath(s: org.apache.spark.sql.SparkSession,
                           dir: String): String =
     ugVocabDirs.computeIfAbsent(dir, { d =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_qt30_vocab").toString
+      val out = tempDirForCleanup("graft_qt30_vocab")
       val vocab = graft.operators.UnigramLm.train(Tables(s, d, "documents"),
         "text")
       graft.operators.Models.saveVocab(s, vocab, s"$out/vocab")
@@ -344,8 +366,8 @@ object Round15 {
         |  CAST(1 AS BIGINT) AS bounds_ok
         |FROM documents""".stripMargin) { (s, dir) =>
       val vp = ugVocabPath(s, dir)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_qt30_pieces").toString
+      val out = ugPiecesDirs.computeIfAbsent(dir,
+        _ => tempDirForCleanup("graft_qt30_pieces"))
       val docs = Tables(s, dir, "documents")
       graft.streaming.EncodeIngest.applyBatch(s,
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", vp, out, 0L)

@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Curation, Ivf, MediaFixtures, Multimodal, Similarity}
+
+/** Round-16 gate additions: generalization-hierarchy k-anonymity
+  * (qq05), deletes in the streaming ANN index (qs28), and compressed
+  * Motion-JPEG video frame decode (qm14). Same discipline as every
+  * other suite — DuckDB-oracle hash compares, invariant flags where
+  * the property is non-SQL-expressible, ScalaTest twins for the
+  * structural laws.
+  */
+object Round16 {
+
+  /** qs28's ingested+deleted+compacted IVF state per sf dir (the qs24
+    * memoization discipline: the gate's operator is the SERVE, so
+    * bench passes 2..n time the tombstone-suppressed search, not the
+    * one-time ingest).
+    */
+  private val ivfDeleteState =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.Model)]()
+
+  def all: Seq[Q] = Seq(
+
+    // ----- k-anonymity with a generalization HIERARCHY -------------------
+    // qq03's suppression ladder upgraded to typed coarsening: the
+    // nation quasi-identifier steps value -> 5-wide bucket -> '*'
+    // instead of jumping straight to full suppression, so published
+    // rows keep a coarser-but-real location where k allows. The
+    // oracle replays the 4-level ladder with window counts over the
+    // same residuals (always re-generalizing from the ORIGINAL value,
+    // as the engine does), and the l-diversity audit rides the same
+    // rows — l_distinct = 1 groups are the attribute-disclosure
+    // risks a reviewer reads. The builder additionally REQUIRES every
+    // published non-terminal group to satisfy k.
+    Q("qq05_k_anon_hierarchy",
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |             CAST(c_nationkey AS VARCHAR) AS nat,
+        |             CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END
+        |               AS sens
+        |           FROM customer),
+        |l0 AS (SELECT seg, nat, sens,
+        |         COUNT(*) OVER (PARTITION BY seg, nat) AS c0 FROM b),
+        |k0 AS (SELECT seg, nat, sens, 0 AS lvl FROM l0 WHERE c0 >= 20),
+        |r0 AS (SELECT seg, nat, sens FROM l0 WHERE c0 < 20),
+        |g1 AS (SELECT seg,
+        |         'N' || CAST(CAST(nat AS BIGINT) // 5 AS VARCHAR) AS nat,
+        |         sens FROM r0),
+        |l1 AS (SELECT seg, nat, sens,
+        |         COUNT(*) OVER (PARTITION BY seg, nat) AS c1 FROM g1),
+        |k1 AS (SELECT seg, nat, sens, 1 AS lvl FROM l1 WHERE c1 >= 20),
+        |r1 AS (SELECT seg, sens FROM l1 WHERE c1 < 20),
+        |l2 AS (SELECT seg, sens,
+        |         COUNT(*) OVER (PARTITION BY seg) AS c2 FROM r1),
+        |k2 AS (SELECT seg, '*' AS nat, sens, 2 AS lvl FROM l2
+        |       WHERE c2 >= 20),
+        |r2 AS (SELECT seg, sens FROM l2 WHERE c2 < 20),
+        |k3 AS (SELECT '*' AS seg, '*' AS nat, sens, 3 AS lvl FROM r2),
+        |u AS (SELECT * FROM k0 UNION ALL SELECT * FROM k1
+        |      UNION ALL SELECT * FROM k2 UNION ALL SELECT * FROM k3)
+        |SELECT seg, nat, CAST(lvl AS BIGINT) AS anon_level,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct
+        |FROM u GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val k = 20
+      val base = Tables(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat"),
+        when(col("c_acctbal") < 0, "neg").otherwise("pos").as("sens"))
+      // nation -> 5-wide bucket (nations 0..24 -> N0..N4); exact for
+      // non-negative keys in both engines (floor-div of small ints)
+      val natBucket: Column => Column = c =>
+        concat(lit("N"), floor(c.cast("long") / lit(5)).cast("long")
+          .cast("string"))
+      val anon = Curation.kAnonymizeHierarchical(base,
+        Seq("seg" -> Seq.empty, "nat" -> Seq(natBucket)), k = k)
+      val out = anon
+        .groupBy(col("seg"), col("nat"),
+          col("anon_level").cast("long").as("anon_level"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("sens")).as("l_distinct"))
+      require(out.filter(col("anon_level") < 3 && col("n") < k).isEmpty,
+        s"k-anonymity violated: a published non-terminal group has < $k rows")
+      out
+    },
+
+    // ----- deletes in the streaming ANN index ----------------------------
+    // qs24's maintained IVF index under RETRACTION (takedowns,
+    // dedup-driven prunes): a seventh of the corpus is tombstoned in
+    // two delete batches after three ingest batches, the state is
+    // compacted (tombstones applied physically to marked assignment
+    // rows, never discarded), and the served search must behave as if
+    // the deleted vectors never existed — the recall gate is qs06's
+    // oracle over the SURVIVING corpus, and the builder REQUIRES no
+    // tombstoned id is ever served (the property the gate exists
+    // for). Stream-vs-batch bit-identity on the surviving set plus
+    // replay/compact interaction are IvfIngestSpec's locks.
+    Q("qs28_ivf_delete_serve",
+      """SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok,
+        |  CAST(1 AS BIGINT) AS no_deleted
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin) { (s, dir) =>
+      val (path, model) = ivfDeleteState.computeIfAbsent(dir, { d =>
+        val emb = Tables(s, d, "embeddings")
+        val m = Ivf.train(s, emb, "vec_id", "embedding", k = 8)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_qs28_ivf").toString
+        (0 until 3).foreach { b =>
+          graft.streaming.IvfIngest.applyBatch(
+            emb.filter(col("vec_id") % 3 === b),
+            m, "vec_id", "embedding", out, b.toLong)
+        }
+        val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+        graft.streaming.IvfIngest.applyDeletes(
+          doomed.filter(col("vec_id") % 2 === 0), "vec_id", out, 0L)
+        graft.streaming.IvfIngest.applyDeletes(
+          doomed.filter(col("vec_id") % 2 === 1), "vec_id", out, 1L)
+        graft.streaming.IvfIngest.compact(s, out)
+        (out, m)
+      })
+      val emb = Tables(s, dir, "embeddings")
+      val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+      val q = emb.filter(col("vec_id") % 100 === 0)
+      val exact = Similarity.cosineTopK(survivors, q, "vec_id", "embedding",
+        k = 10)
+      val ann = graft.streaming.IvfIngest.search(s, path, q, model,
+        "vec_id", "embedding", k = 10, nprobe = 4)
+      require(ann.filter(col("neighbor_id") % 7 === 3).isEmpty,
+        "a tombstoned vector was served from the maintained index")
+      Similarity.recallHits(exact, ann)
+        .select(col("query_id"),
+          (col("hits") >= 3).cast("long").as("recall_ok"),
+          lit(1L).as("no_deleted"))
+    },
+
+    // ----- compressed video frame decode (Motion-JPEG) -------------------
+    // qm08's container->sample->pixel path crossing a real COMPRESSED
+    // bitstream: every sample of the `jpeg` (QuickTime Photo-JPEG)
+    // track is a complete baseline JPEG, decoded pure-JVM by
+    // javax.imageio. JPEG is lossy, so the generation-time sidecar
+    // records the sums of the DECODED round-trip of the exact bytes
+    // written — a decoder that trusts container metadata, subsamples,
+    // or channel-swaps cannot reproduce them.
+    Q("qm14_mjpeg_frames",
+      s"""SELECT media_id, frame_id, width, height, sum_r, sum_g, sum_b
+         |FROM read_csv('${MediaFixtures.mjpegFramesCsv}', header=true,
+         |  columns={'media_id': 'BIGINT', 'frame_id': 'BIGINT',
+         |    'width': 'BIGINT', 'height': 'BIGINT', 'sum_r': 'BIGINT',
+         |    'sum_g': 'BIGINT', 'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
+      Multimodal.videoFrameFeatures(s, MediaFixtures.ensureMjpeg())
+    })
+}

@@ -31,13 +31,27 @@ object EncodeIngest {
 
   private def piecesPath(path: String) = s"$path/pieces"
 
+  /** The vocabulary is FROZEN by contract (retraining is a new path),
+    * so the load — whose non-empty validation runs an eager Spark job
+    * — happens once per (session, path), not once per micro-batch: a
+    * long-running [[start]] stream would otherwise pay one extra
+    * vocab-scan job on every foreachBatch invocation. Keyed by session
+    * too, so a cached frame never outlives the session that read it.
+    */
+  private val vocabCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
+  private def vocabAt(spark: SparkSession, vocabPath: String): DataFrame =
+    vocabCache.computeIfAbsent((spark, vocabPath),
+      { case (s, p) => Models.loadVocab(s, p) })
+
   /** Encode one micro-batch of (id, text) documents with the
     * vocabulary at `vocabPath`. Idempotent per `batchId`.
     */
   def applyBatch(spark: SparkSession, batch: DataFrame, idCol: String,
                  textCol: String, vocabPath: String, path: String,
                  batchId: Long, maxPieceLen: Int = 6): Unit = {
-    val vocab = Models.loadVocab(spark, vocabPath)
+    val vocab = vocabAt(spark, vocabPath)
     UnigramLm.encode(batch, idCol, textCol, vocab, maxPieceLen)
       .write.mode("overwrite").parquet(s"${piecesPath(path)}/batch=$batchId")
   }
@@ -45,7 +59,11 @@ object EncodeIngest {
   /** Start continuous encoding over a document stream. */
   def start(docs: DataFrame, idCol: String, textCol: String,
             vocabPath: String, path: String, checkpoint: String,
-            maxPieceLen: Int = 6): StreamingQuery =
+            maxPieceLen: Int = 6): StreamingQuery = {
+    // validate the artifact (and warm the cache) BEFORE the stream
+    // starts: a missing/empty vocab fails here, loudly, not inside the
+    // first micro-batch
+    vocabAt(docs.sparkSession, vocabPath)
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
@@ -53,6 +71,7 @@ object EncodeIngest {
           path, id, maxPieceLen)
       }
       .start()
+  }
 
   /** All encoded rows across batches: (idCol, pieces, n_pieces, batch). */
   def serve(spark: SparkSession, path: String): DataFrame =

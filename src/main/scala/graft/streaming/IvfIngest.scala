@@ -37,10 +37,24 @@ import graft.operators.Ivf
   * itself proves full commit (single-table state: _SUCCESS is the
   * whole transaction), passing unprovable batches through under their
   * own ids.
+  *
+  * RETRACTIONS: [[applyDeletes]] absorbs takedown/prune batches as
+  * TOMBSTONES in their own batch-id + marker namespace; serving
+  * anti-joins them (terminal per id — a replayed insert of a deleted
+  * vector stays suppressed), and [[compact]] applies committed
+  * tombstones physically without ever discarding them. qs28 gates
+  * serve-after-ingest+delete+compact against the batch search over
+  * the surviving corpus.
   */
 object IvfIngest {
 
   private def statePath(path: String) = s"$path/assign"
+
+  /** Tombstone namespace: delete batches get their own marker root so
+    * their batch-id space never collides with assignment batches.
+    */
+  private def tombPath(path: String) = s"$path/tombstone"
+  private def tombStatePath(path: String) = s"${tombPath(path)}/ids"
 
   /** Absorb one micro-batch of (id, vector) rows against the frozen
     * `model`. Idempotent per `batchId` (directory overwrite + marker).
@@ -56,6 +70,41 @@ object IvfIngest {
     BatchMarkers.record(fs, path, batchId)
   }
 
+  /** Absorb one micro-batch of DELETIONS (takedowns, dedup-driven
+    * prunes — the retractions a real corpus makes that an append-only
+    * index cannot express): `batch`'s `idCol` values become TOMBSTONES
+    * under their own batch directory + marker namespace (ids never
+    * collide with assignment batches). A tombstone is TERMINAL for an
+    * id — [[assigned]]/[[search]] anti-join the tombstone set, so a
+    * replayed ingest batch that re-adds a deleted vector stays
+    * suppressed at serve, and [[compact]] applies tombstones
+    * physically without ever discarding them (the qj14 MoR
+    * discipline: the delta is change-proportional, the rewrite is a
+    * deliberate compaction event). Idempotent per `batchId`
+    * (overwrite + marker, exactly [[applyBatch]]'s contract).
+    */
+  def applyDeletes(batch: DataFrame, idCol: String, path: String,
+                   batchId: Long): Unit = {
+    val fs = new Path(path)
+      .getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (BatchMarkers.isAbsorbed(fs, tombPath(path), batchId)) return
+    batch.select(col(idCol).as("vid")).distinct()
+      .write.mode("overwrite")
+      .parquet(s"${tombStatePath(path)}/batch=$batchId")
+    BatchMarkers.record(fs, tombPath(path), batchId)
+  }
+
+  /** The standing tombstone set (empty frame when no deletes ever
+    * arrived — schema taken from the assignment state's vid column).
+    */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val tp = new Path(tombStatePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) Some(spark.read.parquet(tombStatePath(path))
+      .select("vid").distinct())
+    else None
+  }
+
   /** Start continuous index maintenance over an embedding stream. */
   def start(docs: DataFrame, model: Ivf.Model, idCol: String,
             vecCol: String, path: String, checkpoint: String): StreamingQuery =
@@ -66,9 +115,16 @@ object IvfIngest {
       }
       .start()
 
-  /** The maintained corpus assignment, bookkeeping stripped. */
-  def assigned(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(statePath(path)).drop("batch")
+  /** The maintained corpus assignment, bookkeeping stripped and
+    * tombstoned ids suppressed (see [[applyDeletes]]).
+    */
+  def assigned(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(statePath(path)).drop("batch")
+    tombstones(spark, path) match {
+      case Some(t) => base.join(t, Seq("vid"), "left_anti")
+      case None => base
+    }
+  }
 
   /** True when `batchId` was absorbed — durable across [[compact]]
     * (marker-first, directory presence as the pre-marker fallback).
@@ -99,24 +155,65 @@ object IvfIngest {
     * to overwrite.
     */
   def compact(spark: SparkSession, path: String, files: Int = 4): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = statePath(path)
+    // Tombstone side FIRST (marker reconstruction + collapse), so the
+    // assignment pass below applies a COMMITTED tombstone set: only
+    // MARKED tombstones are dropped physically, and only from MARKED
+    // assignment rows — an unmarked (in-flight) batch on either side
+    // passes through untouched, with the serve-time anti-join (which
+    // reads ALL tombstones, in-flight included) covering the gap.
+    // Tombstones are compacted but NEVER discarded, so a post-compact
+    // replay that re-adds a deleted id stays suppressed (deletes are
+    // terminal).
+    compactOne(spark, tombStatePath(path), tombPath(path), files, None)
+    compactOne(spark, statePath(path), path, files,
+      committedTombstones(spark, path))
+  }
+
+  /** The vids of every MARKED (committed) tombstone batch — the set
+    * [[compact]] may apply physically.
+    */
+  private def committedTombstones(spark: SparkSession,
+                                  path: String): Option[DataFrame] = {
+    val tp = new Path(tombStatePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return None
+    val marked = fs.listStatus(tp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filter(BatchMarkers.isAbsorbed(fs, tombPath(path), _))
+    if (marked.isEmpty) None
+    else Some(spark.read.parquet(tombStatePath(path))
+      .filter(col("batch").isin(marked: _*)).select("vid").distinct())
+  }
+
+  private def compactOne(spark: SparkSession, root: String,
+                         markerBase: String, files: Int,
+                         applyTomb: Option[DataFrame]): Unit = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     AtomicSwap.recover(fs, root)
     val rootP = new Path(root)
     if (!fs.exists(rootP)) return
     val ids = fs.listStatus(rootP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.getName.stripPrefix("batch=").toLong)
-    ids.filterNot(BatchMarkers.isAbsorbed(fs, path, _)).foreach { id =>
+    ids.filterNot(BatchMarkers.isAbsorbed(fs, markerBase, _)).foreach { id =>
       if (fs.exists(new Path(rootP, s"batch=$id/_SUCCESS")))
-        BatchMarkers.record(fs, path, id)
+        BatchMarkers.record(fs, markerBase, id)
     }
-    val (marked, unmarked) = ids.partition(BatchMarkers.isAbsorbed(fs, path, _))
+    val (marked, unmarked) =
+      ids.partition(BatchMarkers.isAbsorbed(fs, markerBase, _))
     if (marked.isEmpty) return
     val minBatch = marked.min
     val cur = spark.read.parquet(root)
-    val markedRows =
+    val markedRows0 =
       if (unmarked.isEmpty) cur else cur.filter(!col("batch").isin(unmarked: _*))
+    // physical tombstone apply (assignment side only): marked rows for
+    // marked tombstone ids leave the state here — the serve-time
+    // anti-join keeps covering everything else
+    val markedRows = applyTomb match {
+      case Some(t) => markedRows0.join(t, Seq("vid"), "left_anti")
+      case None => markedRows0
+    }
     val flat = markedRows.drop("batch")
       .repartition(files)
       .withColumn("batch", lit(minBatch))

@@ -576,4 +576,46 @@ class CurationSpec extends SparkSpec {
     assert(viol == 0, "published non-terminal group under k")
     assert(anon.count() == cust.count())
   }
+
+  test("kAnonymizeHierarchical steps through typed coarsenings and " +
+      "degenerates to kAnonymize when hierarchies are empty") {
+    import spark.implicits._
+    // ages 10..13 singly too small at k=3, but the decade bucket '1x'
+    // collects them — the hierarchy publishes a COARSER-but-real value
+    // where plain suppression could only emit '*'
+    val rows =
+      Seq.fill(3)(("A", "10", "p")) ++
+      Seq(("A", "11", "p"), ("A", "12", "p"), ("A", "13", "p")) ++
+      Seq(("B", "55", "p"), ("C", "77", "p"))
+    val df = rows.toDF("city", "age", "payload").repartition(3)
+    val decade: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => concat(c.substr(1, 1), lit("x"))
+    val out = Curation.kAnonymizeHierarchical(df,
+      Seq("city" -> Seq.empty, "age" -> Seq(decade)), k = 3)
+    assert(out.count() == rows.size.toLong)
+    val g = out.groupBy("city", "age", "anon_level").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // ladder: L0 (city, age), L1 (city, decade), L2 (city, *), L3 (*, *)
+    assert(g == Map(("A", "10", 0) -> 3L, ("A", "1x", 1) -> 3L,
+      ("*", "*", 3) -> 2L), s"unexpected hierarchy ladder: $g")
+
+    // empty hierarchies == kAnonymize, row for row (levels renumber:
+    // the 2-col plain ladder's levels 0/1/2 are the hierarchical
+    // ladder's 0/1/2 when both hierarchies are empty)
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("string").as("nat"))
+    val plain = Curation.kAnonymize(cust, Seq("seg", "nat"), k = 7)
+      .groupBy("seg", "nat", "anon_level").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    val hier = Curation.kAnonymizeHierarchical(cust,
+      Seq("seg" -> Seq.empty, "nat" -> Seq.empty), k = 7)
+      .groupBy("seg", "nat", "anon_level").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    assert(hier == plain,
+      "empty hierarchies must reproduce the plain suppression ladder")
+  }
 }

@@ -84,4 +84,46 @@ class IvfIngestSpec extends SparkSpec {
     assert(serve() == before,
       "replay after compaction must not duplicate assignments")
   }
+
+  test("tombstones: deleted ids vanish from serve, compact applies them " +
+      "physically, and re-adds stay suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 8)
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 2 === 0),
+      model, "vec_id", "embedding", dir, 0L)
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 2 === 1),
+      model, "vec_id", "embedding", dir, 1L)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    IvfIngest.applyDeletes(doomed, "vec_id", dir, 0L)
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    def serve() = topk(IvfIngest.search(spark, dir, queries, model,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val batch = topk(Ivf.search(survivors, queries, model,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(serve() == batch,
+      "post-delete serve must be bit-identical to the batch search " +
+        "over the surviving corpus")
+
+    // delete replay is a no-op
+    IvfIngest.applyDeletes(doomed, "vec_id", dir, 0L)
+    assert(serve() == batch)
+
+    // compact applies committed tombstones physically — the rows leave
+    // the assignment state, and the serve is unchanged
+    IvfIngest.compact(spark, dir)
+    assert(serve() == batch, "compaction must not change the serve")
+    assert(spark.read.parquet(s"$dir/assign")
+      .filter(col("vid") % 7 === 3).count() == 0,
+      "compact must drop tombstoned rows from the assignment state")
+
+    // deletes are terminal: a LATER ingest batch that re-adds a
+    // tombstoned vector stays suppressed at serve
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 7 === 3),
+      model, "vec_id", "embedding", dir, 5L)
+    assert(serve() == batch,
+      "re-added tombstoned ids must stay suppressed at serve")
+  }
 }

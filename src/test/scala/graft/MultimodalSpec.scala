@@ -273,4 +273,25 @@ class MultimodalSpec extends SparkSpec {
       .map(id => (id.toLong, 9000L + id)).toSet
     assert(pairs == planted)
   }
+
+  test("MJPEG frame decode reproduces the generation-time sidecar " +
+      "through the real JPEG bitstream") {
+    val dir = MediaFixtures.ensureMjpeg()
+    val got = Multimodal.videoFrameFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val want = scala.io.Source.fromFile(MediaFixtures.mjpegFramesCsv)
+      .getLines().drop(1).map { l =>
+        val f = l.split(",")
+        (f(0).toLong, f(1).toLong) ->
+          ((f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong, f(6).toLong))
+      }.toMap
+    assert(want.nonEmpty && got == want,
+      s"MJPEG decode drifted from the sidecar (${got.size} vs ${want.size})")
+    // sanity: every asset contributed its frames, sums are non-trivial
+    assert(got.keys.map(_._1).toSet.size == MediaFixtures.MjpegCount)
+    assert(got.values.forall { case (w, h, r, g, b) =>
+      w > 0 && h > 0 && r > 0 && g > 0 && b > 0 })
+  }
 }

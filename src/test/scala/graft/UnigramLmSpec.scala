@@ -86,4 +86,33 @@ class UnigramLmSpec extends SparkSpec {
     assert(p < c, s"pieces ($p) must compress below characters ($c)")
     assert(p >= w, s"pieces ($p) can never undercut words ($w)")
   }
+
+  test("OOV chars under a frozen vocab degrade to character pieces, " +
+      "losslessly and deterministically") {
+    import spark.implicits._
+    // vocab trained WITHOUT 'z' or 'q'; the served batch contains both
+    val train = Seq((1L, "hello world hello held")).toDF("id", "text")
+    val vocab = UnigramLm.train(train, "text", maxPieceLen = 3,
+      seedSize = 16, targetVocab = 16)
+    assert(vocab.filter(col("piece") === "z").isEmpty)
+    val served = Seq((1L, "hello zq world"), (2L, "zzz")).toDF("id", "text")
+    val enc = UnigramLm.encode(served, "id", "text", vocab, maxPieceLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // losslessness survives: pieces concatenate back to the words,
+    // with the unknown chars emitted as single-character pieces
+    assert(enc(1L).mkString == "hellozqworld",
+      s"OOV round-trip broke: ${enc(1L)}")
+    assert(enc(1L).contains("z") && enc(1L).contains("q"),
+      s"unknown chars must surface as their own pieces: ${enc(1L)}")
+    assert(enc(2L) == Seq("z", "z", "z"),
+      s"an all-OOV word must become its characters: ${enc(2L)}")
+    // known words around the OOV keep their trained segmentation: the
+    // fallback floor can never outrank a real path
+    val alone = UnigramLm.encode(Seq((9L, "hello world")).toDF("id", "text"),
+      "id", "text", vocab, maxPieceLen = 3)
+      .collect().head.getSeq[String](1)
+    val mixed = enc(1L).filterNot(p => p == "z" || p == "q")
+    assert(mixed == alone,
+      s"OOV chars must not perturb known-word segmentation: $mixed vs $alone")
+  }
 }
