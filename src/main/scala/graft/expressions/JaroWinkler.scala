@@ -1,0 +1,110 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd Jaro-Winkler similarity of two string columns — the
+  * record-linkage scorer Spark lacks natively (it ships levenshtein
+  * but no Jaro family), implemented as a Catalyst Expression so the
+  * verify step of a blocked entity-match join stays inside whole-stage
+  * codegen instead of paying a UDF serialization boundary per
+  * candidate pair.
+  *
+  * Semantics are the textbook Winkler variant, pinned empirically
+  * against DuckDB's jaro_winkler_similarity (the oracle engine) on
+  * the classic pairs (MARTHA/MARHTA = 0.9611…, DIXON/DICKSONX =
+  * 0.8133…) plus the edge cases that distinguish implementations:
+  *  - either side empty → 0.0 (including both empty),
+  *  - match window = max(len)/2 - 1, floored at 0 (so "ab"/"ba" = 0),
+  *  - transpositions counted as half the differing matched positions,
+  *  - prefix boost l·0.1·(1-jaro) with l capped at 4, applied only
+  *    when jaro > 0.7 (the Winkler boost threshold — verified active
+  *    in DuckDB: jaro=0.6 with a 4-char common prefix stays 0.6).
+  *
+  * The scorer is exact double arithmetic from small integer counts
+  * (m, t, lengths), so cross-engine agreement holds to the last ulp
+  * in practice; gate outputs still round to integer micro-units
+  * (floor(x·1e6 + 0.5)) so a last-ulp libm-style divergence can never
+  * flip a hash — the same discipline as the seeded-noise release.
+  *
+  * Comparison is per Java char (UTF-16 unit), matching the oracle on
+  * the ASCII identifier/name columns this ships for; supplementary-
+  * plane input would need codepoint iteration on both engines.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerSim.compute(
+      a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.JaroWinklerSim.compute($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinklerSim =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerSim {
+
+  /** Static kernel shared by interpreted eval and generated code (the
+    * RegExpExtract pattern: one tight JVM method, codegen emits a
+    * call, whole-stage fusion is preserved around it).
+    */
+  def compute(s1: String, s2: String): Double = {
+    val len1 = s1.length
+    val len2 = s2.length
+    if (len1 == 0 || len2 == 0) return 0.0
+    val window = math.max(math.max(len1, len2) / 2 - 1, 0)
+    val matched1 = new Array[Boolean](len1)
+    val matched2 = new Array[Boolean](len2)
+    var m = 0
+    var i = 0
+    while (i < len1) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(len2 - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+          matched1(i) = true
+          matched2(j) = true
+          m += 1
+          found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: differing positions between the two matched
+    // subsequences, halved (may be fractional in the halved form;
+    // the differing count itself is what we accumulate).
+    var k = 0
+    var diff = 0
+    i = 0
+    while (i < len1) {
+      if (matched1(i)) {
+        while (!matched2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) diff += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / len1 + md / len2 + (md - diff / 2.0) / md) / 3.0
+    if (jaro > 0.7) {
+      var l = 0
+      val maxL = math.min(4, math.min(len1, len2))
+      while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    } else jaro
+  }
+}

@@ -124,6 +124,14 @@ object Text {
     GraftColumnBridge.column(
       DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Jaro-Winkler similarity (custom codegen'd expr; DuckDB-pinned
+    * semantics — see graft.expressions.JaroWinklerSim).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.JaroWinklerSim(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** SpaceSaving heavy-hitter summary (TypedImperativeAggregate). */
   def spaceSavingTopK(c: Column, capacity: Int, k: Int): Column =
     GraftColumnBridge.column(

@@ -4,14 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, Ivf, MediaFixtures, Multimodal, Similarity}
+import graft.operators.{Curation, EntityResolution, Ivf, MediaFixtures, Multimodal, Similarity}
 
 /** Round-16 gate additions: generalization-hierarchy k-anonymity
-  * (qq05), deletes in the streaming ANN index (qs28), and compressed
-  * Motion-JPEG video frame decode (qm14). Same discipline as every
-  * other suite — DuckDB-oracle hash compares, invariant flags where
-  * the property is non-SQL-expressible, ScalaTest twins for the
-  * structural laws.
+  * (qq05), deletes in the streaming ANN index (qs28), compressed
+  * Motion-JPEG video frame decode (qm14), differentially-private
+  * histogram release (qq06), and blocked Jaro-Winkler entity matching
+  * (qe02). Same discipline as every other suite — DuckDB-oracle hash
+  * compares, invariant flags where the property is
+  * non-SQL-expressible, ScalaTest twins for the structural laws.
   */
 object Round16 {
 
@@ -150,5 +151,72 @@ object Round16 {
          |    'width': 'BIGINT', 'height': 'BIGINT', 'sum_r': 'BIGINT',
          |    'sum_g': 'BIGINT', 'sum_b': 'BIGINT'})""".stripMargin) { (s, _) =>
       Multimodal.videoFrameFeatures(s, MediaFixtures.ensureMjpeg())
+    },
+
+    // ----- differentially-private histogram release ----------------------
+    // The third privacy rung after qq03/qq05: per-(segment, nation)
+    // customer counts published under seeded Laplace(1/eps) noise with
+    // small-group suppression. The noise key is a pure function of the
+    // GROUP identity (nation*256 + first-char code), so the release is
+    // reproducible and the oracle replays the exact mechanism: LCG
+    // uniform -> inverse-CDF Laplace -> integer rounding. ln() is the
+    // one libm call and differs by <=1 ulp between engines on ~0.5% of
+    // inputs (measured); integer rounding absorbs it — the 125 group
+    // keys' rounded values sit >=2.7e-4 from every floor boundary
+    // (measured), 12 orders of magnitude beyond a ulp.
+    Q("qq06_dp_histogram",
+      """WITH g AS (SELECT c_mktsegment AS seg,
+        |             CAST(c_nationkey AS BIGINT) AS nat,
+        |             COUNT(*) AS cnt
+        |           FROM customer GROUP BY 1, 2),
+        |n AS (SELECT seg, nat, cnt,
+        |        (1103515245 * (((nat * 256 + ascii(seg)) % 2147483648)
+        |           * 2654435761 % 2147483648) + 12345) % 2147483648 AS v
+        |      FROM g),
+        |l AS (SELECT seg, nat, cnt,
+        |        -sign((v + 0.5) / 2147483648.0 - 0.5)
+        |          * ln(1.0 - 2.0 * abs((v + 0.5) / 2147483648.0 - 0.5))
+        |          AS lap
+        |      FROM n),
+        |r AS (SELECT seg, nat,
+        |        cnt + CAST(floor(lap * 2.0 + 0.5) AS BIGINT) AS noisy_count
+        |      FROM l)
+        |SELECT seg, nat, noisy_count, CAST(500000 AS BIGINT) AS eps_micro
+        |FROM r WHERE noisy_count >= 10""".stripMargin) { (s, dir) =>
+      Curation.dpNoisyCounts(
+        Tables(s, dir, "customer")
+          .select(col("c_mktsegment").as("seg"),
+            col("c_nationkey").cast("long").as("nat")),
+        dims = Seq("seg", "nat"),
+        noiseKey = col("nat") * 256 + ascii(col("seg")),
+        eps = 0.5, threshold = 10L)
+    },
+
+    // ----- blocked Jaro-Winkler entity matching --------------------------
+    // q68's FastSS pairs cover edit distance <= 1; this is the
+    // name-field scorer for everything past it — Jaro-Winkler over
+    // (brand, size)-blocked part-name pairs, scored by the codegen'd
+    // native expression (Spark has no Jaro family built in; a UDF
+    // here would pay a serialization boundary per candidate pair).
+    // The oracle IS DuckDB's jaro_winkler_similarity — semantics
+    // pinned implementation-to-implementation (boost threshold 0.7,
+    // prefix cap 4, empty -> 0, window floor 0) — and scores publish
+    // as integer micro-units; the observed minimum distance from a
+    // rounding boundary across all 160 K sf0.1 candidate pairs is
+    // 2.6e-3 (JW values are small-denominator rationals).
+    Q("qe02_jw_blocked_match",
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+        |    * 1000000 + 0.5) AS BIGINT) AS jw_micro
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+        |    * 1000000 + 0.5) AS BIGINT) >= 900000""".stripMargin) { (s, dir) =>
+      EntityResolution.blockedJaroWinklerPairs(
+        Tables(s, dir, "part").withColumnRenamed("p_partkey", "id"),
+        idCol = "id", strCol = "p_name",
+        blockCols = Seq("p_brand", "p_size"), minMicro = 900000L)
     })
 }

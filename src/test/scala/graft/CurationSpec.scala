@@ -618,4 +618,54 @@ class CurationSpec extends SparkSpec {
     assert(hier == plain,
       "empty hierarchies must reproduce the plain suppression ladder")
   }
+
+  test("dp noisy counts: noise is a pure function of group identity") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (s"g${i % 10}", i.toLong))
+    val df = rows.toDF("grp", "x")
+    def release(d: org.apache.spark.sql.DataFrame) =
+      Curation.dpNoisyCounts(d, Seq("grp"),
+        noiseKey = ascii(col("grp")) * 100 + substring(col("grp"), 2, 4).cast("long"),
+        eps = 0.5, threshold = Long.MinValue)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = release(df)
+    val b = release(df.repartition(7))
+    assert(a == b, "release must be deterministic under repartition")
+    // sensitivity: add one row to one group -> that group's noisy
+    // count moves by EXACTLY 1 (noise keys off group identity, not data)
+    val c = release(df.union(Seq(("g3", 999L)).toDF("grp", "x")))
+    assert(c("g3") == a("g3") + 1)
+    assert((c - "g3") == (a - "g3"))
+  }
+
+  test("dp noisy counts: rounded noise follows the Laplace law") {
+    import spark.implicits._
+    // 20k singleton groups with eps = 1 (b = 1): noise = round(lap).
+    // P(noise = 0) = 1 - e^-0.5 ~ 0.3935; P(|noise| >= 3) = e^-2.5
+    // ~ 0.0821; the mechanism is symmetric so the mean is ~0.
+    val df = (0 until 20000).map(i => (i.toLong, i)).toDF("grp", "x")
+    val out = Curation.dpNoisyCounts(df, Seq("grp"), col("grp"),
+      eps = 1.0, threshold = Long.MinValue)
+      .select((col("noisy_count") - 1L).as("noise"))
+      .collect().map(_.getLong(0))
+    val n = out.length.toDouble
+    assert(n == 20000.0)
+    val p0 = out.count(_ == 0L) / n
+    val pTail = out.count(v => math.abs(v) >= 3L) / n
+    val mean = out.sum / n
+    assert(p0 > 0.37 && p0 < 0.42, s"P(noise=0) = $p0")
+    assert(pTail > 0.065 && pTail < 0.10, s"P(|noise|>=3) = $pTail")
+    assert(math.abs(mean) < 0.05, s"mean = $mean")
+  }
+
+  test("dp noisy counts: suppression and budget accounting") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (s"s${i % 40}", i)).toDF("grp", "x")
+    val out = Curation.dpNoisyCounts(df, Seq("grp"),
+      substring(col("grp"), 2, 4).cast("long"), eps = 0.5, threshold = 25L)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) >= 25L), "suppression threshold violated")
+    assert(out.forall(_.getLong(2) == 500000L), "eps_micro accounting wrong")
+  }
 }

@@ -53,4 +53,34 @@ class EntityResolutionSpec extends SparkSpec {
     assert(g(1L) == (("b", "x", 3L, 2L)), s"got ${g(1L)}")
     assert(g(2L) == (("z", null, 1L, 5L)), s"got ${g(2L)}")
   }
+
+  test("blocked jaro-winkler pairs equal brute force within blocks only") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "jonathan smith", "A"), (2L, "jonathon smith", "A"),
+      (3L, "jon smith", "A"), (4L, "maria garcia", "A"),
+      // same names in block B — must never pair with block A
+      (5L, "jonathan smith", "B"), (6L, "jonathon smyth", "B"),
+      (7L, "", "B")
+    ).toDF("id", "name", "blk")
+    val got = EntityResolution
+      .blockedJaroWinklerPairs(df, "id", "name", Seq("blk"), minMicro = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force with the same kernel, block-restricted
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = (for {
+      a <- rows; b <- rows
+      if a._3 == b._3 && a._1 < b._1
+    } yield (a._1, b._1) -> math.floor(
+      graft.expressions.JaroWinklerSim.compute(a._2, b._2) * 1000000 + 0.5
+    ).toLong).toMap
+    assert(got == want)
+    assert(got.keys.forall { case (i, j) => (i <= 4) == (j <= 4) },
+      "cross-block pair leaked")
+    // threshold filter keeps only the near-identical pair
+    val strict = EntityResolution
+      .blockedJaroWinklerPairs(df, "id", "name", Seq("blk"), minMicro = 950000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)), s"got $strict")
+  }
 }

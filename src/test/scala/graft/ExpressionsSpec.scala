@@ -50,4 +50,59 @@ class ExpressionsSpec extends SparkSpec {
         .as("ref"))
     assert(both.filter(col("fast") =!= col("ref")).count() == 0)
   }
+
+  // ---- Jaro-Winkler: DuckDB-pinned textbook values and edge cases ----
+
+  private val jwCases = Seq(
+    // classic record-linkage pairs (values printed by DuckDB's
+    // jaro_winkler_similarity — the oracle this expression must match)
+    ("MARTHA", "MARHTA", 0.9611111111111111),
+    ("DIXON", "DICKSONX", 0.8133333333333332),
+    ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+    ("DWAYNE", "DUANE", 0.8400000000000001),
+    ("hello", "hallo", 0.88),
+    // boost threshold: jaro = 0.6 with a 4-char common prefix must
+    // NOT get the Winkler boost (threshold is jaro > 0.7)
+    ("abcdxxxxxx", "abcdyyyyyy", 0.6),
+    // prefix cap at 4 (not 9): jaro = 0.9333..., jw = 0.96
+    ("aaaaaaaaaa", "aaaaaaaaab", 0.96),
+    // match window floor: max(2,2)/2-1 = 0, so transposed bigrams
+    // share no in-window matches at all
+    ("ab", "ba", 0.0),
+    // either side empty -> 0 (INCLUDING both empty — DuckDB semantics)
+    ("", "", 0.0),
+    ("abc", "", 0.0),
+    ("abc", "abc", 1.0),
+    ("x", "x", 1.0),
+    ("a", "b", 0.0))
+
+  test("jaro-winkler matches DuckDB-pinned values (codegen path)") {
+    import spark.implicits._
+    val got = jwCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(Text.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    jwCases.map(_._3).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-12, s"want $want got $g")
+    }
+  }
+
+  test("jaro-winkler kernel and expression agree; null-safe") {
+    import spark.implicits._
+    // expression (codegen) result is bit-identical to the kernel
+    val viaDf = jwCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(Text.jaroWinkler(col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(viaDf == jwCases.map { case (a, b, _) =>
+      graft.expressions.JaroWinklerSim.compute(a, b) })
+    // symmetry of the kernel (greedy matching is order-symmetric in m/t)
+    Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("hello", "hallo"))
+      .foreach { case (a, b) =>
+        assert(graft.expressions.JaroWinklerSim.compute(a, b) ==
+          graft.expressions.JaroWinklerSim.compute(b, a))
+      }
+    val df = Seq((Some("abc"), Some("abd")), (None, Some("x")),
+      (Some("x"), None)).toDF("a", "b")
+    val rows = df.select(Text.jaroWinkler(col("a"), col("b"))).collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
 }
