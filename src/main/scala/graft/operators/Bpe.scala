@@ -230,6 +230,121 @@ object Bpe {
   private[graft] val lastBatchedPasses =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Column-based adjacency test for (a, b) inside a symbol array —
+    * the pair arrives as Columns, never spliced into SQL text (corpus
+    * symbols are data). The zip_with pads the successor slice with one
+    * trailing null, whose 3-valued `x === a && null` can only be false
+    * or null — the coalesce pins the no-match case to false.
+    */
+  private[graft] def hasAdjacency(syms: Column, a: Column, b: Column): Column =
+    when(size(syms) < 2, lit(false)).otherwise(coalesce(
+      exists(zip_with(syms, slice(syms, lit(2), size(syms) - 1),
+        (x, y) => x === a && y === b), p => p),
+      lit(false)))
+
+  /** Learn merge rules with an INCREMENTALLY MAINTAINED pair-count
+    * table — the per-merge-cost answer to [[train]]'s full re-count.
+    *
+    * Exact BPE is inherently sequential in merges (each argmax depends
+    * on the counts the previous merge produced), and the batched
+    * variant's measured amortization on natural text is ~1.02–1.08
+    * merges/pass (top-rank pairs share symbols — e/t/a/h appear in
+    * most of the head of the distribution, so the symbol-disjoint run
+    * ends almost immediately; see trainBatched's acceptance rule and
+    * BASELINE.md's sf1 measurements). So the realistic scale lever is
+    * not fewer passes, it is CHEAPER passes: a merge of (a, b) only
+    * changes adjacencies inside words that actually CONTAIN the (a, b)
+    * adjacency, so the standing (a, b, cnt) table is patched with the
+    * delta from that affected subset instead of re-aggregating every
+    * adjacency of every word each iteration.
+    *
+    * Per pass: one codegen'd predicate scan of the distinct-word table
+    * (no shuffle), two pair-count aggregates over the AFFECTED subset
+    * only (shrinks fast as merges specialize: tail merges touch a few
+    * hundred words of a 300k-word vocab), one small shuffle merging
+    * the delta into the counts table (pair-table-sized, corpus-size-
+    * independent), and a one-row argmax collect. [[train]] pays a full
+    * explode+shuffle of every adjacency in the vocabulary per merge —
+    * at a 100 TB corpus's vocabulary that difference is the whole
+    * game, and it grows as training proceeds because |affected| ∝ the
+    * picked pair's frequency, which is monotonically non-increasing.
+    *
+    * The vocabulary state is BASE + OVERLAY, merge-on-read (the qj14
+    * discipline applied to trainer state): rewriting the full word
+    * table every pass would re-materialize O(vocab) rows per merge —
+    * the floor that dominates once the affected subset is small — so
+    * rewritten words live in a word-keyed overlay (current row wins
+    * via an anti-join at read time) and only the OVERLAY is
+    * checkpointed per pass; the base folds the overlay in every
+    * `compactEvery` passes. Per-pass materialization is O(affected +
+    * overlay + pair table); the O(vocab) cost is paid once per
+    * compaction window, amortized 1/compactEvery. While the overlay is
+    * small the read-time anti-join broadcasts it, so the base is never
+    * shuffled between compactions.
+    *
+    * The merge sequence is EXACTLY [[train]]'s: the maintained table
+    * equals pairCounts(vocab) by induction (a word's contribution is
+    * removed and re-added around its rewrite; unaffected words keep
+    * their contribution untouched), and the argmax uses the same
+    * (cnt desc, a, b) order. BpeSpec locks the equivalence end to end.
+    */
+  def trainIncremental(df: DataFrame, textCol: String, numMerges: Int,
+                       compactEvery: Int = 64): Seq[(String, String)] = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1, got $compactEvery")
+    var base = initSymbols(wordFreqs(df, textCol))
+      .select("word", "freq", "syms").localCheckpoint()
+    // filter+union grows partition counts pass over pass (union
+    // concatenates its children's partitions); the narrow coalesce
+    // back to the initial count keeps every pass's task count constant
+    val parts = math.max(base.rdd.getNumPartitions, 1)
+    var overlay = base.filter(lit(false)).localCheckpoint()
+    var counts = pairCounts(base).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val top = counts.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val adj = hasAdjacency(col("syms"), lit(a), lit(b))
+        // current vocab = base rows not overridden + overlay rows
+        val affected = base
+          .join(overlay.select("word"), Seq("word"), "left_anti")
+          .filter(adj)
+          .unionByName(overlay.filter(adj))
+          .coalesce(parts).localCheckpoint()
+        val merged = affected.withColumn("syms",
+          mergeOne(col("syms"), lit(a), lit(b)))
+        val delta = pairCounts(merged).unionByName(
+          pairCounts(affected).withColumn("cnt", -col("cnt")))
+        val nextCounts = counts.unionByName(delta)
+          .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0).localCheckpoint()
+        // merged rows supersede their overlay versions (if any); base
+        // rows they came from are masked by the read-time anti-join
+        val nextOverlay = overlay.filter(!adj).unionByName(merged)
+          .coalesce(parts).localCheckpoint()
+        counts.unpersist(); overlay.unpersist(); affected.unpersist()
+        counts = nextCounts
+        overlay = nextOverlay
+        if ((i + 1) % compactEvery == 0) {
+          val nextBase = base
+            .join(overlay.select("word"), Seq("word"), "left_anti")
+            .unionByName(overlay).coalesce(parts).localCheckpoint()
+          base.unpersist(); overlay.unpersist()
+          base = nextBase
+          overlay = base.filter(lit(false)).localCheckpoint()
+        }
+      }
+      i += 1
+    }
+    counts.unpersist(); base.unpersist(); overlay.unpersist()
+    merges.result()
+  }
+
   /** Tokenize each distinct word with the learned merges (in priority
     * order), checkpointing every few rules to bound plan depth.
     */

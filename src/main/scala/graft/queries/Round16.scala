@@ -218,5 +218,40 @@ object Round16 {
         Tables(s, dir, "part").withColumnRenamed("p_partkey", "id"),
         idCol = "id", strCol = "p_name",
         blockCols = Seq("p_brand", "p_size"), minMicro = 900000L)
+    },
+
+    // ----- incremental-count BPE training --------------------------------
+    // The trainer whose per-pass cost is O(affected words + pair
+    // table) instead of a full vocabulary re-aggregation
+    // (Bpe.trainIncremental: delta-patched standing counts + a
+    // merge-on-read base/overlay vocabulary, compacted here every 5
+    // merges so the gate exercises BOTH overlay reads and the fold-in).
+    // The builder REQUIRES the learned sequence equal the sequential
+    // trainer's, pair for pair (the strongest possible check — the
+    // gate fails loudly on any counts-maintenance drift), then gates
+    // qt18's encoder invariants over the incremental merges.
+    Q("qt32_bpe_incremental",
+      """SELECT doc_id, CAST(1 AS BIGINT) AS roundtrip_ok,
+        |  CAST(1 AS BIGINT) AS bounds_ok
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.operators.Bpe.trainIncremental(
+        docs, "text", numMerges = 12, compactEvery = 5)
+      require(merges == graft.operators.Bpe.train(docs, "text", 12),
+        "incremental trainer diverged from the sequential merge sequence")
+      val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
+      docs.select(col("doc_id"),
+          expr(graft.functions.Text.wordsExpr("text")).as("__ws"))
+        .join(enc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (concat_ws("", coalesce(col("tokens"),
+            array().cast("array<string>"))) ===
+            concat_ws("", col("__ws"))).cast("long").as("roundtrip_ok"),
+          (coalesce(col("n_tokens"), lit(0L)) >= size(col("__ws")).cast("long") &&
+            coalesce(col("n_tokens"), lit(0L)) <=
+              aggregate(transform(col("__ws"), w => length(w)),
+                lit(0L), (a, x) => a + x))
+            .cast("long").as("bounds_ok"))
     })
 }

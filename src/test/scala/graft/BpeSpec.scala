@@ -81,6 +81,25 @@ class BpeSpec extends SparkSpec {
       Bpe.train(tiny, "text", 10))
   }
 
+  test("incremental training learns the identical merge sequence") {
+    // the maintained pair table must equal a fresh pairCounts(vocab)
+    // at every step (delta patching around the affected subset), so
+    // the argmax sequence is train's exactly — on the gate corpus AND
+    // the tie-heavy teaching corpus (where a wrong count breaks the
+    // lexicographic tiebreak ordering immediately)
+    // compactEvery = 7 forces THREE base compactions inside 24 merges
+    // (the overlay fold-in is the step a bug would hide in: a word
+    // surviving in both base and overlay would double-count pairs and
+    // break the argmax order within a few merges)
+    val docs = Tables(spark, sfDir, "documents").limit(200)
+    val sequential = Bpe.train(docs, "text", 24)
+    val incremental = Bpe.trainIncremental(docs, "text", 24, compactEvery = 7)
+    assert(incremental == sequential,
+      s"diverged at ${incremental.zip(sequential).indexWhere(p => p._1 != p._2)}")
+    assert(Bpe.trainIncremental(corpus, "text", 10, compactEvery = 3) ==
+      Bpe.train(corpus, "text", 10))
+  }
+
   test("batched training runs fewer passes than merges") {
     // cost model: jobs ∝ passes, and each pass accepts a batch of
     // mutually-independent merges — so the pass COUNT, not wall-clock
