@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Curation, EntityResolution, Ivf, MediaFixtures, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, EntityResolution, Ivf, MediaFixtures, Multimodal, Similarity}
 
 /** Round-16 gate additions: generalization-hierarchy k-anonymity
   * (qq05), deletes in the streaming ANN index (qs28), compressed
@@ -253,5 +253,55 @@ object Round16 {
               aggregate(transform(col("__ws"), w => length(w)),
                 lit(0L), (a, x) => a + x))
             .cast("long").as("bounds_ok"))
+    },
+
+    // ----- entity merge pipeline: score -> cluster -> survive ------------
+    // The three entity-resolution pieces composed under ONE oracle
+    // (the qp discipline): qe02's blocked Jaro-Winkler pairs feed
+    // qd06's connected components (min-label propagation + pointer
+    // jumping), and each entity's member records collapse through
+    // qe01's per-field survivorship (recency = the part key here, so
+    // the golden fields come from the max-key member — which the
+    // oracle replays via a last_seen self-join). The DuckDB side walks
+    // the SAME closure with a RECURSIVE CTE over the pair graph, so
+    // any drift in scoring, clustering, or survivorship breaks the
+    // hash. Clusters are block-bounded (brand x size), so the
+    // transitive closure is small by construction at every sf.
+    Q("qe03_entity_merge",
+      """WITH RECURSIVE
+        |pr AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |       FROM part a JOIN part b
+        |         ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |        AND a.p_partkey < b.p_partkey
+        |       WHERE CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name)
+        |         * 1000000 + 0.5) AS BIGINT) >= 900000),
+        |e AS (SELECT id_a AS s, id_b AS d FROM pr
+        |      UNION SELECT id_b, id_a FROM pr),
+        |n AS (SELECT DISTINCT s AS node FROM e),
+        |reach(node, l) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.d, r.l FROM reach r JOIN e ON e.s = r.node),
+        |comp AS (SELECT node, min(l) AS entity FROM reach GROUP BY node),
+        |win AS (SELECT c.entity, max(p.p_partkey) AS last_seen,
+        |          count(*) AS n_records
+        |        FROM comp c JOIN part p ON p.p_partkey = c.node
+        |        GROUP BY c.entity)
+        |SELECT w.entity, p.p_name, p.p_retailprice, w.n_records,
+        |  w.last_seen
+        |FROM win w JOIN part p ON p.p_partkey = w.last_seen""".stripMargin
+    ) { (s, dir) =>
+      val part = Tables(s, dir, "part")
+      val pairs = EntityResolution.blockedJaroWinklerPairs(
+        part.withColumnRenamed("p_partkey", "id"),
+        idCol = "id", strCol = "p_name",
+        blockCols = Seq("p_brand", "p_size"), minMicro = 900000L)
+      val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val recs = cc.join(part, cc("id_a") === part("p_partkey"))
+        .select(col("cluster").as("entity"),
+          col("p_partkey").as("__r"), col("p_partkey").as("__t"),
+          col("p_name"), col("p_retailprice"))
+      EntityResolution.goldenRecord(recs, "entity", "__r", "__t",
+        Seq("p_name", "p_retailprice"))
     })
 }
