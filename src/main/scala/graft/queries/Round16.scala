@@ -24,6 +24,14 @@ object Round16 {
   private val ivfDeleteState =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Ivf.Model)]()
 
+  /** qt32's sequential reference merge table per sf dir — the CHECK
+    * arm, not the operator under test, so bench passes 2..n re-time
+    * only the incremental trainer + encode against a cached reference
+    * (the qs24/qs28 memoization discipline).
+    */
+  private val bpeSeqRef =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
   def all: Seq[Q] = Seq(
 
     // ----- k-anonymity with a generalization HIERARCHY -------------------
@@ -237,7 +245,10 @@ object Round16 {
       val docs = Tables(s, dir, "documents")
       val merges = graft.operators.Bpe.trainIncremental(
         docs, "text", numMerges = 12, compactEvery = 5)
-      require(merges == graft.operators.Bpe.train(docs, "text", 12),
+      val seqRef = bpeSeqRef.computeIfAbsent(dir, { d =>
+        graft.operators.Bpe.train(Tables(s, d, "documents"), "text", 12)
+      })
+      require(merges == seqRef,
         "incremental trainer diverged from the sequential merge sequence")
       val enc = graft.operators.Bpe.encode(docs, "doc_id", "text", merges)
       docs.select(col("doc_id"),

@@ -109,6 +109,23 @@ class PlanChecksSpec extends SparkSpec {
       "blocked all-pairs must not produce a cartesian product")
   }
 
+  test("blocked Jaro-Winkler matching joins on the block key, never " +
+    "all-pairs (qe02)") {
+    val nodes = collectAll(executed(q("qe02_jw_blocked_match")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "blocked fuzzy matching must hash-join on the block key, not BNLJ")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "blocked fuzzy matching must not produce a cartesian product")
+    // the scorer itself must stay inside whole-stage codegen — the
+    // reason it is a native expression and not a UDF (AQE's final-plan
+    // toString renders codegen spans as "*(n)", so check the node type)
+    assert(nodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec] &&
+        n.toString.contains("jarowinklersim")),
+      "Jaro-Winkler scoring fell out of whole-stage codegen")
+  }
+
   test("semantic near-dup and IVF-PQ search stay equi-join shaped: no " +
     "BNLJ, no cartesian, codebooks broadcast (qp03/qs10 ANN paths)") {
     // the qs10 GATE also runs the exact-topk twin, whose small-query
