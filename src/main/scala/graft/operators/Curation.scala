@@ -856,6 +856,23 @@ object Curation {
   def dpNoisyCounts(df: DataFrame, dims: Seq[String], noiseKey: Column,
                     eps: Double, threshold: Long): DataFrame = {
     require(dims.nonEmpty, "need at least one release dimension")
+    dpNoisyRelease(
+      df.groupBy(dims.map(col): _*).agg(count(lit(1)).as("__exact")),
+      dims, col("__exact"), noiseKey, eps, threshold)
+  }
+
+  /** [[dpNoisyCounts]] over PRE-AGGREGATED counts — the serve shape
+    * when the exact counts are maintained elsewhere (a streaming
+    * rollup, a materialized aggregate): `countCol` already holds one
+    * exact count per dims-row, and this applies the identical seeded
+    * mechanism (same key → same noise, so releasing from the rollup
+    * and releasing from the raw rows are bit-identical — qq07 gates
+    * exactly that equivalence against a raw-replay oracle).
+    */
+  def dpNoisyRelease(df: DataFrame, dims: Seq[String], countCol: Column,
+                     noiseKey: Column, eps: Double,
+                     threshold: Long): DataFrame = {
+    require(dims.nonEmpty, "need at least one release dimension")
     require(eps > 0.0, s"eps must be > 0, got $eps")
     val m = 2147483648L // 2^31
     val key = noiseKey.cast(LongType)
@@ -864,9 +881,7 @@ object Curation {
     val u = (v.cast("double") + lit(0.5)) / lit(m.toDouble)
     val lap = -signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
     val noise = floor(lap * lit(1.0 / eps) + lit(0.5)).cast(LongType)
-    df.groupBy(dims.map(col): _*)
-      .agg(count(lit(1)).as("__exact"))
-      .withColumn("noisy_count", col("__exact") + noise)
+    df.withColumn("noisy_count", countCol.cast(LongType) + noise)
       .filter(col("noisy_count") >= threshold)
       .select(dims.map(col) :+ col("noisy_count") :+
         lit((eps * 1000000L).toLong).as("eps_micro"): _*)

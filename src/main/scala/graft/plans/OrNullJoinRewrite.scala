@@ -92,6 +92,14 @@ object GraftExtensions {
         graft.expressions.DotProduct(args(0), args(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinklerSim].getName,
+        "graft_jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_jaro_winkler(str, str)")
+        graft.expressions.JaroWinklerSim(args(0), args(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_bitmap_count"),
       new ExpressionInfo(classOf[graft.expressions.BitmapCount].getName,
         "graft_bitmap_count"),

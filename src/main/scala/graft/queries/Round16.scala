@@ -32,6 +32,28 @@ object Round16 {
   private val bpeSeqRef =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
 
+  /** qq07's stream-maintained rollup state per sf dir (the gate's
+    * operator is the RELEASE over the standing state, so bench passes
+    * 2..n time the release, not the one-time ingest).
+    */
+  private val dpRollupState =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Recursive delete at JVM exit (deleteOnExit only removes empty
+    * dirs — the Round15 discipline).
+    */
+  private def tempDirForCleanup(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def wipe(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(wipe)
+        f.delete(); ()
+      }
+      wipe(p.toFile)
+    }))
+    p.toString
+  }
+
   def all: Seq[Q] = Seq(
 
     // ----- k-anonymity with a generalization HIERARCHY -------------------
@@ -314,5 +336,64 @@ object Round16 {
           col("p_name"), col("p_retailprice"))
       EntityResolution.goldenRecord(recs, "entity", "__r", "__t",
         Seq("p_name", "p_retailprice"))
+    },
+
+    // ----- DP release served from the streaming rollup --------------------
+    // qq06's mechanism composed with RollupIngest's exactly-once exact
+    // aggregate — the deploy shape of a privacy release: the exact
+    // (day, event_type) counts are MAINTAINED by the stream (three
+    // ingested batches here, replay-safe by the rollup's transactional
+    // batch column), and the release applies the seeded mechanism to
+    // the standing state. Because the noise is a pure function of the
+    // group identity (epoch-day * 256 + type's first char code),
+    // releasing from the rollup is bit-identical to releasing from the
+    // raw rows — which is exactly what the oracle replays, so any
+    // drift in ingest (lost batch, double-applied replay) or in the
+    // mechanism breaks the hash. The 150 group keys sit >= 2.9e-3 from
+    // every rounding boundary (measured; same keys at every sf — days
+    // and types don't scale).
+    Q("qq07_dp_stream_release",
+      """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+        |             event_type AS et, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |k AS (SELECT d, et, cnt,
+        |        CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
+        |          * 256 + ascii(et) AS key FROM g),
+        |n AS (SELECT d, et, cnt,
+        |        (1103515245 * ((key % 2147483648)
+        |           * 2654435761 % 2147483648) + 12345) % 2147483648 AS v
+        |      FROM k),
+        |l AS (SELECT d, et, cnt,
+        |        -sign((v + 0.5) / 2147483648.0 - 0.5)
+        |          * ln(1.0 - 2.0 * abs((v + 0.5) / 2147483648.0 - 0.5))
+        |          AS lap
+        |      FROM n),
+        |r AS (SELECT d, et,
+        |        cnt + CAST(floor(lap * 2.0 + 0.5) AS BIGINT) AS noisy_count
+        |      FROM l)
+        |SELECT d, et, noisy_count, CAST(500000 AS BIGINT) AS eps_micro
+        |FROM r WHERE noisy_count >= 20""".stripMargin) { (s, dir) =>
+      val path = dpRollupState.computeIfAbsent(dir, { d =>
+        val ev = Tables(s, d, "events")
+        // the rollup table path must not pre-exist (lastBatch reads it
+        // when present), so the table lives one level below the temp dir
+        val out = tempDirForCleanup("graft_qq07_rollup") + "/rollup"
+        (0 until 3).foreach { b =>
+          graft.streaming.RollupIngest.applyBatch(s,
+            ev.filter(col("event_id") % 3 === b), out, b.toLong)
+        }
+        // replay of an already-applied batch must no-op (the rollup's
+        // transactional guard) or the release double-counts
+        graft.streaming.RollupIngest.applyBatch(s,
+          ev.filter(col("event_id") % 3 === 1), out, 1L)
+        out
+      })
+      val state = graft.streaming.RollupIngest.read(s, path)
+        .select(to_date(col("d")).as("d"), col("event_type").as("et"),
+          col("n"))
+      Curation.dpNoisyRelease(state, Seq("d", "et"), col("n"),
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long") * 256 +
+          ascii(col("et")),
+        eps = 0.5, threshold = 20L)
     })
 }

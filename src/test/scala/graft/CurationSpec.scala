@@ -658,6 +658,23 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(mean) < 0.05, s"mean = $mean")
   }
 
+  test("dp release over pre-aggregated counts equals the row-count path") {
+    import spark.implicits._
+    // the serve shape (qq07): same mechanism over maintained counts
+    // must be bit-identical to counting the raw rows
+    val df = (0 until 500).map(i => (s"g${i % 20}", i)).toDF("grp", "x")
+    val key = substring(col("grp"), 2, 4).cast("long")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val viaRows = toMap(Curation.dpNoisyCounts(
+      df, Seq("grp"), key, eps = 0.5, threshold = Long.MinValue).collect())
+    val pre = df.groupBy("grp").agg(count(lit(1)).as("c"))
+    val viaState = toMap(Curation.dpNoisyRelease(
+      pre, Seq("grp"), col("c"), key, eps = 0.5,
+      threshold = Long.MinValue).collect())
+    assert(viaRows == viaState)
+  }
+
   test("dp noisy counts: suppression and budget accounting") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (s"s${i % 40}", i)).toDF("grp", "x")

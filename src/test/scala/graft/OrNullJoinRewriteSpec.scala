@@ -93,6 +93,11 @@ class OrNullJoinRewriteSpec extends SparkSpec {
       val nfc = s.sql("SELECT graft_nfc('Café') = 'Café'")
         .head().getBoolean(0)
       assert(nfc)
+      // graft_jaro_winkler: the classic MARTHA/MARHTA value, same
+      // kernel the Column API and qe02's gate use
+      val jw = s.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
+        .head().getDouble(0)
+      assert(jw == graft.expressions.JaroWinklerSim.compute("MARTHA", "MARHTA"))
       // graft_group_topk: per-group bounded top-k from pure SQL
       val topk = s.sql(
         """SELECT g, e.id FROM (
