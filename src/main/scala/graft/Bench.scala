@@ -24,7 +24,12 @@ object Bench {
     */
   val BaselineArms: Set[String] = Set(
     "qs12_sparse_cosine", "qt31_rm3_expansion",
-    "qd02_ngram_jaccard", "qd12_containment")
+    "qd02_ngram_jaccard", "qd12_containment",
+    // r17 (verdict #3): the exact all-pairs cosine arm and the fusion
+    // that composes two exact quadratic arms — their scale-path twins
+    // are qp03 (cluster-bounded cosine) and qp13 (prefix-Jaccard ∪
+    // cluster-bounded cosine under the same full-outer/flags contract)
+    "qs02_embedding_neardup", "qp04_dedup_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,17 +48,32 @@ object Bench {
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
     // a failed query reports -1, never its (tiny) time-to-throw: a broken
-    // query must not masquerade as a fast one
+    // query must not masquerade as a fast one.
+    // After every entry, dead localCheckpoint blocks are swept
+    // (graft.Blocks scaladoc): un-swept they accumulate across the
+    // 280-entry suite × 4 passes, pin storage memory in the shared
+    // local-mode heap, and inflate every later entry — the round-16
+    // fixed-cost creep (common entries +10%, warehouse_build +60%).
+    // The sweep is OUTSIDE the timed window: reclaiming the PREVIOUS
+    // entry's garbage is harness work, not query work.
     def timeOne(q: graft.queries.Q): Double = {
-      val t0 = System.nanoTime()
-      try {
-        q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          -1.0
-      }
+      val sec =
+        try {
+          val t0 = System.nanoTime()
+          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            -1.0
+        }
+      Blocks.sweepLocalCheckpoints(spark)
+      sec
+    }
+    def reportPinned(tag: String): Unit = {
+      val (n, mem, disk) = Blocks.storagePinned(spark)
+      System.err.println(f"[bench] pinned storage $tag: rdds=$n " +
+        f"mem=${mem / 1048576.0}%.1f MiB disk=${disk / 1048576.0}%.1f MiB")
     }
 
     // UNTIMED pre-warm pass over the full suite BEFORE the warehouse
@@ -65,6 +85,7 @@ object Bench {
     // absorbs first-execution JIT/codegen across the suite.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM", "1") == "1")
       SparkEntry.allQueries.foreach(timeOne)
+    reportPinned("after warm pass")
 
     // the one-shot star materialization, forced from scratch — this is
     // the number comparable to the reference's end-to-end dimensional
@@ -264,15 +285,29 @@ object Bench {
     // the round archive is only written at the driver's per-round scale
     // (sf0.1) so local sf0.01/sf1 iteration runs never clobber it with
     // unlike-for-unlike minima; bench_out.json itself always reflects
-    // the latest run whatever the scale
+    // the latest run whatever the scale.
+    // ONE ARTIFACT PER PROVENANCE (r16 verdict #8): a round's archive
+    // is never overwritten — if bench_out_r{N}.json already exists
+    // (e.g. the builder's quiet-host run landed first and the driver
+    // re-runs later, or vice versa), subsequent runs write
+    // bench_out_r{N}_2.json, _3.json, … so a committed artifact and a
+    // later run of the same round remain separately readable instead
+    // of one filename carrying two provenances.
     val archive =
-      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
-        Seq(outDir.resolve(f"bench_out_r$round%02d.json").toString)
-      else Nil
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) {
+        val base = outDir.resolve(f"bench_out_r$round%02d.json")
+        val slot =
+          if (!java.nio.file.Files.exists(base)) base
+          else Iterator.from(2)
+            .map(k => outDir.resolve(f"bench_out_r$round%02d_$k.json"))
+            .find(p => !java.nio.file.Files.exists(p)).get
+        Seq(slot.toString)
+      } else Nil
     for (p <- out +: archive) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full + "\n")
       catch { case e: Throwable => System.err.println(s"[bench] write $p: $e") }
     }
+    reportPinned("at end")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.mkString(", ")}")

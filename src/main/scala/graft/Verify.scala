@@ -24,6 +24,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // dead localCheckpoint blocks from the finished query would
+      // otherwise pin memory for the rest of the 280+-entry run
+      // (graft.Blocks scaladoc — reclamation is GC-timing-dependent
+      // without this)
+      Blocks.sweepLocalCheckpoints(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
