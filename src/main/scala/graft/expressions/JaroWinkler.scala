@@ -1,8 +1,9 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd Jaro-Winkler similarity of two string columns — the
@@ -29,23 +30,43 @@ import org.apache.spark.unsafe.types.UTF8String
   * (floor(x·1e6 + 0.5)) so a last-ulp libm-style divergence can never
   * flip a hash — the same discipline as the seeded-noise release.
   *
-  * Comparison is per Java char (UTF-16 unit), matching the oracle on
-  * the ASCII identifier/name columns this ships for; supplementary-
-  * plane input would need codepoint iteration on both engines.
+  * Comparison is per UTF-8 BYTE, which is exactly what DuckDB's
+  * jaro_winkler_similarity compares (measured round 17: precomposed
+  * 'éa'/'éb' → 0.8222…, NFD-decomposed → 0.8833…, '日本語'/'日本誤'
+  * → 0.9556…, astral '𝄞abc'/'𝄞abd' → 0.9429… — all reproduced
+  * byte-for-byte by this kernel, all divergent from a UTF-16-char or
+  * codepoint kernel). Byte iteration also skips the UTF-16 decode the
+  * previous char-based kernel paid per row. Note the semantic trade:
+  * a multi-byte codepoint can half-match (its bytes straddling the
+  * window), which a codepoint-level scorer would never do — acceptable
+  * here because the oracle IS the byte-level engine, and documented so
+  * a future codepoint-level consumer knows to add a different mode.
   */
 case class JaroWinklerSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  /** Analysis-time typing (ADVICE r16): without this check,
+    * graft_jaro_winkler(1, 2) passed analysis and failed at runtime
+    * (ClassCastException interpreted, janino error codegen'd).
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_jaro_winkler needs (STRING, STRING) input types, got " +
+          s"(${left.dataType}, ${right.dataType})")
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     JaroWinklerSim.compute(
-      a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+      a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.JaroWinklerSim.compute($a.toString(), $b.toString())")
+      s"graft.expressions.JaroWinklerSim.compute($a.getBytes(), $b.getBytes())")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerSim =
@@ -56,9 +77,10 @@ object JaroWinklerSim {
 
   /** Static kernel shared by interpreted eval and generated code (the
     * RegExpExtract pattern: one tight JVM method, codegen emits a
-    * call, whole-stage fusion is preserved around it).
+    * call, whole-stage fusion is preserved around it). Operates on the
+    * raw UTF-8 bytes — DuckDB's exact comparison unit (scaladoc above).
     */
-  def compute(s1: String, s2: String): Double = {
+  def compute(s1: Array[Byte], s2: Array[Byte]): Double = {
     val len1 = s1.length
     val len2 = s2.length
     if (len1 == 0 || len2 == 0) return 0.0
@@ -73,7 +95,7 @@ object JaroWinklerSim {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!matched2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!matched2(j) && s1(i) == s2(j)) {
           matched1(i) = true
           matched2(j) = true
           m += 1
@@ -93,7 +115,7 @@ object JaroWinklerSim {
     while (i < len1) {
       if (matched1(i)) {
         while (!matched2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) diff += 1
+        if (s1(i) != s2(k)) diff += 1
         k += 1
       }
       i += 1
@@ -103,7 +125,7 @@ object JaroWinklerSim {
     if (jaro > 0.7) {
       var l = 0
       val maxL = math.min(4, math.min(len1, len2))
-      while (l < maxL && s1.charAt(l) == s2.charAt(l)) l += 1
+      while (l < maxL && s1(l) == s2(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

@@ -728,8 +728,15 @@ object Curation {
         parts += joined.filter(col("__cnt") >= k).select(
           keep ++ quasiCols.map(c => col(s"__anon.$c").as(c)) :+
             lit(level).as("anon_level"): _*)
+        // MATERIALIZE the shrinking residual: lazily, level L's count
+        // re-executes every earlier level's count+join (the plan chain
+        // doubles per level — measured 12 s for a 7-level ladder at
+        // sf0.1 vs ~2 s for 4 levels). One localCheckpoint per level
+        // makes the ladder genuinely levels x (count + join); the
+        // residual is bounded by the input and shrinks geometrically.
         rest = joined.filter(col("__cnt") < k)
           .select(rest.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint()
       }
     }
     parts.result().reduce(_.unionByName(_))
@@ -812,8 +819,15 @@ object Curation {
         parts += joined.filter(col("__cnt") >= k).select(
           keep ++ names.map(c => col(s"__anon.$c").as(c)) :+
             lit(level).as("anon_level"): _*)
+        // MATERIALIZE the shrinking residual: lazily, level L's count
+        // re-executes every earlier level's count+join (the plan chain
+        // doubles per level — measured 12 s for a 7-level ladder at
+        // sf0.1 vs ~2 s for 4 levels). One localCheckpoint per level
+        // makes the ladder genuinely levels x (count + join); the
+        // residual is bounded by the input and shrinks geometrically.
         rest = joined.filter(col("__cnt") < k)
           .select(rest.columns.map(col).toIndexedSeq: _*)
+          .localCheckpoint()
       }
     }
     parts.result().reduce(_.unionByName(_))
@@ -826,26 +840,42 @@ object Curation {
     * by one, and the mechanism's output distribution shifts by at most
     * e^ε).
     *
-    * Noise is SEEDED AND DETERMINISTIC per group so releases are
-    * reproducible and cross-engine gateable: the caller supplies
-    * `noiseKey`, a non-negative BIGINT expression over the grouped
-    * dims (NOT over the data — the noise table is a pure function of
-    * the group identity, so re-running a release never re-randomizes).
-    * The uniform comes from one LCG step on the key, the Laplace from
-    * the exact inverse CDF, and the published value rounds to an
-    * INTEGER (floor(b·lap + 0.5)) — ln() is the one libm call in the
-    * chain and differs by 1 ulp between JVM and DuckDB on ~0.5% of
-    * inputs (measured), which integer rounding absorbs except on exact
-    * .5 boundaries (probability ~0 and, because noise depends only on
-    * group identity, fixed and testable once per release policy, not
-    * per dataset).
+    * Noise is SEEDED AND DETERMINISTIC per (secret salt, group) so
+    * releases are reproducible and cross-engine gateable: the caller
+    * supplies `noiseKey`, a BIGINT expression over the grouped dims
+    * (NOT over the data — the noise table is a pure function of the
+    * group identity, so re-running a release never re-randomizes),
+    * plus `saltSecret`, a REQUIRED salt mixed into the key before the
+    * generator. The uniform comes from one LCG step on the salted key,
+    * the Laplace from the exact inverse CDF, and the published value
+    * rounds to an INTEGER (floor(b·lap + 0.5)) — ln() is the one libm
+    * call in the chain and differs by 1 ulp between JVM and DuckDB on
+    * ~0.5% of inputs (measured), which integer rounding absorbs except
+    * on exact .5 boundaries (probability ~0 and, because noise depends
+    * only on (salt, group), fixed and testable once per release
+    * policy, not per dataset).
+    *
+    * PRIVACY REQUIRES THE SALT SECRET (r16 advisor finding): with the
+    * salt public, anyone recomputes the noise per group and subtracts
+    * it — the release is the exact counts. With the salt secret this
+    * is the standard derandomized construction (noise from a keyed
+    * PRF; computational DP — an LCG is not a cryptographic PRF, so a
+    * production deployment should swap in a keyed hash, same shape).
+    * The CORRECTNESS GATES publish their salt so the DuckDB oracle can
+    * replay the mechanism bit-for-bit — those are tests of the
+    * mechanism, not private releases, and say so at the gate site.
     *
     * Reproducibility-vs-privacy note (the honest caveat every
     * deterministic-DP system carries): determinism means REPEATED
-    * releases of the same groups spend no extra budget (identical
-    * output), but a new release with a different seed/key formula is a
-    * fresh ε. The ε accounting column rides the output so downstream
-    * audits can sum budget spend.
+    * releases of the same (salt, key formula, groups) spend no extra
+    * budget (identical output), but a release with a different salt or
+    * key formula is fresh noise and a fresh ε — and because the noise
+    * is fixed per (salt, group), two releases of NEIGHBORING datasets
+    * under the SAME salt differ by exactly the true delta (the noise
+    * cancels in the difference): the guarantee is per salt across a
+    * data lifetime, not per release. [[dpBudgetByGroup]] is the
+    * accountant that enforces the sum across releases (qq08 gates
+    * sequential composition).
     *
     * Scale shape: ONE partial-agg groupBy + row-local noise on the
     * (tiny) group table + an integer filter — the cheapest possible
@@ -854,11 +884,12 @@ object Curation {
     * identifying.
     */
   def dpNoisyCounts(df: DataFrame, dims: Seq[String], noiseKey: Column,
-                    eps: Double, threshold: Long): DataFrame = {
+                    saltSecret: Long, eps: Double,
+                    threshold: Long): DataFrame = {
     require(dims.nonEmpty, "need at least one release dimension")
     dpNoisyRelease(
       df.groupBy(dims.map(col): _*).agg(count(lit(1)).as("__exact")),
-      dims, col("__exact"), noiseKey, eps, threshold)
+      dims, col("__exact"), noiseKey, saltSecret, eps, threshold)
   }
 
   /** [[dpNoisyCounts]] over PRE-AGGREGATED counts — the serve shape
@@ -870,13 +901,19 @@ object Curation {
     * exactly that equivalence against a raw-replay oracle).
     */
   def dpNoisyRelease(df: DataFrame, dims: Seq[String], countCol: Column,
-                     noiseKey: Column, eps: Double,
+                     noiseKey: Column, saltSecret: Long, eps: Double,
                      threshold: Long): DataFrame = {
     require(dims.nonEmpty, "need at least one release dimension")
     require(eps > 0.0, s"eps must be > 0, got $eps")
     val m = 2147483648L // 2^31
-    val key = noiseKey.cast(LongType)
-    val v = (lit(1103515245L) * ((key % m) * lit(2654435761L) % m) +
+    // pmod, not %: a negative key under % drove the uniform negative,
+    // ln() to NaN, and Spark's non-ANSI cast silently published ZERO
+    // noise (r16 advisor finding). pmod keeps every operand in [0, m)
+    // — which also bounds the products below 2^63 (no Long overflow).
+    val key = pmod(
+      pmod(noiseKey.cast(LongType), lit(m)) +
+        pmod(lit(saltSecret), lit(m)), lit(m))
+    val v = (lit(1103515245L) * ((key * lit(2654435761L)) % m) +
       lit(12345L)) % m
     val u = (v.cast("double") + lit(0.5)) / lit(m.toDouble)
     val lap = -signum(u - lit(0.5)) * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5)))
@@ -885,6 +922,57 @@ object Curation {
       .filter(col("noisy_count") >= threshold)
       .select(dims.map(col) :+ col("noisy_count") :+
         lit((eps * 1000000L).toLong).as("eps_micro"): _*)
+  }
+
+  /** One ledger entry per DP release: `releaseId` names the release
+    * policy (key formula + mechanism version — the caller's contract
+    * is that the same id is only ever reused for the IDENTICAL
+    * release), `domain` is the release's full group table (dims only —
+    * the ε is spent for every group the mechanism computed a noisy
+    * value for, whether or not the threshold let it publish:
+    * suppression is post-processing and spends nothing extra, but
+    * shields nothing either).
+    */
+  final case class DpLedgerEntry(releaseId: String, mechanism: String,
+                                 saltSecret: Long, epsMicro: Long,
+                                 domain: DataFrame)
+
+  /** Sequential-composition ε accountant over a release ledger — makes
+    * the budget caveat on [[dpNoisyRelease]] ENFORCEABLE instead of a
+    * docstring (r16 verdict #5): per group, the spent budget is the
+    * SUM of ε over DISTINCT releases touching it; an exact REPLAY of a
+    * release (same id, salt, eps, mechanism) is deterministic —
+    * bit-identical output — and spends nothing more, while reusing a
+    * release id with DIFFERENT parameters is a policy violation and
+    * fails loudly (that is fresh noise masquerading as a replay).
+    *
+    * Returns one row per group in the union of release domains:
+    * dims…, `eps_spent_micro` (the sequential-composition bound),
+    * `n_releases` (distinct releases that touched the group).
+    *
+    * Scale shape: driver-side conflict check on the (tiny) ledger,
+    * then ONE union + partial-agg groupBy over domain tables that are
+    * group-sized, not data-sized.
+    */
+  def dpBudgetByGroup(ledger: Seq[DpLedgerEntry],
+                      dims: Seq[String]): DataFrame = {
+    require(ledger.nonEmpty, "empty release ledger")
+    require(dims.nonEmpty, "need at least one group dimension")
+    ledger.groupBy(_.releaseId).foreach { case (id, entries) =>
+      val params = entries.map(e => (e.mechanism, e.saltSecret, e.epsMicro))
+        .distinct
+      require(params.size == 1,
+        s"release id '$id' reused with conflicting parameters $params — " +
+          "a replay must be bit-identical; new parameters need a new id")
+    }
+    val distinctReleases = ledger.groupBy(_.releaseId).map(_._2.head).toSeq
+    distinctReleases.map { e =>
+      e.domain.select(dims.map(col): _*).distinct()
+        .withColumn("__eps", lit(e.epsMicro))
+    }.reduce(_.unionByName(_))
+      .groupBy(dims.map(col): _*)
+      .agg(sum(col("__eps")).as("eps_spent_micro"),
+        count(lit(1)).as("n_releases"))
   }
 
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {

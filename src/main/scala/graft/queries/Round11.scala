@@ -61,7 +61,8 @@ object Round11 {
 
   private def wipeDir(t: String): Unit = {
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
       f.delete(); ()
     }
     wipe(new java.io.File(t))

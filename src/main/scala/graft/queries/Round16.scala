@@ -46,7 +46,10 @@ object Round16 {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def wipe(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(wipe)
+        // listFiles is null on a shutdown race (dir already gone / IO
+        // error at JVM exit) — an NPE here aborts the whole hook
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
         f.delete(); ()
       }
       wipe(p.toFile)
@@ -185,22 +188,26 @@ object Round16 {
 
     // ----- differentially-private histogram release ----------------------
     // The third privacy rung after qq03/qq05: per-(segment, nation)
-    // customer counts published under seeded Laplace(1/eps) noise with
-    // small-group suppression. The noise key is a pure function of the
-    // GROUP identity (nation*256 + first-char code), so the release is
-    // reproducible and the oracle replays the exact mechanism: LCG
-    // uniform -> inverse-CDF Laplace -> integer rounding. ln() is the
-    // one libm call and differs by <=1 ulp between engines on ~0.5% of
-    // inputs (measured); integer rounding absorbs it — the 125 group
-    // keys' rounded values sit >=2.7e-4 from every floor boundary
-    // (measured), 12 orders of magnitude beyond a ulp.
+    // customer counts published under salted-seed Laplace(1/eps) noise
+    // with small-group suppression. The noise key mixes a SALT with
+    // the group identity (nation*256 + first-char code); privacy
+    // requires the salt secret (Curation.dpNoisyRelease scaladoc) —
+    // THIS GATE PUBLISHES ITS SALT deliberately, because it tests the
+    // mechanism (the oracle must replay the exact chain: LCG uniform
+    // -> inverse-CDF Laplace -> integer rounding); it is not a private
+    // release. ln() is the one libm call and differs by <=1 ulp
+    // between engines on ~0.5% of inputs (measured); integer rounding
+    // absorbs it — under salt 98765431 the 125 group keys' rounded
+    // values sit >=6.6e-3 from every floor boundary (measured round
+    // 17, all four sf scales), 13 orders of magnitude beyond a ulp.
     Q("qq06_dp_histogram",
       """WITH g AS (SELECT c_mktsegment AS seg,
         |             CAST(c_nationkey AS BIGINT) AS nat,
         |             COUNT(*) AS cnt
         |           FROM customer GROUP BY 1, 2),
         |n AS (SELECT seg, nat, cnt,
-        |        (1103515245 * (((nat * 256 + ascii(seg)) % 2147483648)
+        |        (1103515245 * (((nat * 256 + ascii(seg) + 98765431)
+        |             % 2147483648)
         |           * 2654435761 % 2147483648) + 12345) % 2147483648 AS v
         |      FROM g),
         |l AS (SELECT seg, nat, cnt,
@@ -219,6 +226,7 @@ object Round16 {
             col("c_nationkey").cast("long").as("nat")),
         dims = Seq("seg", "nat"),
         noiseKey = col("nat") * 256 + ascii(col("seg")),
+        saltSecret = 98765431L, // published: mechanism test, not a release
         eps = 0.5, threshold = 10L)
     },
 
@@ -349,9 +357,11 @@ object Round16 {
     // releasing from the rollup is bit-identical to releasing from the
     // raw rows — which is exactly what the oracle replays, so any
     // drift in ingest (lost batch, double-applied replay) or in the
-    // mechanism breaks the hash. The 150 group keys sit >= 2.9e-3 from
-    // every rounding boundary (measured; same keys at every sf — days
-    // and types don't scale).
+    // mechanism breaks the hash. Salt published for the same reason as
+    // qq06: this gates the mechanism, not a private release. Under
+    // salt 98765431 the 150 group keys sit >= 6.5e-3 from every
+    // rounding boundary (measured round 17; same keys at every sf —
+    // days and types don't scale).
     Q("qq07_dp_stream_release",
       """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
         |             event_type AS et, COUNT(*) AS cnt
@@ -360,7 +370,7 @@ object Round16 {
         |        CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT)
         |          * 256 + ascii(et) AS key FROM g),
         |n AS (SELECT d, et, cnt,
-        |        (1103515245 * ((key % 2147483648)
+        |        (1103515245 * (((key + 98765431) % 2147483648)
         |           * 2654435761 % 2147483648) + 12345) % 2147483648 AS v
         |      FROM k),
         |l AS (SELECT d, et, cnt,
@@ -394,6 +404,7 @@ object Round16 {
       Curation.dpNoisyRelease(state, Seq("d", "et"), col("n"),
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long") * 256 +
           ascii(col("et")),
+        saltSecret = 98765431L, // published: mechanism test, not a release
         eps = 0.5, threshold = 20L)
     })
 }

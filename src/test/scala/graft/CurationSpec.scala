@@ -626,7 +626,7 @@ class CurationSpec extends SparkSpec {
     def release(d: org.apache.spark.sql.DataFrame) =
       Curation.dpNoisyCounts(d, Seq("grp"),
         noiseKey = ascii(col("grp")) * 100 + substring(col("grp"), 2, 4).cast("long"),
-        eps = 0.5, threshold = Long.MinValue)
+        saltSecret = 41L, eps = 0.5, threshold = Long.MinValue)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val a = release(df)
     val b = release(df.repartition(7))
@@ -645,7 +645,7 @@ class CurationSpec extends SparkSpec {
     // ~ 0.0821; the mechanism is symmetric so the mean is ~0.
     val df = (0 until 20000).map(i => (i.toLong, i)).toDF("grp", "x")
     val out = Curation.dpNoisyCounts(df, Seq("grp"), col("grp"),
-      eps = 1.0, threshold = Long.MinValue)
+      saltSecret = 41L, eps = 1.0, threshold = Long.MinValue)
       .select((col("noisy_count") - 1L).as("noise"))
       .collect().map(_.getLong(0))
     val n = out.length.toDouble
@@ -667,10 +667,11 @@ class CurationSpec extends SparkSpec {
     def toMap(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val viaRows = toMap(Curation.dpNoisyCounts(
-      df, Seq("grp"), key, eps = 0.5, threshold = Long.MinValue).collect())
+      df, Seq("grp"), key, saltSecret = 41L, eps = 0.5,
+      threshold = Long.MinValue).collect())
     val pre = df.groupBy("grp").agg(count(lit(1)).as("c"))
     val viaState = toMap(Curation.dpNoisyRelease(
-      pre, Seq("grp"), col("c"), key, eps = 0.5,
+      pre, Seq("grp"), col("c"), key, saltSecret = 41L, eps = 0.5,
       threshold = Long.MinValue).collect())
     assert(viaRows == viaState)
   }
@@ -679,10 +680,68 @@ class CurationSpec extends SparkSpec {
     import spark.implicits._
     val df = (0 until 1000).map(i => (s"s${i % 40}", i)).toDF("grp", "x")
     val out = Curation.dpNoisyCounts(df, Seq("grp"),
-      substring(col("grp"), 2, 4).cast("long"), eps = 0.5, threshold = 25L)
+      substring(col("grp"), 2, 4).cast("long"), saltSecret = 41L,
+      eps = 0.5, threshold = 25L)
       .collect()
     assert(out.nonEmpty)
     assert(out.forall(_.getLong(1) >= 25L), "suppression threshold violated")
     assert(out.forall(_.getLong(2) == 500000L), "eps_micro accounting wrong")
+  }
+
+  test("dp noise: salt changes the noise table; negative keys stay noised") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (s"g${i % 8}", i)).toDF("grp", "x")
+    val key = substring(col("grp"), 2, 4).cast("long")
+    def release(salt: Long, k: org.apache.spark.sql.Column) =
+      Curation.dpNoisyCounts(df, Seq("grp"), k, saltSecret = salt,
+        eps = 0.05, threshold = Long.MinValue)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a different secret salt is a different noise table (r16 advisor:
+    // with a fixed public formula the noise was recoverable)
+    val a = release(41L, key)
+    val b = release(42L, key)
+    assert(a != b, "salt must change the noise table")
+    // negative keys: the old % chain drove ln() to NaN and Spark's
+    // non-ANSI cast published EXACT counts with zero noise. pmod keeps
+    // the chain defined — at eps=0.05 (b=20) noise is essentially
+    // never all-zero across 8 groups.
+    val neg = release(41L, key - 1000000L)
+    val exact = df.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(neg.exists { case (g, v) => v != exact(g) },
+      "negative keys silently published unnoised counts")
+    // and a negative SALT is equally defined
+    val negSalt = release(-7L, key)
+    assert(negSalt.exists { case (g, v) => v != exact(g) })
+  }
+
+  test("dp budget accountant: sequential composition over the ledger") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (s"g${i % 6}", i)).toDF("grp", "x")
+    val domainAll = df.select("grp").distinct()
+    val domainHalf = df.filter(substring(col("grp"), 2, 4).cast("int") < 3)
+      .select("grp").distinct()
+    val relA = Curation.DpLedgerEntry("rel_a_v1", "laplace_count", 41L,
+      500000L, domainAll)
+    val relB = Curation.DpLedgerEntry("rel_b_v1", "laplace_count", 99L,
+      250000L, domainHalf)
+    // replay of rel_a: identical parameters -> spends nothing more
+    val spent = Curation.dpBudgetByGroup(Seq(relA, relB, relA), Seq("grp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(spent.size == 6)
+    (0 until 6).foreach { i =>
+      val (eps, n) = spent(s"g$i")
+      if (i < 3) assert(eps == 750000L && n == 2L, s"g$i: $eps/$n")
+      else assert(eps == 500000L && n == 1L, s"g$i: $eps/$n")
+    }
+    // reusing a release id with different parameters is NOT a replay —
+    // it is fresh noise masquerading as one, and must fail loudly
+    val conflicting = Curation.DpLedgerEntry("rel_a_v1", "laplace_count",
+      77L, 500000L, domainAll)
+    val e = intercept[IllegalArgumentException] {
+      Curation.dpBudgetByGroup(Seq(relA, conflicting), Seq("grp"))
+    }
+    assert(e.getMessage.contains("rel_a_v1"))
   }
 }

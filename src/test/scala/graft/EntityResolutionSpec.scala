@@ -72,7 +72,7 @@ class EntityResolutionSpec extends SparkSpec {
       a <- rows; b <- rows
       if a._3 == b._3 && a._1 < b._1
     } yield (a._1, b._1) -> math.floor(
-      graft.expressions.JaroWinklerSim.compute(a._2, b._2) * 1000000 + 0.5
+      graft.expressions.JaroWinklerSim.compute(a._2.getBytes("UTF-8"), b._2.getBytes("UTF-8")) * 1000000 + 0.5
     ).toLong).toMap
     assert(got == want)
     assert(got.keys.forall { case (i, j) => (i <= 4) == (j <= 4) },

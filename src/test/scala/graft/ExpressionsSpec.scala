@@ -74,7 +74,17 @@ class ExpressionsSpec extends SparkSpec {
     ("abc", "", 0.0),
     ("abc", "abc", 1.0),
     ("x", "x", 1.0),
-    ("a", "b", 0.0))
+    ("a", "b", 0.0),
+    // non-ASCII: DuckDB compares UTF-8 BYTES, and so does the kernel
+    // (round-17 fix — the old UTF-16-char kernel diverged on ALL
+    // non-ASCII, e.g. 'éa'/'éb' = 0.667 by chars vs DuckDB's 0.822).
+    // Values printed by duckdb.jaro_winkler_similarity this round:
+    ("éa", "éb", 0.8222222222222222), // precomposed U+00E9
+    ("café", "cafe", 0.8483333333333334),
+    ("e\u0301a", "e\u0301b", 0.8833333333333334), // NFD-decomposed e + combining acute
+    ("日本語", "日本誤", 0.9555555555555556),
+    // astral plane (U+1D11E, 4 UTF-8 bytes / a UTF-16 surrogate pair)
+    ("𝄞abc", "𝄞abd", 0.9428571428571428))
 
   test("jaro-winkler matches DuckDB-pinned values (codegen path)") {
     import spark.implicits._
@@ -86,23 +96,37 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  private def jwKernel(a: String, b: String): Double =
+    graft.expressions.JaroWinklerSim.compute(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   test("jaro-winkler kernel and expression agree; null-safe") {
     import spark.implicits._
     // expression (codegen) result is bit-identical to the kernel
     val viaDf = jwCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
       .select(Text.jaroWinkler(col("a"), col("b"))).collect()
       .map(_.getDouble(0)).toSeq
-    assert(viaDf == jwCases.map { case (a, b, _) =>
-      graft.expressions.JaroWinklerSim.compute(a, b) })
+    assert(viaDf == jwCases.map { case (a, b, _) => jwKernel(a, b) })
     // symmetry of the kernel (greedy matching is order-symmetric in m/t)
     Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("hello", "hallo"))
       .foreach { case (a, b) =>
-        assert(graft.expressions.JaroWinklerSim.compute(a, b) ==
-          graft.expressions.JaroWinklerSim.compute(b, a))
+        assert(jwKernel(a, b) == jwKernel(b, a))
       }
     val df = Seq((Some("abc"), Some("abd")), (None, Some("x")),
       (Some("x"), None)).toDF("a", "b")
     val rows = df.select(Text.jaroWinkler(col("a"), col("b"))).collect()
     assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0) && rows(2).isNullAt(0))
+  }
+
+  test("jaro-winkler rejects non-string input at analysis time") {
+    import spark.implicits._
+    // ADVICE r16: without ExpectsInputTypes, graft_jaro_winkler(1, 2)
+    // passed analysis and exploded at runtime (janino / ClassCast).
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Text.jaroWinkler(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
   }
 }

@@ -97,7 +97,7 @@ class OrNullJoinRewriteSpec extends SparkSpec {
       // kernel the Column API and qe02's gate use
       val jw = s.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
         .head().getDouble(0)
-      assert(jw == graft.expressions.JaroWinklerSim.compute("MARTHA", "MARHTA"))
+      assert(jw == graft.expressions.JaroWinklerSim.compute("MARTHA".getBytes("UTF-8"), "MARHTA".getBytes("UTF-8")))
       // graft_group_topk: per-group bounded top-k from pure SQL
       val topk = s.sql(
         """SELECT g, e.id FROM (

@@ -75,7 +75,8 @@ class QuarantineIngestSpec extends SparkSpec {
     QuarantineIngest.applyBatch(spark, batch, rules, Nil, clean, quar, 0L)
     // simulate the crash: quarantine publish lost, clean survived
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
       f.delete(); ()
     }
     wipe(new java.io.File(s"$quar/batch=0"))
