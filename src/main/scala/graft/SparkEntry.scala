@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13, Round15, Round16}
+import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13, Round15, Round16, Round17}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ Pipeline.all ++ Etl.all ++ Extra.all ++
       RefStarQueries.all ++ Round11.all ++ Round13.all ++ Round15.all ++
-      Round16.all ++ queries_extra
+      Round16.all ++ Round17.all ++ queries_extra
 
   /** Non-relational suites are appended here as they land. */
   private def queries_extra: Seq[Q] = Seq(
@@ -507,7 +507,8 @@ object SparkEntry {
         // a recycled PID) would shift the version numbers and wedge the
         // require below forever — start from a clean slate
         def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
+          if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
           f.delete(); ()
         }
         wipe(new java.io.File(t))
@@ -697,7 +698,8 @@ object SparkEntry {
 
   private def wipeDir(t: String): Unit = {
     def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(wipe)
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(wipe)
       f.delete(); ()
     }
     wipe(new java.io.File(t))

@@ -677,6 +677,95 @@ object MediaFixtures {
     * values from the tar bytes alone.
     */
   def ensureTars(): String = synchronized {
+    ensureTarsImpl()
+  }
+
+  // ----- animated GIF fixtures -----------------------------------------
+
+  /** Bump when the GIF fixture content changes. */
+  val GifVersion = 1
+
+  val GifCount = 24
+
+  def gifDir: String = s"$root/gif"
+
+  def gifFramesCsv: String = s"$gifDir/expected_gif_frames.csv"
+
+  /** Generate (once) and return the animated-GIF fixture dir: each
+    * file is a multi-frame GIF (LZW-compressed, palette-indexed)
+    * written by the JDK's ImageIO sequence writer. Frames are built on
+    * an 8-color IndexColorModel so the encode is palette-exact, but
+    * the sidecar STILL records sums from DECODING the exact bytes
+    * written — via the SAME [[Multimodal.decodeGifFrames]] the gate's
+    * Spark side runs, so agreement is by construction and any encoder
+    * quirk (dithering, palette reorder) is captured, not assumed away.
+    */
+  def ensureGif(): String = synchronized {
+    val marker = Paths.get(gifDir, "VERSION")
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker)).trim == GifVersion.toString
+    if (!fresh) {
+      generateGif()
+      Files.write(marker, GifVersion.toString.getBytes)
+    }
+    gifDir
+  }
+
+  private def generateGif(): Unit = {
+    Files.createDirectories(Paths.get(gifDir))
+    val pal = Array(0x000000, 0xE03131, 0x2F9E44, 0x1971C2,
+      0xF08C00, 0x9C36B5, 0x0CA678, 0xFFFFFF)
+    val cm = new java.awt.image.IndexColorModel(3, pal.length,
+      pal.map(c => ((c >> 16) & 0xff).toByte),
+      pal.map(c => ((c >> 8) & 0xff).toByte),
+      pal.map(c => (c & 0xff).toByte))
+    val vfb = new StringBuilder(
+      "media_id,frame_id,width,height,sum_r,sum_g,sum_b\n")
+    (1 to GifCount).foreach { id =>
+      val nFrames = 2 + id % 4
+      val w = 12 + (id % 5) * 6
+      val h = 12 + (id % 3) * 6
+      val frames = Array.tabulate(nFrames) { fi =>
+        val img = new BufferedImage(w, h,
+          BufferedImage.TYPE_BYTE_INDEXED, cm)
+        var seed = (id * 1000L + fi) * 0x9E3779B97F4A7C15L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            seed = seed * 6364136223846793005L + 1442695040888963407L
+            img.setRGB(x, y, pal((((seed >>> 32) % 8).toInt + 8) % 8))
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      val baos = new ByteArrayOutputStream()
+      val writers = ImageIO.getImageWritersByFormatName("gif")
+      require(writers.hasNext, "no GIF writer available")
+      val writer = writers.next()
+      val ios = ImageIO.createImageOutputStream(baos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null),
+          null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      val bytes = baos.toByteArray
+      Files.write(Paths.get(gifDir, f"anim_$id%03d.gif"), bytes)
+      Multimodal.decodeGifFrames(bytes).foreach {
+        case (fi, fw, fh, r, g, b) =>
+          vfb.append(s"$id,$fi,$fw,$fh,$r,$g,$b\n")
+      }
+    }
+    Files.write(Paths.get(gifFramesCsv), vfb.toString.getBytes)
+  }
+
+  private def ensureTarsImpl(): String = {
     ensure()
     val marker = Paths.get(tarDir, "VERSION")
     val fresh = Files.exists(marker) &&

@@ -795,6 +795,75 @@ object Multimodal {
         col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
   }
 
+  /** Every frame of an animated GIF, decoded with the JDK's ImageIO
+    * GIF reader — the second REAL compressed bitstream through the
+    * pure-JVM codec seam (after qm14's Motion-JPEG): GIF is
+    * LZW-compressed, palette-indexed, multi-frame-in-one-stream. The
+    * reader iterates stored frames (`getNumImages(true)` forces a full
+    * stream scan); dimensions come from each DECODED frame. Returns
+    * (frame_id starting at 1, width, height, sumR, sumG, sumB).
+    *
+    * Shared verbatim by the fixture generator's sidecar writer and the
+    * Spark-side decode, so generation-time vs serve-time agreement is
+    * by construction, not by parallel implementations.
+    */
+  def decodeGifFrames(bytes: Array[Byte])
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no GIF reader available in this JVM")
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      require(n > 0, "GIF stream holds no frames")
+      (0 until n).map { fi =>
+        val img = reader.read(fi)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val px = img.getRGB(x, y)
+            r += (px >> 16) & 0xff; g += (px >> 8) & 0xff; b += px & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ((fi + 1).toLong, img.getWidth.toLong, img.getHeight.toLong,
+          r, g, b)
+      }
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Per-frame pixel features for a directory of animated GIFs — the
+    * qm14 shape over the LZW codec: `binaryFile` source, row-local
+    * per-file decode (the correct tool for codec libraries), no
+    * collect. Gated against the generation-time decoded sidecar
+    * (qm15).
+    */
+  def gifFrameFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif").load(dir)
+      .select(
+        regexp_extract(col("path"), "anim_(\\d+)\\.gif$", 1)
+          .cast(LongType).as("media_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodeGifFrames(bytes).map { case (fi, w, h, r, g, b) =>
+          FrameFeatures(id, fi, w, h, r, g, b)
+        }
+      }
+      .select(col("id").as("media_id"), col("frame_id"), col("width"),
+        col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+  }
+
   /** Container metadata for a directory of MP4 files — the video twin
     * of `imageMeta`/`audioMeta`: `binaryFile` source, per-partition box
     * walk, no collect. Gated against the generation-time sidecar (qm04).

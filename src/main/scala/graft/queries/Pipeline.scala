@@ -777,6 +777,9 @@ object Pipeline {
     // both (documents and embeddings share the id domain here). Full
     // outer join of the two exact pair sets with per-signal flags: the
     // curation policy downstream picks its own precedence.
+    // BASELINE ARM since r17: both arms here are deliberately the
+    // EXACT quadratic formulations (all-pairs Jaccard, all-pairs
+    // cosine) — qp13 below is the fusion a 100 TB pipeline ships.
     Q("qp04_dedup_fusion",
       s"""WITH w AS ($wCte), sh AS ($shCte),
          |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
@@ -806,6 +809,65 @@ object Pipeline {
         .select(col("doc_a"), col("doc_b"))
       val ep = Dedup.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", 0.4)
+      jp.join(ep,
+          jp("doc_a") === ep("vec_a") && jp("doc_b") === ep("vec_b"), "full_outer")
+        .select(
+          coalesce(col("doc_a"), col("vec_a")).as("id_a"),
+          coalesce(col("doc_b"), col("vec_b")).as("id_b"),
+          when(col("doc_a").isNull, 0L).otherwise(1L).as("text_dup"),
+          when(col("vec_a").isNull, 0L).otherwise(1L).as("embed_dup"))
+    },
+
+    // ----- dedup-signal fusion, THE SCALE PATH (r16 verdict #3) ----------
+    // qp04 composes the two EXACT quadratic arms (all-pairs Jaccard ∪
+    // all-pairs cosine) — correct, but super-linear by design, so it
+    // now reports in the baseline_arms bench bucket with its exact-arm
+    // siblings. THIS is the fusion a 100 TB pipeline ships: qd09's
+    // PPJoin prefix-filtered Jaccard (identical output to the exact
+    // arm — the prefix-filter lemma drops only non-qualifying
+    // candidates) fused with qp03's SemDeDup cluster-bounded cosine
+    // (k-means cells bound the pair search; the clustering is fully
+    // deterministic, so the oracle replays it exactly — init from the
+    // first k ids, two decimal-exact Lloyd iterations, within-cell
+    // pairs). Same full-outer/per-signal-flags contract as qp04; the
+    // text flag is exact, the embedding flag is the cluster-bounded
+    // policy BY DEFINITION (its contract is "within-cell near-dups",
+    // hash-gated, not a recall bound). Scale shape: prefix-filtered
+    // candidate join + Σ cluster² instead of two O(n²) arms.
+    Q("qp13_dedup_fusion_scale",
+      s"""WITH w AS ($wCte), sh AS ($shCte),
+         |e AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+         |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter JOIN sz x ON doc_a = x.doc_id JOIN sz y ON doc_b = y.doc_id
+         |  WHERE i * 1.0 / (x.n + y.n - i) >= 0.5),
+         |ee AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u FROM ee),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, u AS cv
+         |       FROM (SELECT vec_id, u FROM n ORDER BY vec_id LIMIT 8)),
+         |${lloydIterSql(0)}
+         |${lloydIterSql(1)}
+         |af AS (${assignSql("c2")}),
+         |sf AS (SELECT vec_id, u, cid FROM af WHERE rn = 1),
+         |ep AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |       FROM sf a JOIN sf b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |       WHERE list_dot_product(a.u, b.u) >= 0.4)
+         |SELECT COALESCE(jp.doc_a, ep.vec_a) AS id_a,
+         |  COALESCE(jp.doc_b, ep.vec_b) AS id_b,
+         |  CAST(CASE WHEN jp.doc_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS text_dup,
+         |  CAST(CASE WHEN ep.vec_a IS NULL THEN 0 ELSE 1 END AS BIGINT) AS embed_dup
+         |FROM jp FULL OUTER JOIN ep
+         |  ON jp.doc_a = ep.vec_a AND jp.doc_b = ep.vec_b""".stripMargin) { (s, dir) =>
+      val jp = Dedup.ngramJaccardPairsPrefix(Tables(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val ep = Dedup.semanticNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, threshold = 0.4)
       jp.join(ep,
           jp("doc_a") === ep("vec_a") && jp("doc_b") === ep("vec_b"), "full_outer")
         .select(

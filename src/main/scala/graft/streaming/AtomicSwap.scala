@@ -38,11 +38,28 @@ object AtomicSwap {
     * `partitionCols` preserves a partitioned layout across the rewrite.
     */
   def rewrite(fs: FileSystem, path: String, next: DataFrame,
-              partitionCols: Seq[String] = Nil): Unit = {
+              partitionCols: Seq[String] = Nil): Unit =
+    rewriteStaged(fs, path) { staging =>
+      val w = next.write.mode("overwrite")
+      (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
+        .parquet(staging.toString)
+    }
+
+  /** [[rewrite]] with caller-controlled staging: `stage` populates the
+    * staging directory with ARBITRARY content (several tables, a model
+    * artifact next to its data…), then the same two-rename swap
+    * publishes everything it wrote AS ONE UNIT — which is what makes a
+    * (model, assignment) pair atomic for readers: both travel inside
+    * one directory rename ([[graft.streaming.IvfIngest.retrainSwap]]).
+    * Crash windows are identical to [[rewrite]]'s and [[recover]]
+    * handles them unchanged, because staging is only ever promoted
+    * complete (the rename happens after `stage` returns).
+    */
+  def rewriteStaged(fs: FileSystem, path: String)
+                   (stage: Path => Unit): Unit = {
     val (dst, staging, prev) = paths(path)
-    val w = next.write.mode("overwrite")
-    (if (partitionCols.isEmpty) w else w.partitionBy(partitionCols: _*))
-      .parquet(staging.toString)
+    fs.delete(staging, true) // a crashed earlier attempt's leftovers
+    stage(staging)
     if (fs.exists(dst) && !fs.rename(dst, prev))
       throw new java.io.IOException(s"swap: rename $dst aside failed")
     if (!fs.rename(staging, dst))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -49,6 +49,15 @@ import graft.operators.Ivf
 object IvfIngest {
 
   private def statePath(path: String) = s"$path/assign"
+
+  /** The retrained model rides INSIDE the assignment root (an
+    * underscore-prefixed subdir is invisible to the parquet reader's
+    * file listing, the `_delta_log` trick), so [[retrainSwap]]'s one
+    * directory rename publishes the (model, assignment) pair as a
+    * single atomic unit — a reader can never see new cells against old
+    * centroids or vice versa.
+    */
+  private def modelSubdir(assignRoot: String) = s"$assignRoot/_model"
 
   /** Tombstone namespace: delete batches get their own marker root so
     * their batch-id space never collides with assignment batches.
@@ -144,6 +153,77 @@ object IvfIngest {
              nprobe: Int = 2): DataFrame =
     Ivf.searchAssigned(assigned(spark, path), queries, model,
       idCol, vecCol, k, nprobe)
+
+  /** The model the index currently serves with, when a [[retrainSwap]]
+    * has published one (pre-swap indexes carry their model caller-side,
+    * the original contract).
+    */
+  def currentModel(spark: SparkSession, path: String): Option[Ivf.Model] = {
+    val mp = new Path(modelSubdir(statePath(path)))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mp)) Some(graft.operators.Models.loadIvf(spark, mp.toString))
+    else None
+  }
+
+  /** Retrain the coarse quantizer on the MAINTAINED corpus and swap
+    * the (model, assignment) pair atomically under readers — the
+    * remediation path for centroid drift that r16 left open (the
+    * centroids were frozen forever; a drifting corpus degraded recall
+    * with no fix short of a manual rebuild).
+    *
+    *  - Retrains on [[assigned]] — the tombstone-suppressed survivors
+    *    — so deleted vectors influence nothing.
+    *  - Re-assigns every surviving vector against the new centroids.
+    *    MARKED batches collapse under the oldest marked id (compact's
+    *    convention); UNMARKED (in-flight) rows keep their own batch
+    *    ids, so the pending replay's directory overwrite stays
+    *    idempotent — [[applyBatch]] replays against
+    *    [[currentModel]] produce bit-identical rows (assignment is
+    *    deterministic).
+    *  - Publishes model + assignment in ONE rename
+    *    ([[AtomicSwap.rewriteStaged]]): readers see the old pair or
+    *    the new pair, never a mix; [[AtomicSwap.recover]] covers every
+    *    crash window because the pair travels together.
+    *  - Tombstones live in their own root, UNTOUCHED by the swap —
+    *    deletes stay terminal across a retrain (qs29 REQUIREs it).
+    *
+    * Scale shape: one [[Ivf.train]] (iters linear passes, k driver
+    * rows) + one row-local re-assignment pass + the swap's two
+    * metadata renames. Returns the new model.
+    */
+  def retrainSwap(spark: SparkSession, path: String, k: Int,
+                  iters: Int = 3): Ivf.Model = {
+    val root = statePath(path)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, root)
+    // one row per surviving vid (a re-ingested id collapses here —
+    // same id means same vector in this index's contract)
+    val corpus = assigned(spark, path).select("vid", "v")
+      .dropDuplicates("vid")
+    val model = Ivf.train(spark, corpus, "vid", "v", k, iters)
+    val ids = fs.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val (marked, unmarked) =
+      ids.partition(BatchMarkers.isAbsorbed(fs, path, _))
+    val minBatch = if (marked.nonEmpty) marked.min else 0L
+    val byBatch = spark.read.parquet(root)
+      .groupBy("vid").agg(max(col("batch").cast("long")).as("batch"))
+    val keepOwn: Column =
+      if (unmarked.isEmpty) lit(false) else col("batch").isin(unmarked: _*)
+    val reassigned = Ivf.assign(corpus, model, "vid", "v")
+      .join(byBatch, Seq("vid"))
+      .withColumn("batch",
+        when(keepOwn, col("batch")).otherwise(lit(minBatch)).cast("long"))
+    AtomicSwap.rewriteStaged(fs, root) { staging =>
+      reassigned.write.mode("overwrite").partitionBy("batch")
+        .parquet(staging.toString)
+      graft.operators.Models.saveIvf(spark, model,
+        modelSubdir(staging.toString))
+    }
+    model
+  }
 
   /** Collapse the accumulated per-batch assignment directories into
     * one — same small-files housekeeping and marker discipline as

@@ -126,4 +126,95 @@ class IvfIngestSpec extends SparkSpec {
     assert(serve() == batch,
       "re-added tombstoned ids must stay suppressed at serve")
   }
+
+  test("retrainSwap: new (model, assignment) pair serves like a fresh " +
+      "batch index; tombstones and replay idempotency survive the swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf4").toString
+    val emb = Tables(spark, sf, "embeddings")
+    // deliberately stale model: trained on one slice only
+    val stale = Ivf.train(spark, emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", k = 8)
+    (0 until 3).foreach { b =>
+      IvfIngest.applyBatch(emb.filter(col("vec_id") % 3 === b),
+        stale, "vec_id", "embedding", dir, b.toLong)
+    }
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    IvfIngest.applyDeletes(doomed, "vec_id", dir, 0L)
+
+    val retrained = IvfIngest.retrainSwap(spark, dir, k = 8)
+    // the pair is served together: currentModel is the retrained one
+    val served = IvfIngest.currentModel(spark, dir)
+    assert(served.exists(m => m.centroids.map(_.toSeq).toSeq ==
+      retrained.centroids.map(_.toSeq).toSeq))
+    // and the assignment state agrees with the model next to it: every
+    // stored cid equals a fresh assignment against the served model
+    val state = IvfIngest.assigned(spark, dir)
+    val re = Ivf.assign(state.select(col("vid"), col("v")),
+      served.get, "vid", "v")
+      .select(col("vid"), col("cid").as("recid"))
+    assert(state.join(re, "vid").filter(col("cid") =!= col("recid"))
+      .count() == 0, "stored cells must match the served model")
+
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    def serve() = topk(IvfIngest.search(spark, dir, queries, retrained,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    // deterministic train ⇒ a fresh batch build on the survivors is the
+    // same model, so the serve matches it bit for bit
+    val fresh = Ivf.train(spark, survivors, "vec_id", "embedding", k = 8)
+    assert(fresh.centroids.map(_.toSeq).toSeq ==
+      retrained.centroids.map(_.toSeq).toSeq,
+      "retrain on the maintained corpus must equal a fresh train")
+    val batch = topk(Ivf.search(survivors, queries, fresh,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    assert(serve() == batch,
+      "post-swap serve must equal the fresh batch index")
+
+    // tombstones survived the swap: a replayed re-add stays suppressed
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 7 === 3),
+      retrained, "vec_id", "embedding", dir, 9L)
+    assert(serve() == batch,
+      "tombstones must stay terminal across the retrain swap")
+    // and a replay of an ABSORBED ingest batch is still a no-op (the
+    // markers live outside the swapped directory)
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 3 === 1),
+      retrained, "vec_id", "embedding", dir, 1L)
+    assert(serve() == batch,
+      "an absorbed batch's replay must stay a no-op after the swap")
+  }
+
+  test("retrainSwap pair survives every crash window via recover") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.AtomicSwap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf5").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 4)
+    IvfIngest.applyBatch(emb, model, "vec_id", "embedding", dir, 0L)
+    IvfIngest.retrainSwap(spark, dir, k = 4)
+    val root = s"$dir/assign"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (dst, staging, prev) = AtomicSwap.paths(root)
+    def pairConsistent(): Unit = {
+      val m = IvfIngest.currentModel(spark, dir)
+      assert(m.nonEmpty, "model lost")
+      val state = IvfIngest.assigned(spark, dir)
+      val re = Ivf.assign(state.select(col("vid"), col("v")),
+        m.get, "vid", "v").select(col("vid"), col("cid").as("recid"))
+      assert(state.join(re, "vid").filter(col("cid") =!= col("recid"))
+        .count() == 0, "model and assignment must stay paired")
+    }
+    // crash window 1: the swap died between its two renames — live
+    // path missing, COMPLETE staging present. recover must promote
+    // staging, bringing model AND assignment forward together.
+    assert(fs.rename(dst, staging), "stage the crash")
+    AtomicSwap.recover(fs, root)
+    pairConsistent()
+    // crash window 2: live renamed aside to __prev, staging already
+    // gone (promoted or never written) — recover must restore prev,
+    // again with the pair intact.
+    assert(fs.rename(dst, prev), "stage the crash")
+    AtomicSwap.recover(fs, root)
+    pairConsistent()
+  }
 }

@@ -294,4 +294,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.forall { case (w, h, r, g, b) =>
       w > 0 && h > 0 && r > 0 && g > 0 && b > 0 })
   }
+
+  test("GIF frame decode reproduces the sidecar; the palette round-trip " +
+      "is LOSSLESS (unlike JPEG); every stream is genuinely multi-frame") {
+    val dir = MediaFixtures.ensureGif()
+    val got = Multimodal.gifFrameFeatures(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    val want = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(MediaFixtures.gifFramesCsv))
+      .toArray.map(_.toString).drop(1).map { l =>
+        val f = l.split(",")
+        (f(0).toLong, f(1).toLong) ->
+          ((f(2).toLong, f(3).toLong, f(4).toLong, f(5).toLong, f(6).toLong))
+      }.toMap
+    assert(want.nonEmpty && got == want,
+      s"GIF decode drifted from the sidecar (${got.size} vs ${want.size})")
+    assert(got.keys.map(_._1).toSet.size == MediaFixtures.GifCount)
+    // multi-frame law: the generator writes 2 + id % 4 frames per file
+    val frameCounts = got.keys.groupBy(_._1).map { case (id, ks) =>
+      id -> ks.size }
+    assert(frameCounts.forall { case (id, n) => n == 2 + (id % 4) },
+      s"frame counts off: $frameCounts")
+    // LOSSLESS round-trip: frames were drawn on an exact 8-color
+    // IndexColorModel, so the decoded sums must equal the pre-encode
+    // sums recomputed from the generator's LCG — JPEG could never pass
+    // this, which is exactly the codec difference the gate documents
+    val pal = Array(0x000000, 0xE03131, 0x2F9E44, 0x1971C2,
+      0xF08C00, 0x9C36B5, 0x0CA678, 0xFFFFFF)
+    got.foreach { case ((id, fid), (w, h, r, g, b)) =>
+      var seed = (id * 1000L + (fid - 1)) * 0x9E3779B97F4A7C15L
+      var (er, eg, eb) = (0L, 0L, 0L)
+      var i = 0L
+      while (i < w * h) {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        val c = pal((((seed >>> 32) % 8).toInt + 8) % 8)
+        er += (c >> 16) & 0xff; eg += (c >> 8) & 0xff; eb += c & 0xff
+        i += 1
+      }
+      assert((r, g, b) == ((er, eg, eb)),
+        s"GIF round-trip not lossless for ($id, $fid)")
+    }
+  }
 }

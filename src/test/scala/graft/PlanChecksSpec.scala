@@ -126,6 +126,20 @@ class PlanChecksSpec extends SparkSpec {
       "Jaro-Winkler scoring fell out of whole-stage codegen")
   }
 
+  test("scale-path dedup fusion never falls back to all-pairs (qp13)") {
+    // qp13 is the shippable twin of the baseline-arm qp04: BOTH its
+    // arms must stay candidate-bounded — the prefix-filtered Jaccard
+    // joins on the shared prefix token, the SemDeDup arm on the
+    // cluster id. A BNLJ or cartesian anywhere means an arm silently
+    // degenerated to the quadratic shape the gate exists to replace.
+    val nodes = collectAll(executed(q("qp13_dedup_fusion_scale")))
+    assert(!nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "a dedup-fusion arm fell back to BNLJ")
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "a dedup-fusion arm produced a cartesian product")
+  }
+
   test("semantic near-dup and IVF-PQ search stay equi-join shaped: no " +
     "BNLJ, no cartesian, codebooks broadcast (qp03/qs10 ANN paths)") {
     // the qs10 GATE also runs the exact-topk twin, whose small-query
