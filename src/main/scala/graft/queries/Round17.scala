@@ -258,6 +258,37 @@ object Round17 {
     // logical-screen descriptor cannot reproduce it. The remaining
     // codec seam is now only the genuinely-no-pure-JVM-decoder
     // family (H.264 etc.), documented behind the decode stub.
+    // ----- NON-ASCII blocked Jaro-Winkler matching ------------------------
+    // qe02 proves the scorer on ASCII names; this runs the SAME
+    // blocked-match shape over accented (multi-byte UTF-8) names —
+    // vowels translated to á/é/í/ó/ü on BOTH engines — and hash-gates
+    // against DuckDB's jaro_winkler_similarity directly. This is the
+    // end-to-end lock for the round-17 kernel change: DuckDB compares
+    // UTF-8 BYTES (measured), and so does the kernel now — the old
+    // UTF-16-char kernel diverged on EVERY one of these 160 K pairs'
+    // inputs. Min rounding-boundary distance across all candidate
+    // pairs: 5.5e-3 (measured at sf0.1 and sf1 — part doesn't scale
+    // past sf0.1 by testdata design).
+    Q("qe04_jw_unicode_match",
+      """WITH p AS (SELECT p_partkey,
+        |             translate(p_name, 'aeiou', 'áéíóü') AS nm,
+        |             p_brand, p_size FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(floor(jaro_winkler_similarity(a.nm, b.nm)
+        |    * 1000000 + 0.5) AS BIGINT) AS jw_micro
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE CAST(floor(jaro_winkler_similarity(a.nm, b.nm)
+        |    * 1000000 + 0.5) AS BIGINT) >= 900000""".stripMargin) { (s, dir) =>
+      graft.operators.EntityResolution.blockedJaroWinklerPairs(
+        Tables(s, dir, "part")
+          .withColumnRenamed("p_partkey", "id")
+          .withColumn("nm", translate(col("p_name"), "aeiou", "áéíóü")),
+        idCol = "id", strCol = "nm",
+        blockCols = Seq("p_brand", "p_size"), minMicro = 900000L)
+    },
+
     Q("qm15_gif_frames",
       s"""SELECT media_id, frame_id, width, height, sum_r, sum_g, sum_b
          |FROM read_csv('${MediaFixtures.gifFramesCsv}', header=true,
