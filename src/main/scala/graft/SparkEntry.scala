@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13, Round15, Round16, Round17}
+import graft.queries.{Etl, Extra, Pipeline, Q, RefStarQueries, Relational, Round11, Round13, Round15, Round16, Round17, Round18}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     Relational.all ++ Pipeline.all ++ Etl.all ++ Extra.all ++
       RefStarQueries.all ++ Round11.all ++ Round13.all ++ Round15.all ++
-      Round16.all ++ Round17.all ++ queries_extra
+      Round16.all ++ Round17.all ++ Round18.all ++ queries_extra
 
   /** Non-relational suites are appended here as they land. */
   private def queries_extra: Seq[Q] = Seq(

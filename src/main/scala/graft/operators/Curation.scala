@@ -702,7 +702,36 @@ object Curation {
     * distinct TUPLES, not rows — AQE broadcasts it when small). No
     * windows over the data, no collect; deterministic because the
     * keep decision is a pure (tuple, count) predicate.
+    *
+    * CONSUMPTION NOTE: on ladders deep enough to materialize
+    * (see [[MatTailSkip]]) the returned plan references
+    * `localCheckpoint`ed residuals, which are NOT recomputable — a
+    * harness that sweeps truncated-lineage blocks between entries
+    * ([[graft.Blocks.sweepLocalCheckpoints]]) must consume the result
+    * before the sweep; re-executing it afterwards fails with missing
+    * checkpoint blocks. Shallow ladders (≤ [[MatTailSkip]] + 1
+    * counting levels) checkpoint nothing and carry no such constraint.
     */
+  /** How many TAIL counting-levels of a suppression ladder run lazily
+    * instead of materializing their residual. Lazily, level L re-executes
+    * the whole unmaterialized chain above it, so a long ladder doubles
+    * per level (measured: 12 s for a 7-level ladder at sf0.1 vs ~2 s for
+    * 4) — but each `localCheckpoint` is a whole extra job, and on a
+    * SHALLOW ladder that fixed cost dominates what it saves (qq04's
+    * 3-level ladder regressed 0.40 → 0.53 s when round 17 materialized
+    * unconditionally). Skipping the last `MatTailSkip` counting levels
+    * bounds lazy re-execution depth at `MatTailSkip` count+joins — over
+    * the ladder's SMALLEST residuals — while deep ladders stay linear.
+    */
+  private val MatTailSkip = 2
+
+  /** Materialize a shrinking-residual level unless it sits in the
+    * ladder's cheap tail (within [[MatTailSkip]] levels of `last`).
+    */
+  private def materializeResidual(rest: DataFrame, level: Int,
+                                  last: Int): DataFrame =
+    if (last - level <= MatTailSkip) rest else rest.localCheckpoint()
+
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
@@ -728,15 +757,12 @@ object Curation {
         parts += joined.filter(col("__cnt") >= k).select(
           keep ++ quasiCols.map(c => col(s"__anon.$c").as(c)) :+
             lit(level).as("anon_level"): _*)
-        // MATERIALIZE the shrinking residual: lazily, level L's count
-        // re-executes every earlier level's count+join (the plan chain
-        // doubles per level — measured 12 s for a 7-level ladder at
-        // sf0.1 vs ~2 s for 4 levels). One localCheckpoint per level
-        // makes the ladder genuinely levels x (count + join); the
-        // residual is bounded by the input and shrinks geometrically.
-        rest = joined.filter(col("__cnt") < k)
-          .select(rest.columns.map(col).toIndexedSeq: _*)
-          .localCheckpoint()
+        // MATERIALIZE the shrinking residual on deep ladders only —
+        // see MatTailSkip for the lazy-vs-checkpoint cost trade.
+        rest = materializeResidual(
+          joined.filter(col("__cnt") < k)
+            .select(rest.columns.map(col).toIndexedSeq: _*),
+          level, n)
       }
     }
     parts.result().reduce(_.unionByName(_))
@@ -767,6 +793,9 @@ object Curation {
     * partial-agg tuple count on a shrinking residual + one equi-join
     * back), no windows over data, no collect; the level count is
     * Σ(hierarchy lengths + 1), a constant of the policy, not the data.
+    * [[kAnonymize]]'s CONSUMPTION NOTE (checkpointed residuals on deep
+    * ladders — consume before any checkpoint-block sweep) applies
+    * identically here.
     */
   def kAnonymizeHierarchical(df: DataFrame,
                              quasi: Seq[(String, Seq[Column => Column])],
@@ -819,15 +848,12 @@ object Curation {
         parts += joined.filter(col("__cnt") >= k).select(
           keep ++ names.map(c => col(s"__anon.$c").as(c)) :+
             lit(level).as("anon_level"): _*)
-        // MATERIALIZE the shrinking residual: lazily, level L's count
-        // re-executes every earlier level's count+join (the plan chain
-        // doubles per level — measured 12 s for a 7-level ladder at
-        // sf0.1 vs ~2 s for 4 levels). One localCheckpoint per level
-        // makes the ladder genuinely levels x (count + join); the
-        // residual is bounded by the input and shrinks geometrically.
-        rest = joined.filter(col("__cnt") < k)
-          .select(rest.columns.map(col).toIndexedSeq: _*)
-          .localCheckpoint()
+        // MATERIALIZE the shrinking residual on deep ladders only —
+        // see MatTailSkip for the lazy-vs-checkpoint cost trade.
+        rest = materializeResidual(
+          joined.filter(col("__cnt") < k)
+            .select(rest.columns.map(col).toIndexedSeq: _*),
+          level, last)
       }
     }
     parts.result().reduce(_.unionByName(_))
@@ -973,6 +999,77 @@ object Curation {
       .groupBy(dims.map(col): _*)
       .agg(sum(col("__eps")).as("eps_spent_micro"),
         count(lit(1)).as("n_releases"))
+  }
+
+  /** [[dpNoisyRelease]] that also EMITS its accountant entry — the
+    * production release path, so the ledger cannot be bypassed by
+    * publishing through a rollup: the returned [[DpLedgerEntry]]'s
+    * domain is the FULL pre-threshold group table (ε is spent for
+    * every group the mechanism computed a noisy value for —
+    * suppression is post-processing and shields nothing), and
+    * CurationSpec locks that feeding it to [[dpBudgetByGroup]] charges
+    * exactly `eps` to every domain group, suppressed ones included
+    * (qq07's stream-served release goes through this path).
+    */
+  def dpNoisyReleaseLedgered(df: DataFrame, dims: Seq[String],
+                             countCol: Column, noiseKey: Column,
+                             saltSecret: Long, eps: Double, threshold: Long,
+                             releaseId: String): (DataFrame, DpLedgerEntry) = {
+    val released = dpNoisyRelease(df, dims, countCol, noiseKey, saltSecret,
+      eps, threshold)
+    val entry = DpLedgerEntry(releaseId, "laplace_count", saltSecret,
+      (eps * 1000000L).toLong, df.select(dims.map(col): _*).distinct())
+    (released, entry)
+  }
+
+  /** Budget ENFORCEMENT over the release ledger — the admission gate a
+    * release path runs before publishing, turning [[dpBudgetByGroup]]'s
+    * report into a refusal (r17 verdict #4: the accountant reported
+    * spend but nothing could refuse a release). One row per group of
+    * the PROPOSED release's domain:
+    *
+    *  - `prior_spent_micro` — the group's cumulative ε across DISTINCT
+    *    prior releases (sequential composition, [[dpBudgetByGroup]]'s
+    *    sum; 0 for a group no prior release touched);
+    *  - `admitted` (1/0) — whether `prior + proposed.epsMicro ≤
+    *    capMicro`. Refused rows ARE the accountant's refusal record:
+    *    the caller publishes only admitted groups (suppressed exactly
+    *    like threshold rows) and keeps the refusals auditable.
+    *
+    * A verbatim REPLAY (the proposed id already in the ledger with
+    * identical parameters) is NEVER refused — deterministic noise
+    * means a replay releases zero fresh information and spends
+    * nothing, so every domain group admits with its existing spend
+    * reported; reusing the id with different parameters fails loudly
+    * (the [[dpBudgetByGroup]] conflict rule — fresh noise masquerading
+    * as a replay).
+    *
+    * Scale shape: one [[dpBudgetByGroup]] over the ledger's
+    * group-sized domains + one left join onto the proposed domain.
+    */
+  def enforceBudget(ledger: Seq[DpLedgerEntry], proposed: DpLedgerEntry,
+                    dims: Seq[String], capMicro: Long): DataFrame = {
+    require(dims.nonEmpty, "need at least one group dimension")
+    val replay = ledger.exists(_.releaseId == proposed.releaseId)
+    // the conflict rule must also see the proposed entry: a replay
+    // with drifted parameters is rejected HERE, not admitted as free
+    val spent = dpBudgetByGroup(ledger :+ proposed, dims)
+      .select(dims.map(col) :+ col("eps_spent_micro") :+
+        col("n_releases"): _*)
+    val dom = proposed.domain.select(dims.map(col): _*).distinct()
+    val joined = dom.join(spent, dims, "left")
+    // dpBudgetByGroup above INCLUDED the proposed entry, so the prior
+    // spend subtracts it back out — except on a replay, where the id
+    // deduplicates and the ledger total already is the prior
+    val prior =
+      if (replay) coalesce(col("eps_spent_micro"), lit(0L))
+      else coalesce(col("eps_spent_micro"), lit(0L)) - proposed.epsMicro
+    joined.select(
+      dims.map(col) :+
+        prior.cast(LongType).as("prior_spent_micro") :+
+        (if (replay) lit(1L)
+         else (prior + proposed.epsMicro <= capMicro).cast(LongType))
+          .as("admitted"): _*)
   }
 
   def labelMajority(votes: DataFrame, idCol: String, labelCol: String): DataFrame = {

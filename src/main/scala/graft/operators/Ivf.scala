@@ -86,6 +86,39 @@ object Ivf {
     normalized(corpus, idCol, vecCol)
       .withColumn("cid", assignExpr("v", "nrm", model.centroids))
 
+  /** Recompute the cell assignment of ALREADY-ASSIGNED rows ((…, v,
+    * nrm, …) — [[assign]]'s value columns, e.g. read back from a
+    * persisted index) against a NEW model, every other column
+    * preserved in place. Row-local, and exactly [[assign]] of the
+    * original vectors under `model` because v/nrm round-trip parquet
+    * bit-exactly — which is what lets
+    * [[graft.streaming.IvfIngest.retrainSwap]] rewrite an in-flight
+    * batch's rows such that the pending replay reproduces them.
+    */
+  def reassign(assigned: DataFrame, model: Model): DataFrame =
+    assigned.withColumn("cid", assignExpr("v", "nrm", model.centroids))
+
+  /** Mean cosine similarity of assigned rows to their ASSIGNED
+    * centroid — the cheapest meaningful fit statistic of a coarse
+    * quantizer over a corpus, and therefore the DRIFT PROBE a
+    * maintained index runs: at train time the assignment is nearest-
+    * centroid so this is the k-means objective (in cosine form); as
+    * the corpus shifts under a frozen model the newly-ingested
+    * vectors sit further from every centroid and the mean drops.
+    * One row-local projection + one partial-agg AVG — no join, no
+    * shuffle beyond the final reduce; safe to run every maintenance
+    * tick at any corpus size.
+    */
+  def meanAssignedSim(assigned: DataFrame, model: Model): Double = {
+    val sims = model.centroids.map { c =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      Text.dot(col("v"), typedLit(c.toSeq)) / (col("nrm") * lit(cn))
+    }
+    assigned.select(avg(element_at(array(sims.toIndexedSeq: _*),
+      (col("cid") + 1).cast("int"))).as("m"))
+      .head().getDouble(0)
+  }
+
   /** Probe the `nprobe` nearest cells per query, rerank exactly. */
   def search(corpus: DataFrame, queries: DataFrame, model: Model,
              idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame =

@@ -401,10 +401,19 @@ object Round16 {
       val state = graft.streaming.RollupIngest.read(s, path)
         .select(to_date(col("d")).as("d"), col("event_type").as("et"),
           col("n"))
-      Curation.dpNoisyRelease(state, Seq("d", "et"), col("n"),
+      // the LEDGERED release path (r17 verdict #7): publishing from the
+      // rollup emits the accountant entry at publish time, so the
+      // ledger cannot be bypassed by routing a release through stream
+      // state — CurationSpec composes this entry with dpBudgetByGroup
+      // and locks that both surfaces agree on the spend (every
+      // pre-threshold (d, et) group charged the full ε, suppressed
+      // groups included). The gate's published output is unchanged.
+      val (released, _) = Curation.dpNoisyReleaseLedgered(
+        state, Seq("d", "et"), col("n"),
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long") * 256 +
           ascii(col("et")),
         saltSecret = 98765431L, // published: mechanism test, not a release
-        eps = 0.5, threshold = 20L)
+        eps = 0.5, threshold = 20L, releaseId = "qq07_day_type_v1")
+      released
     })
 }

@@ -59,6 +59,20 @@ object IvfIngest {
     */
   private def modelSubdir(assignRoot: String) = s"$assignRoot/_model"
 
+  /** The at-train value of the drift probe (mean assigned-centroid
+    * cosine of the training corpus under the published model), stored
+    * NEXT TO the model it describes — so the (model, ref) pair travels
+    * through the same atomic rename as the (model, assignment) pair.
+    */
+  private def driftRefFile(modelDir: String) = new Path(modelDir, "_drift_ref")
+
+  private def writeDriftRef(fs: org.apache.hadoop.fs.FileSystem,
+                            modelDir: String, v: Double): Unit = {
+    val out = fs.create(driftRefFile(modelDir), true)
+    out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   /** Tombstone namespace: delete batches get their own marker root so
     * their batch-id space never collides with assignment batches.
     */
@@ -173,13 +187,24 @@ object IvfIngest {
     *
     *  - Retrains on [[assigned]] — the tombstone-suppressed survivors
     *    — so deleted vectors influence nothing.
-    *  - Re-assigns every surviving vector against the new centroids.
-    *    MARKED batches collapse under the oldest marked id (compact's
-    *    convention); UNMARKED (in-flight) rows keep their own batch
-    *    ids, so the pending replay's directory overwrite stays
-    *    idempotent — [[applyBatch]] replays against
-    *    [[currentModel]] produce bit-identical rows (assignment is
-    *    deterministic).
+    *  - Rewrites the physical state against the new centroids in two
+    *    disjoint keying classes. UNMARKED (in-flight) batches keep
+    *    their EXACT physical row set — tombstoned vids included — at
+    *    their own batch ids, only the cid recomputed ([[Ivf.reassign]]
+    *    is row-local and deterministic), so the pending replay's
+    *    directory overwrite writes back BIT-IDENTICAL rows: a replayed
+    *    [[applyBatch]] against [[currentModel]] is a physical no-op.
+    *    (Keying on "vid appears in any unmarked batch", not max batch
+    *    id, is what makes this hold when a vid also sits in a marked
+    *    batch — the marked copy is dropped here and the replay
+    *    re-creates nothing, so no row re-duplicates; and a tombstoned
+    *    vid inside an unmarked batch is RETAINED physically so the
+    *    replay cannot resurrect a row the rewrite had dropped. Serve
+    *    correctness never depended on either — the tombstone anti-join
+    *    covers both — but the replay idempotency claim is now exact,
+    *    not merely serve-equivalent.) Vids living ONLY in marked
+    *    batches collapse under the oldest marked id (compact's
+    *    convention), tombstone-suppressed and deduplicated.
     *  - Publishes model + assignment in ONE rename
     *    ([[AtomicSwap.rewriteStaged]]): readers see the old pair or
     *    the new pair, never a mix; [[AtomicSwap.recover]] covers every
@@ -208,21 +233,93 @@ object IvfIngest {
     val (marked, unmarked) =
       ids.partition(BatchMarkers.isAbsorbed(fs, path, _))
     val minBatch = if (marked.nonEmpty) marked.min else 0L
-    val byBatch = spark.read.parquet(root)
-      .groupBy("vid").agg(max(col("batch").cast("long")).as("batch"))
-    val keepOwn: Column =
+    val all = spark.read.parquet(root)
+      .withColumn("batch", col("batch").cast("long"))
+    val inUnmarked: Column =
       if (unmarked.isEmpty) lit(false) else col("batch").isin(unmarked: _*)
-    val reassigned = Ivf.assign(corpus, model, "vid", "v")
-      .join(byBatch, Seq("vid"))
-      .withColumn("batch",
-        when(keepOwn, col("batch")).otherwise(lit(minBatch)).cast("long"))
+    // in-flight batches: exact physical rows (tombstoned vids and all),
+    // own batch ids, cid recomputed — the pending replay overwrites
+    // these directories with bit-identical content (scaladoc above)
+    val unmarkedRows = Ivf.reassign(all.filter(inUnmarked), model)
+    // marked-only vids: tombstone-suppressed, one row per vid, under
+    // the oldest marked id; vids with an in-flight copy are dropped
+    // here so the replay re-duplicates nothing
+    val markedOnly0 = all.filter(!inUnmarked)
+      .join(unmarkedRows.select("vid").distinct(), Seq("vid"), "left_anti")
+    val markedOnly1 = tombstones(spark, path) match {
+      case Some(t) => markedOnly0.join(t, Seq("vid"), "left_anti")
+      case None => markedOnly0
+    }
+    val markedRows = Ivf.reassign(markedOnly1.dropDuplicates("vid"), model)
+      .withColumn("batch", lit(minBatch).cast("long"))
+    val reassigned = markedRows.unionByName(unmarkedRows)
+    // at-train drift reference: the probe value of the TRAINING corpus
+    // under the model it trained — [[maintainIndex]] compares the live
+    // probe against this to decide when the next retrain fires
+    val refSim = Ivf.meanAssignedSim(
+      Ivf.assign(corpus, model, "vid", "v"), model)
     AtomicSwap.rewriteStaged(fs, root) { staging =>
       reassigned.write.mode("overwrite").partitionBy("batch")
         .parquet(staging.toString)
       graft.operators.Models.saveIvf(spark, model,
         modelSubdir(staging.toString))
+      writeDriftRef(fs, modelSubdir(staging.toString), refSim)
     }
     model
+  }
+
+  /** The live drift probe against the published (model, drift-ref)
+    * pair: returns (at-train reference, current probe value) — the
+    * current value is [[Ivf.meanAssignedSim]] over the maintained
+    * tombstone-suppressed survivors (deduplicated per vid, the
+    * training-corpus convention). None until a [[retrainSwap]] has
+    * published a model (pre-publication indexes carry their model
+    * caller-side and the caller owns the retrain decision).
+    *
+    * Scale shape: one row-local projection + one AVG over the
+    * assignment state — safe on every maintenance tick.
+    */
+  def drift(spark: SparkSession, path: String): Option[(Double, Double)] = {
+    val model = currentModel(spark, path).getOrElse(return None)
+    val mp = new Path(modelSubdir(statePath(path)))
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rf = driftRefFile(mp.toString)
+    if (!fs.exists(rf)) return None
+    val in = fs.open(rf)
+    val ref =
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toDouble
+      finally in.close()
+    val cur = Ivf.meanAssignedSim(
+      assigned(spark, path).dropDuplicates("vid"), model)
+    Some((ref, cur))
+  }
+
+  /** Drift-triggered index maintenance — the POLICY over
+    * [[retrainSwap]]'s mechanism: when the drift probe has dropped
+    * more than `maxDrop` below its at-train reference (the corpus has
+    * shifted away from the centroids enough that recall is degrading),
+    * retrain-and-swap and return the new model; otherwise do nothing
+    * and return None. A maintenance loop calls this on a schedule; the
+    * probe is one AVG over the assignment state, so an un-fired tick
+    * costs one scan and no shuffle, while a fired tick pays exactly
+    * one [[retrainSwap]] (which also publishes the NEW reference, so
+    * the next tick measures drift from the fresh centroids).
+    *
+    * `maxDrop` is in absolute cosine: 0.05 means "the average vector
+    * lost 0.05 of its similarity to its cell centroid since training"
+    * — qs30 gates that a deliberately shifted ingest slice fires the
+    * probe and that post-swap recall recovers to the fresh-index
+    * level, and IvfIngestSpec locks that an UNSHIFTED corpus does NOT
+    * fire it (no retrain storms on stable data).
+    */
+  def maintainIndex(spark: SparkSession, path: String, k: Int,
+                    maxDrop: Double = 0.05, iters: Int = 3): Option[Ivf.Model] = {
+    val (ref, cur) = drift(spark, path).getOrElse(throw new IllegalStateException(
+      s"maintainIndex($path): no published (model, drift-ref) pair — " +
+        "run retrainSwap once to publish the model this policy maintains"))
+    if (ref - cur > maxDrop) Some(retrainSwap(spark, path, k, iters))
+    else None
   }
 
   /** Collapse the accumulated per-batch assignment directories into
@@ -301,6 +398,20 @@ object IvfIngest {
       if (unmarked.isEmpty) flat
       else flat.unionByName(cur.filter(col("batch").isin(unmarked: _*))
         .withColumn("batch", col("batch").cast("long")))
-    AtomicSwap.rewrite(fs, root, out, partitionCols = Seq("batch"))
+    // A published model ([[retrainSwap]]) lives INSIDE this root as the
+    // _model subdir — invisible to the parquet read above, so a plain
+    // rewrite would silently drop it and break [[currentModel]] after
+    // routine maintenance. Re-stage it byte-for-byte alongside the
+    // compacted rows so the (model, assignment) pair stays atomic
+    // across compaction too. (The tombstone root never carries one.)
+    val model = new Path(root, "_model")
+    AtomicSwap.rewriteStaged(fs, root) { staging =>
+      val w = out.write.mode("overwrite")
+      w.partitionBy("batch").parquet(staging.toString)
+      if (fs.exists(model))
+        org.apache.hadoop.fs.FileUtil.copy(fs, model, fs,
+          new Path(staging, "_model"), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
   }
 }

@@ -744,4 +744,89 @@ class CurationSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rel_a_v1"))
   }
+
+  test("dp budget enforcement: cap refusals, replay admission, " +
+      "conflict rejection, untouched-group admission") {
+    import spark.implicits._
+    val df = (0 until 600).map(i => (s"g${i % 6}", i)).toDF("grp", "x")
+    val domainAll = df.select("grp").distinct()
+    val domainHalf = df.filter(substring(col("grp"), 2, 4).cast("int") < 3)
+      .select("grp").distinct()
+    val relA = Curation.DpLedgerEntry("rel_a_v1", "laplace_count", 41L,
+      500000L, domainAll)
+    val relB = Curation.DpLedgerEntry("rel_b_v1", "laplace_count", 99L,
+      250000L, domainHalf)
+    // proposed: another 0.25 over every group, cap 0.9 — the half that
+    // already carries 0.75 would reach 1.0 and is refused
+    val relC = Curation.DpLedgerEntry("rel_c_v1", "laplace_count", 7L,
+      250000L, domainAll)
+    val adm = Curation.enforceBudget(Seq(relA, relB), relC, Seq("grp"),
+        capMicro = 900000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(adm.size == 6)
+    (0 until 6).foreach { i =>
+      val (prior, ok) = adm(s"g$i")
+      if (i < 3) assert(prior == 750000L && ok == 0L, s"g$i: $prior/$ok")
+      else assert(prior == 500000L && ok == 1L, s"g$i: $prior/$ok")
+    }
+    // a VERBATIM replay is never refused — even under a cap its own ε
+    // exceeds: deterministic noise releases nothing fresh
+    val replay = Curation.enforceBudget(Seq(relA, relB), relA, Seq("grp"),
+      capMicro = 100000L)
+    assert(replay.filter(col("admitted") =!= 1L).count() == 0,
+      "a replay must always admit")
+    val rp = replay.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rp("g0") == 750000L && rp("g5") == 500000L,
+      "a replay reports the standing spend as its prior")
+    // reusing an id with drifted parameters is NOT a replay
+    val conflicting = Curation.DpLedgerEntry("rel_a_v1", "laplace_count",
+      77L, 500000L, domainAll)
+    val e = intercept[IllegalArgumentException] {
+      Curation.enforceBudget(Seq(relA, relB), conflicting, Seq("grp"),
+        capMicro = 900000L).collect()
+    }
+    assert(e.getMessage.contains("rel_a_v1"))
+    // a group no prior release touched admits with prior 0
+    val relNew = Curation.DpLedgerEntry("rel_d_v1", "laplace_count", 7L,
+      250000L, Seq("g9").toDF("grp"))
+    val fresh = Curation.enforceBudget(Seq(relA), relNew, Seq("grp"),
+      capMicro = 900000L).collect()
+    assert(fresh.length == 1 && fresh(0).getLong(1) == 0L &&
+      fresh(0).getLong(2) == 1L)
+  }
+
+  test("ledgered release: the emitted entry charges every pre-threshold " +
+      "group — release path and accountant agree on spend") {
+    import spark.implicits._
+    val df = (0 until 6).flatMap(i => Seq.fill((i + 1) * 5)(s"g$i"))
+      .map(Tuple1(_)).toDF("grp")
+    val pre = df.groupBy("grp").agg(count(lit(1)).as("n"))
+    // threshold far above any reachable noisy count (|noise| <= ~43 at
+    // eps 0.5 under the bounded LCG uniform): NOTHING publishes — yet
+    // the ε was spent for every group the mechanism computed, which is
+    // exactly what the emitted entry must record
+    val (released, entry) = Curation.dpNoisyReleaseLedgered(pre,
+      Seq("grp"), col("n"), ascii(substring(col("grp"), 2, 1)),
+      saltSecret = 12345L, eps = 0.5, threshold = 1000L,
+      releaseId = "rel_led_v1")
+    assert(released.count() == 0, "threshold must suppress everything")
+    val spent = Curation.dpBudgetByGroup(Seq(entry), Seq("grp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(spent.size == 6, "suppression shields nothing: all 6 charged")
+    spent.values.foreach { case (eps, n) =>
+      assert(eps == 500000L && n == 1L)
+    }
+    // and when groups DO publish, the released eps_micro agrees with
+    // the entry the accountant sees — the two surfaces cannot diverge
+    val (rel2, entry2) = Curation.dpNoisyReleaseLedgered(pre,
+      Seq("grp"), col("n"), ascii(substring(col("grp"), 2, 1)),
+      saltSecret = 12345L, eps = 0.5, threshold = -1000L,
+      releaseId = "rel_led_v2")
+    val relRows = rel2.collect()
+    assert(relRows.length == 6)
+    relRows.foreach(r => assert(r.getAs[Long]("eps_micro") == entry2.epsMicro))
+    assert(entry2.domain.count() == 6)
+  }
 }

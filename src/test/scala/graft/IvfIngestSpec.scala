@@ -183,6 +183,122 @@ class IvfIngestSpec extends SparkSpec {
       "an absorbed batch's replay must stay a no-op after the swap")
   }
 
+  test("compact preserves the published (model, drift-ref) pair") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf6").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 4)
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 2 === 0),
+      model, "vec_id", "embedding", dir, 0L)
+    IvfIngest.applyBatch(emb.filter(col("vec_id") % 2 === 1),
+      model, "vec_id", "embedding", dir, 1L)
+    IvfIngest.retrainSwap(spark, dir, k = 4)
+    val before = IvfIngest.currentModel(spark, dir)
+    val refBefore = IvfIngest.drift(spark, dir).map(_._1)
+    assert(before.nonEmpty && refBefore.nonEmpty, "pair must be published")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def serve() = topk(IvfIngest.search(spark, dir, queries, before.get,
+      "vec_id", "embedding", k = 10, nprobe = 4))
+    val pre = serve()
+    // routine maintenance after a retrain: the _model subdir rides
+    // INSIDE the swapped root, so a compaction that staged only the
+    // parquet rows would silently delete the published pair
+    IvfIngest.compact(spark, dir)
+    val after = IvfIngest.currentModel(spark, dir)
+    assert(after.exists(m => m.centroids.map(_.toSeq).toSeq ==
+      before.get.centroids.map(_.toSeq).toSeq),
+      "compact must carry the published model across the rewrite")
+    assert(IvfIngest.drift(spark, dir).map(_._1) == refBefore,
+      "the drift reference must survive compaction")
+    assert(serve() == pre, "compaction must not change the serve")
+  }
+
+  test("retrainSwap leaves in-flight batches bit-identical for the " +
+      "pending replay; no re-duplication, no tombstone resurrection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf7").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val model = Ivf.train(spark, emb, "vec_id", "embedding", k = 8)
+    // in-flight batch 0: the odd vids PLUS an overlap slice that also
+    // lives in the HIGHER-id marked batch (the advisor's
+    // re-duplication scenario), plus tombstoned vids
+    val inflight = emb.filter(col("vec_id") % 2 === 1 ||
+      col("vec_id") % 10 === 0)
+    val markedB = emb.filter(col("vec_id") % 2 === 0)
+    IvfIngest.applyBatch(inflight, model, "vec_id", "embedding", dir, 0L)
+    // crash window: batch 0's rows landed but its marker never did
+    assert(new java.io.File(s"$dir/_absorbed/batch-0").delete())
+    IvfIngest.applyBatch(markedB, model, "vec_id", "embedding", dir, 1L)
+    val doomed = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    IvfIngest.applyDeletes(doomed, "vec_id", dir, 0L)
+
+    val retrained = IvfIngest.retrainSwap(spark, dir, k = 8)
+    def rowsOf(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val staged = rowsOf(s"$dir/assign/batch=0")
+    // a tombstoned vid inside the in-flight batch is RETAINED
+    // physically (the replay would re-write it anyway; serve
+    // suppresses it via the anti-join)
+    assert(staged.exists(t => t._1 % 7 == 3),
+      "in-flight tombstoned rows must be retained for the replay")
+    // the pending replay against the published model is a physical
+    // no-op: bit-identical rows into the same directory
+    IvfIngest.applyBatch(inflight, IvfIngest.currentModel(spark, dir).get,
+      "vec_id", "embedding", dir, 0L)
+    assert(rowsOf(s"$dir/assign/batch=0") == staged,
+      "the pending replay must reproduce the staged rows bit-identically")
+    // a vid present in both the in-flight and the marked batch lives
+    // ONLY under its in-flight copy — the replay re-duplicated nothing
+    val state = spark.read.parquet(s"$dir/assign")
+    assert(state.groupBy("vid").count().filter(col("count") > 1)
+      .count() == 0, "no vid may be duplicated after the replay")
+    // and the serve still equals a fresh batch index on the survivors
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    assert(topk(IvfIngest.search(spark, dir, queries, retrained,
+        "vec_id", "embedding", k = 10, nprobe = 4)) ==
+      topk(Ivf.search(survivors, queries, retrained,
+        "vec_id", "embedding", k = 10, nprobe = 4)))
+  }
+
+  test("maintainIndex: no fire on a stable corpus, fires on a shifted " +
+      "ingest, republishes the reference") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf8").toString
+    val emb = Tables(spark, sf, "embeddings")
+    val a = emb.filter(col("vec_id") % 2 === 0)
+    val m0 = Ivf.train(spark, a, "vec_id", "embedding", k = 4)
+    IvfIngest.applyBatch(a, m0, "vec_id", "embedding", dir, 0L)
+    // no published (model, ref) pair yet: the policy refuses to guess
+    intercept[IllegalStateException] {
+      IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03)
+    }
+    IvfIngest.retrainSwap(spark, dir, k = 4)
+    // stable corpus: the probe reads its own at-train value — no fire
+    // (policy threshold 0.03: the measured drop of an antipodal half
+    // at this corpus is ~0.04-0.06 across scales and k, while a
+    // stable corpus reads ~1e-15 — see the qs30 gate site)
+    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03).isEmpty,
+      "no retrain storm on stable data")
+    // shifted ingest: every new vector antipodal to the trained cells
+    val bShift = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding",
+        transform(col("embedding").cast("array<double>"), x => -x))
+    IvfIngest.applyBatch(bShift, IvfIngest.currentModel(spark, dir).get,
+      "vec_id", "embedding", dir, 1L)
+    val (ref, cur) = IvfIngest.drift(spark, dir).get
+    assert(ref - cur > 0.03, f"shift must show in the probe: $ref%.4f -> $cur%.4f")
+    val fired = IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03)
+    assert(fired.nonEmpty, "the probe must fire on a drifted corpus")
+    assert(IvfIngest.currentModel(spark, dir).exists(m =>
+      m.centroids.map(_.toSeq).toSeq ==
+        fired.get.centroids.map(_.toSeq).toSeq))
+    // the swap republished the reference at the new centroids: the
+    // probe reads ~zero drift and the next tick does not re-fire
+    val (ref2, cur2) = IvfIngest.drift(spark, dir).get
+    assert(math.abs(ref2 - cur2) < 1e-9,
+      f"fresh pair must read zero drift: $ref2%.6f vs $cur2%.6f")
+    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03).isEmpty)
+  }
+
   test("retrainSwap pair survives every crash window via recover") {
     import org.apache.hadoop.fs.Path
     import graft.streaming.AtomicSwap
