@@ -132,6 +132,15 @@ object Text {
       graft.expressions.JaroWinklerSim(
         GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Jaro-Winkler compared per Unicode CODEPOINT — the linguistically-
+    * meaningful mode (deliberately NOT DuckDB-oracle-matching; see
+    * graft.expressions.JaroWinklerSimCp).
+    */
+  def jaroWinklerCp(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      graft.expressions.JaroWinklerSimCp(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
   /** SpaceSaving heavy-hitter summary (TypedImperativeAggregate). */
   def spaceSavingTopK(c: Column, capacity: Int, k: Int): Column =
     GraftColumnBridge.column(

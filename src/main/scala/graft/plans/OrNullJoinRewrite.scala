@@ -100,6 +100,14 @@ object GraftExtensions {
         graft.expressions.JaroWinklerSim(args(0), args(1))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler_cp"),
+      new ExpressionInfo(classOf[graft.expressions.JaroWinklerSimCp].getName,
+        "graft_jaro_winkler_cp"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2, "graft_jaro_winkler_cp(str, str)")
+        graft.expressions.JaroWinklerSimCp(args(0), args(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_bitmap_count"),
       new ExpressionInfo(classOf[graft.expressions.BitmapCount].getName,
         "graft_bitmap_count"),

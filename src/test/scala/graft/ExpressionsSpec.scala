@@ -129,4 +129,49 @@ class ExpressionsSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("type"))
   }
+
+  // CODEPOINT-mode expectations, HAND-COMPUTED (the same algorithm run
+  // over codepoint arrays). DuckDB CANNOT oracle this mode — its
+  // jaro_winkler_similarity compares UTF-8 bytes (measured round 17)
+  // — so these constants ARE the spec: ASCII agrees with byte mode
+  // bit-for-bit, and every multi-byte pair diverges in the INTENDED
+  // direction (é is ONE unit in NFC, 'e'+combining-acute is TWO in
+  // NFD, a CJK character is one unit, an astral codepoint is one unit
+  // rather than four bytes / a surrogate pair).
+  private val jwCpCases = Seq(
+    ("MARTHA", "MARHTA", 0.9611111111111111),
+    ("DIXON", "DICKSONX", 0.8133333333333332),
+    ("éa", "éb", 0.6666666666666666), // 2 units, window 0 -> no boost
+    ("éa", "éb", 0.8222222222222222), // NFD: 3 units, l=2
+    ("日本語", "日本誤", 0.8222222222222222), // 3 units, l=2
+    ("𝄞abc", "𝄞abd", 0.8833333333333334)) // 4 units, l=3
+
+  test("codepoint-mode jaro-winkler matches hand-computed values and " +
+      "diverges from byte mode exactly on multi-byte codepoints") {
+    import spark.implicits._
+    val got = jwCpCases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(Text.jaroWinklerCp(col("a"), col("b")).as("jw"))
+      .collect().map(_.getDouble(0)).toSeq
+    jwCpCases.map(_._3).zip(got).foreach { case (want, g) =>
+      assert(math.abs(g - want) < 1e-12, s"want $want got $g")
+    }
+    jwCpCases.foreach { case (a, b, want) =>
+      val byByte = jwKernel(a, b)
+      if (a.forall(_ < 128) && b.forall(_ < 128))
+        assert(byByte == want, s"ASCII must agree across modes: $a/$b")
+      else
+        assert(math.abs(byByte - want) > 1e-3,
+          s"modes must diverge on $a/$b: byte=$byByte cp=$want")
+    }
+    // null-safety and analysis-time typing match the byte sibling
+    val nulls = Seq((Some("abc"), Some("abd")), (None, Some("x")))
+      .toDF("a", "b")
+      .select(Text.jaroWinklerCp(col("a"), col("b"))).collect()
+    assert(!nulls(0).isNullAt(0) && nulls(1).isNullAt(0))
+    val e = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(Text.jaroWinklerCp(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type"))
+  }
 }

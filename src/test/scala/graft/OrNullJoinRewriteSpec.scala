@@ -98,6 +98,12 @@ class OrNullJoinRewriteSpec extends SparkSpec {
       val jw = s.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA')")
         .head().getDouble(0)
       assert(jw == graft.expressions.JaroWinklerSim.compute("MARTHA".getBytes("UTF-8"), "MARHTA".getBytes("UTF-8")))
+      // graft_jaro_winkler_cp: the CODEPOINT mode — one unit per CJK
+      // character here, hand-computed 0.8222… (ExpressionsSpec pins
+      // the full divergence table; DuckDB cannot oracle this mode)
+      val jwCp = s.sql("SELECT graft_jaro_winkler_cp('日本語', '日本誤')")
+        .head().getDouble(0)
+      assert(math.abs(jwCp - 0.8222222222222222) < 1e-12)
       // graft_group_topk: per-group bounded top-k from pure SQL
       val topk = s.sql(
         """SELECT g, e.id FROM (
