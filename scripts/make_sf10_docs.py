@@ -1,14 +1,18 @@
 #!/usr/bin/env python3
-"""Scale the sf1 documents table one more generator decade to ~sf10 for
-the dedup/similarity growth-law measurement (driver-side tooling, like
-make_sf1.py — not part of the Spark library).
+"""Scale the sf1 documents AND embeddings tables one more generator
+decade to ~sf10 for the dedup/similarity growth-law measurement
+(driver-side tooling, like make_sf1.py — not part of the Spark
+library).
 
-Applies make_sf1.py's documents transformation AGAIN, to testdata-sf1:
-each copy gains a unique trailing token (near-dup, not exact-dup), so
-the corpus follows the exact same 4x-per-decade document law as
-sf0.1 -> sf1. Only documents.parquet is produced — the five growth-law
-gates (qs12/qs16, qd02/qd05/qd09) read nothing else, and the fact
-tables at 10x sf1 would cost GBs for queries that never touch them.
+Applies make_sf1.py's transformations AGAIN, to testdata-sf1: each
+document copy gains a unique trailing token (near-dup, not exact-dup)
+and each embedding copy a deterministic single-coordinate jitter, so
+both corpora follow the exact same 4x-per-decade law as sf0.1 -> sf1.
+Only documents.parquet and embeddings.parquet are produced — the
+growth-law gates (qs12/qs16, qd02/qd05/qd09, qs02/qp03/qp04/qp13)
+read nothing else, and the fact tables at 10x sf1 would cost GBs for
+queries that never touch them. (embeddings added round 18 — r17
+verdict #3 asked for the embedding-side arm-vs-twin decade numbers.)
 """
 import os
 import sys
@@ -43,3 +47,28 @@ for i in range(1, 4):
 out = pa.concat_tables(copies)
 pq.write_table(out, f"{DST}/documents.parquet")
 print(f"documents: {t.num_rows} -> {out.num_rows} at {DST}")
+
+# embeddings: same decade, make_sf1.py's jitter discipline (each copy's
+# vectors get a deterministic single-coordinate nudge so cosine ties
+# never make recall gates nondeterministic among identical vectors)
+te = pq.read_table(f"{SRC}/embeddings.parquet")
+ecopies = [te]
+embs = te.column("embedding").to_pylist()
+base_vids = te.column("vec_id").to_pylist()
+for i in range(1, 4):
+    vids = [v + i * KEY_OFFSET for v in base_vids]
+    jittered = []
+    for row, e in enumerate(embs):
+        e2 = list(e)
+        e2[(row + i) % len(e2)] += 0.01 * i
+        jittered.append(e2)
+    c = te.set_column(te.schema.get_field_index("vec_id"),
+                      te.schema.field("vec_id"),
+                      pa.array(vids, pa.int64()))
+    eidx = c.schema.get_field_index("embedding")
+    c = c.set_column(eidx, c.schema.field(eidx),
+                     pa.array(jittered, te.schema.field(eidx).type))
+    ecopies.append(c)
+eout = pa.concat_tables(ecopies)
+pq.write_table(eout, f"{DST}/embeddings.parquet")
+print(f"embeddings: {te.num_rows} -> {eout.num_rows} at {DST}")
