@@ -141,11 +141,12 @@ object Round18 {
         // publish the (model, drift-ref) pair the policy maintains
         IvfIngest.retrainSwap(s, out, k = 8)
         // stable corpus: the probe must NOT fire. Policy threshold
-        // 0.03 absolute cosine: the antipodal half measures a
-        // 0.044-0.066 drop across sf0.001-sf0.01 and k in {4, 8}
-        // (measured round 18), while a stable corpus reads ~1e-15 —
-        // orders of magnitude of margin on both sides.
-        require(IvfIngest.maintainIndex(s, out, k = 8, maxDrop = 0.03).isEmpty,
+        // 0.01 absolute cosine: the antipodal half measures a
+        // 0.023-0.066 drop across sf0.001-sf1 (the corpus geometry
+        // flattens at sf0.1 — measured round 18), while a stable
+        // corpus reads ~1e-15 — orders of magnitude of margin on both
+        // sides of the threshold.
+        require(IvfIngest.maintainIndex(s, out, k = 8, maxDrop = 0.01).isEmpty,
           "drift probe fired on a stable corpus")
         val served = IvfIngest.currentModel(s, out).get
         IvfIngest.applyBatch(bShift, served, "vec_id", "embedding", out, 1L)
@@ -156,7 +157,7 @@ object Round18 {
           k = 10, nprobe = 4).count() > 0,
           "pre-swap reader saw an empty index")
         // shifted corpus: the probe MUST fire and swap under the reader
-        val fired = IvfIngest.maintainIndex(s, out, k = 8, maxDrop = 0.03)
+        val fired = IvfIngest.maintainIndex(s, out, k = 8, maxDrop = 0.01)
         require(fired.nonEmpty,
           "drift probe failed to fire after a shifted ingest")
         val m2 = fired.get

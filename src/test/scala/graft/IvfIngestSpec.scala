@@ -269,14 +269,14 @@ class IvfIngestSpec extends SparkSpec {
     IvfIngest.applyBatch(a, m0, "vec_id", "embedding", dir, 0L)
     // no published (model, ref) pair yet: the policy refuses to guess
     intercept[IllegalStateException] {
-      IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03)
+      IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.01)
     }
     IvfIngest.retrainSwap(spark, dir, k = 4)
     // stable corpus: the probe reads its own at-train value — no fire
-    // (policy threshold 0.03: the measured drop of an antipodal half
-    // at this corpus is ~0.04-0.06 across scales and k, while a
+    // (policy threshold 0.01: the measured drop of an antipodal half
+    // at this corpus is 0.023-0.066 across scales and k, while a
     // stable corpus reads ~1e-15 — see the qs30 gate site)
-    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03).isEmpty,
+    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.01).isEmpty,
       "no retrain storm on stable data")
     // shifted ingest: every new vector antipodal to the trained cells
     val bShift = emb.filter(col("vec_id") % 2 === 1)
@@ -286,7 +286,7 @@ class IvfIngestSpec extends SparkSpec {
       "vec_id", "embedding", dir, 1L)
     val (ref, cur) = IvfIngest.drift(spark, dir).get
     assert(ref - cur > 0.03, f"shift must show in the probe: $ref%.4f -> $cur%.4f")
-    val fired = IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03)
+    val fired = IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.01)
     assert(fired.nonEmpty, "the probe must fire on a drifted corpus")
     assert(IvfIngest.currentModel(spark, dir).exists(m =>
       m.centroids.map(_.toSeq).toSeq ==
@@ -296,7 +296,7 @@ class IvfIngestSpec extends SparkSpec {
     val (ref2, cur2) = IvfIngest.drift(spark, dir).get
     assert(math.abs(ref2 - cur2) < 1e-9,
       f"fresh pair must read zero drift: $ref2%.6f vs $cur2%.6f")
-    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.03).isEmpty)
+    assert(IvfIngest.maintainIndex(spark, dir, k = 4, maxDrop = 0.01).isEmpty)
   }
 
   test("retrainSwap pair survives every crash window via recover") {
