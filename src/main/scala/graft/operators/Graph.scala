@@ -68,13 +68,14 @@ object Graph {
     val e = edges.select(col("src"), col("dst"), col("w"))
     val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
     val outw = outWeights(e)
+    val dangIds = danglingIds(nodes, outw)
 
     // r0: uniform S div N
     var r: DataFrame = nodes.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r"))
 
     for (_ <- 0 until iters)
-      r = prStep(nodes, e, outw, n1, r, scale, dNum, dDen)
+      r = prStep(nodes, e, outw, dangIds, n1, r, scale, dNum, dDen)
     r
   }
 
@@ -97,11 +98,22 @@ object Graph {
   private def outWeights(e: DataFrame): DataFrame =
     e.groupBy("src").agg(sum(col("w").cast("decimal(38,0)")).as("ow"))
 
+  /** The static dangling-node id set (no out-edge) — a pure function
+    * of the edge list, so every PageRank driver computes it ONCE and
+    * each round reduces the current ranks against it with a broadcast
+    * probe instead of re-building a per-round anti-join hash table
+    * over the full out-weight table (whose upstream the declarative
+    * driver would re-derive every round).
+    */
+  private def danglingIds(nodes: DataFrame, outw: DataFrame): DataFrame =
+    nodes.join(outw, nodes("id") === outw("src"), "left_anti")
+      .select(col("id"))
+
   /** One PageRank round (shared by the fixed-depth and convergence
     * drivers so both compute the IDENTICAL integer recurrence).
     */
   private def prStep(nodes: DataFrame, e: DataFrame, outw: DataFrame,
-                     n1: DataFrame, rr: DataFrame,
+                     dangIds: DataFrame, n1: DataFrame, rr: DataFrame,
                      scale: Long, dNum: Long, dDen: Long): DataFrame = {
     // mass flowing along edges: join on src (key-partitioned), then
     // one partial-agg shuffle keyed by dst
@@ -110,8 +122,9 @@ object Graph {
       .join(outw, "src")
       .select(col("dst").as("id"), contribExpr(dNum, dDen).as("c"))
       .groupBy("id").agg(sum(col("c")).as("s"))
-    // dangling mass: nodes with no out-edge (anti join, 1-row result)
-    val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
+    // dangling mass: current ranks of the precomputed dangling id set
+    // (1-row result; identical value to the former per-round anti-join)
+    val dang = rr.join(broadcast(dangIds), Seq("id"))
       .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
     nodes.crossJoin(broadcast(n1)).crossJoin(broadcast(dang))
       .join(contrib, Seq("id"), "left")
@@ -140,12 +153,22 @@ object Graph {
     require(iters >= 0 && iters <= 8,
       s"iters=$iters: the declarative plan grows ~3^iters — materialize beyond 8")
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
-    val e = edges.select(col("src"), col("dst"), col("w"))
+    // The recurrence references e/outw/seeded in EVERY round of a
+    // declarative loop, so un-materialized each reference re-derived
+    // the caller's whole edge lineage (for the qg06 gate: an events
+    // scan + JSON parse + session window per reference per round) —
+    // one localCheckpoint each makes every later reference an
+    // in-memory scan. Results are bit-identical; the checkpoints are
+    // graph-sized, and callers consume the result before any
+    // checkpoint-block sweep (the kAnonymize consumption discipline).
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     val b1 = seeds.agg(count(lit(1)).cast("long").as("b"))
-    val outw = outWeights(e)
+    val outw = outWeights(e).localCheckpoint()
     val seeded = nodes
       .join(broadcast(seeds.select(col("id"), lit(1L).as("is_seed"))), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+      .localCheckpoint()
+    val dangIds = danglingIds(seeded.select(col("id")), outw)
     var r: DataFrame = seeded.crossJoin(broadcast(b1))
       .select(col("id"),
         when(col("is_seed") === 1L, expr(s"${scale}L div b"))
@@ -158,7 +181,7 @@ object Graph {
         .select(col("dst").as("id"),
           contribExpr(dNum, dDen).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
+      val dang = rr.join(broadcast(dangIds), Seq("id"))
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       r = seeded.crossJoin(broadcast(b1)).crossJoin(broadcast(dang))
         .join(contrib, Seq("id"), "left")
@@ -189,11 +212,19 @@ object Graph {
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
     val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
     val outw = outWeights(e).localCheckpoint()
-    val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
-    var r = nodes.crossJoin(broadcast(n1))
+    // nodes is referenced by EVERY round's assembly (plus n1): without
+    // this cut each of the `iters` rounds re-derived the caller's node
+    // frame from scratch (for the qg04 gate that was 12 re-scans of the
+    // events table, JSON parse and distinct included — measured as the
+    // bulk of the gate's cost)
+    val nd = nodes.select(col("id")).localCheckpoint()
+    val dangIds = danglingIds(nd, outw).localCheckpoint()
+    val n1 = nd.agg(count(lit(1)).cast("long").as("n"))
+    var r = nd.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r")).localCheckpoint()
     for (_ <- 0 until iters)
-      r = prStep(nodes, e, outw, n1, r, scale, dNum, dDen).localCheckpoint()
+      r = prStep(nd, e, outw, dangIds, n1, r, scale, dNum, dDen)
+        .localCheckpoint()
     r
   }
 
@@ -255,6 +286,11 @@ object Graph {
       }
     val (e, _) = ckpt(edges.select(col("src"), col("dst"), col("w")))
     val (outw, _) = ckpt(outWeights(e))
+    // derived once over the MATERIALIZED out-weights; each round's
+    // dangling-mass probe re-reads only that snapshot, never the
+    // caller's edge lineage (snapshot count stays at three — the
+    // reliable-mode contract)
+    val dangIds = danglingIds(nodes, outw)
     val n1 = nodes.agg(count(lit(1)).cast("long").as("n"))
     var (r, rPath) = ckpt(nodes.crossJoin(broadcast(n1))
       .select(col("id"), expr(s"${scale}L div n").as("r")))
@@ -273,7 +309,7 @@ object Graph {
       // checkpoint action — one job per round instead of a second
       // join+aggregate pass over both snapshots
       val obs = org.apache.spark.sql.Observation(s"graft-pr-delta-$round")
-      val stepped = prStep(nodes, e, outw, n1, r, scale, dNum, dDen)
+      val stepped = prStep(nodes, e, outw, dangIds, n1, r, scale, dNum, dDen)
         .join(r.select(col("id"), col("r").as("__pr")), Seq("id"))
         .select(col("id"), col("r"), abs(col("r") - col("__pr")).as("__d"))
         .observe(obs, coalesce(max(col("__d")), lit(0L)).as("delta"))
@@ -322,10 +358,16 @@ object Graph {
     * equi-keyed, no driver state.
     */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // ud feeds the degree count AND both sides of the orientation
+    // join; oe feeds all three wedge-join references. Materialized
+    // once each, the three-way triangle join reads in-memory edge
+    // lists instead of re-deriving the caller's edge lineage per
+    // branch (bit-identical; consume before a checkpoint-block sweep).
     val ud = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
+      .localCheckpoint()
     val deg = ud.select(col("a").as("v"))
       .unionAll(ud.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -342,6 +384,7 @@ object Graph {
             col("a").as("v"), col("da").as("dv"))).as("e"))
       .select(col("e.u").as("u"), col("e.du").as("du"),
         col("e.v").as("v"), col("e.dv").as("dv"))
+      .localCheckpoint()
     // wedges at the minimum-ordered corner; close with the oriented
     // third edge (its endpoints are already in orientation order)
     val wedges = oe.as("e1").join(oe.as("e2"),
@@ -395,9 +438,14 @@ object Graph {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    // every round joins against sym; materialized once so the rounds
+    // read an in-memory edge list instead of re-deriving the caller's
+    // transition lineage per round (bit-identical results; consume
+    // before a checkpoint-block sweep)
     val sym = ud.select(col("a").as("u"), col("b").as("v"), col("w"))
       .unionAll(ud.select(col("b").as("u"), col("a").as("v"), col("w")))
-    var lab = nodes.select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    var lab = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
     for (_ <- 0 until iters) {
       val nb = sym
         .join(lab.select(col("id").as("v"), col("lab").as("nl")), "v")

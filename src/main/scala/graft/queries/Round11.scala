@@ -972,12 +972,16 @@ object Round11 {
         col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("page"))
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // ud feeds the degree count (twice) and the orientation join —
+      // materialized once so the moment aggregation reads an in-memory
+      // edge list instead of re-running the events window per branch
       val ud = ev
         .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
         .filter(col("dst").isNotNull && col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
+        .localCheckpoint()
       val deg = ud.select(col("a").as("v")).unionAll(ud.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
       val withD = ud
@@ -1226,11 +1230,16 @@ object Round11 {
         col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("page"))
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      // materialized once: the declarative recurrence references the
+      // edge/node frames ~3^iters times, and un-checkpointed every
+      // reference re-runs the events scan + JSON parse + session
+      // window (bit-identical results — only the plan shape changes)
       val edges = ev
         .select(col("page").as("src"), lead(col("page"), 1).over(w).as("dst"))
         .filter(col("dst").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
-      val nodes = ev.select(col("page").as("id")).distinct()
+        .localCheckpoint()
+      val nodes = ev.select(col("page").as("id")).distinct().localCheckpoint()
       graft.operators.Graph.pagerankFp(nodes, edges, iters = 3)
         .select(col("id").as("page"), col("r").as("rank_fp"))
     },
