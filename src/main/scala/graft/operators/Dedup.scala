@@ -288,7 +288,13 @@ object Dedup {
   def ngramJaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val ex = withShingles(df, idCol, textCol, n)
+    // spread the docs BEFORE the shingle explode (the sparseTopK
+    // discipline, explicit count so AQE's byte-based coalescing cannot
+    // fold a small corpus back to one task): the explode and the df
+    // aggregate below it are the widest rows of the whole pipeline
+    val ex = withShingles(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col(idCol)), idCol, textCol, n)
       .select(col(idCol), explode(col("__sh")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).cast(IntegerType).as("df"))
     // ascending-df canonical order; collect order is partition-dependent
@@ -321,6 +327,12 @@ object Dedup {
         // required overlap alpha = t/(1+t)*(la+lb) = a.w + b.w
         least(col("a.rem"), col("b.rem")) + lit(1e-6) >= col("a.w") + col("b.w"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      // explicit pair-keyed repartition: candidate pairs are byte-small
+      // but compute-dense downstream (full shingle-array intersection
+      // per pair), so AQE's byte-based coalescing would serialize the
+      // verify; distinct reuses this partitioning (no extra exchange)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
     val jac = cand
       .join(sh.select(col(idCol).as("doc_a"), col("__sh").as("sa")), "doc_a")

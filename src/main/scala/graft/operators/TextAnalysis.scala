@@ -596,9 +596,16 @@ object TextAnalysis {
     // scan partition, and the word explode + per-doc aggregation would
     // otherwise run serially (and re-run per consumer of the shared
     // subtree) on a single task — the text shuffle is cheap, the
-    // parallelism it buys is the whole downstream pipeline's
+    // parallelism it buys is the whole downstream pipeline's. The count
+    // must be EXPLICIT: a keyed repartition with no count is
+    // AQE-coalesced back to one partition on a small input, and the
+    // signature checkpoint below then pins ONE partition — StageProf
+    // measured the entire qs16 pair pipeline (sig sort, prefix explode,
+    // candidate join, verify) as a single 5.5 s task behind it.
+    // defaultParallelism tracks the session's cores on any deployment.
     val tf = df.select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col(idCol))
       .select(col(idCol), explode(expr(Text.wordsExpr(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__tf"))
     val dfreq = tf.groupBy("__w").agg(count(lit(1)).as("__df"))
@@ -701,10 +708,19 @@ object TextAnalysis {
          |       * 1000000 >= CAST(__tot AS DECIMAL(38,0)) * ${t2f}L,
          |     __sig[i-1].__w, NULL)),
          |  x -> x IS NOT NULL)""".stripMargin)).as("__w"))
+    // the explicit pair-keyed repartition pins the dedup AND the
+    // downstream verify joins at session parallelism: candidate pairs
+    // are BYTE-small (two longs) but COMPUTE-dense downstream (k-term
+    // intersections per pair), so AQE's byte-based coalescing folds
+    // them into one partition and StageProf measured the whole verify
+    // as a single 4.6 s task; distinct reuses this partitioning, so no
+    // exchange is added — one is re-keyed
     val cand = pref.as("a")
       .join(pref.as("b"),
         col("a.__w") === col("b.__w") && col("a.__doc") < col("b.__doc"))
       .select(col("a.__doc").as("doc_a"), col("b.__doc").as("doc_b"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
       .distinct()
     val a = top.select(col("__doc").as("doc_a"), col("__w"),
       col("__wv").as("__wa"))
