@@ -171,7 +171,11 @@ object Dedup {
   def dupSpans(
       df: DataFrame, idCol: String, textCol: String,
       l: Int = 8, minDocs: Int = 2): DataFrame = {
-    val g = df
+    // the n-gram explode below is the pipeline's compute-dense chain
+    // and is derived TWICE (gram-df aggregate + the semi-join probe) —
+    // on a one-split corpus both ran as single tasks (StageProf: the
+    // two longest stages of qd13/qp06); no-op on a many-split input
+    val g = Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
       .withColumn("__ws", expr(Text.wordsExpr(textCol)))
       .filter(size(col("__ws")) >= l)
       .select(col(idCol),

@@ -97,7 +97,12 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), greatest(length(col(textCol)) - lit(k - 1), lit(1))),
       i => col(textCol).substr(i, lit(k)))
-    df.select(col(idCol), transform(grams, g => Text.polyhash(g)).as("__hs"))
+    // per-char-gram hashing + rolling minima are the suite's densest
+    // row-local chain; on a one-split corpus the whole gate ran as a
+    // single 2.5 s task (StageProf) — spread-if-narrow keeps the
+    // zero-shuffle shape on any many-split production scan
+    Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol))
+      .select(col(idCol), transform(grams, g => Text.polyhash(g)).as("__hs"))
       .select(col(idCol),
         explode(array_distinct(transform(
           sequence(lit(1), size(col("__hs"))),
