@@ -61,7 +61,13 @@ object Dedup {
     */
   def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
                     n: Int = 3): DataFrame = {
-    val sh = df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
+    // spread-if-narrow keyed by the TEXT (there are only |sources| ~ 20
+    // source values — keying on the source would cap the spread at 20
+    // skewed tasks): the shingle build ran as the gate's two longest
+    // serial tasks on a one-split corpus; no-op on a many-split input
+    val sh = Spread.ifNarrow(df.select(col(sourceCol), col(textCol)),
+        col(textCol))
+      .withColumn("__ws", expr(Text.wordsExpr(textCol)))
       .withColumn("__sh", expr(Text.shinglesExpr("__ws", n)))
       .select(col(sourceCol).as("__src"), explode(col("__sh")).as("sh"))
       .distinct()
@@ -91,7 +97,12 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n).cache()
+    // spread-if-narrow so the shingle build and BOTH posting-list
+    // explodes run at session parallelism on a one-split corpus
+    // (StageProf: the serial stages were the bulk of the gate)
+    val sh = withShingles(
+      Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol)),
+      idCol, textCol, n).cache()
     val sizes = sh.select(col(idCol), size(col("__sh")).as("n"))
     val e = sh.select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
     val inter = e.as("a")
@@ -122,7 +133,11 @@ object Dedup {
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = withShingles(df, idCol, textCol, n).cache()
+    // spread-if-narrow: same serial-stage pathology and fix as
+    // ngramJaccardPairs above
+    val sh = withShingles(
+      Spread.ifNarrow(df.select(col(idCol), col(textCol)), col(idCol)),
+      idCol, textCol, n).cache()
     val sizes = sh.select(col(idCol), size(col("__sh")).as("n"))
     val e = sh.select(col(idCol).as("doc"), explode(col("__sh")).as("s"))
     val inter = e.as("a")

@@ -323,8 +323,16 @@ object Retrieval {
     // BOTH passes read the posting table and the df/scoring chain
     // reads it twice more inside withDf — build the index ONCE
     // (localCheckpoint; exactly what IndexIngest persists as standing
-    // state) instead of re-tokenizing the corpus per reference.
-    val tf = termFreqs(t).localCheckpoint()
+    // state) instead of re-tokenizing the corpus per reference. The
+    // explicit did-keyed repartition does double duty: it replaces the
+    // posting aggregate's own exchange (did partitioning satisfies the
+    // (did, dl, word) clustering) while shuffling doc rows instead of
+    // exploded postings, and it pins the checkpoint's partition count —
+    // AQE's byte-based coalescing left the whole index in ONE partition
+    // and every scoring pass downstream ran as a single 6 s task.
+    val tf = termFreqs(t.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, col("did")))
+      .localCheckpoint()
     val stats = corpusStats(t).localCheckpoint()
     val qw = tokenized(queries, idCol, textCol)
       .select(col("did").as("qid"), explode(col("__ws")).as("word"))
