@@ -97,25 +97,28 @@ object Pq {
   def train(spark: SparkSession, corpus: DataFrame, idCol: String,
             vecCol: String, m: Int = 16, k: Int = 16, iters: Int = 3): Model = {
     val u = unit(corpus, idCol, vecCol)
-    val dim = u.select(size(col("v"))).head().getInt(0)
+    // ONE bounded collect seeds everything the old three setup jobs
+    // did (dim probe, first-k id scan, slice fetch): the first k unit
+    // vectors by id, sliced on the DRIVER — slicing is array copy, no
+    // arithmetic, so the seed codebooks are bit-identical to the old
+    // in-plan slice fetch. k full vectors is driver-bounded metadata.
+    val firstVecs = u.orderBy("vid").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // A corpus smaller than k would seed short codebooks and the
+    // Lloyd rebuild's Array.tabulate(k) fallback would index past
+    // them (AIOOBE) — fail loud with the actual counts instead.
+    require(firstVecs.length >= k,
+      s"Pq.train: corpus has only ${firstVecs.length} vectors; k=$k " +
+        "centroids per subspace need at least k vectors")
+    val dim = firstVecs.head._2.length
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
     val s = sliced(u, m, subDim).cache()
-    var books: Array[Array[Array[Double]]] = {
-      val first = s.filter(col("mi") === 0).orderBy("vid").limit(k)
-        .select("vid").collect().map(_.getLong(0))
-      // A corpus smaller than k would seed short codebooks and the
-      // Lloyd rebuild's Array.tabulate(k) fallback would index past
-      // them (AIOOBE) — fail loud with the actual counts instead.
-      require(first.length >= k,
-        s"Pq.train: corpus has only ${first.length} vectors; k=$k " +
-          "centroids per subspace need at least k vectors")
-      val init = s.filter(col("vid").isin(first.toIndexedSeq: _*))
-        .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    var books: Array[Array[Array[Double]]] =
       Array.tabulate(m) { mi =>
-        init.filter(_._2 == mi).sortBy(_._1).take(k).map(_._3)
+        firstVecs.sortBy(_._1).take(k)
+          .map(_._2.slice(mi * subDim, (mi + 1) * subDim))
       }
-    }
     for (_ <- 1 to iters) {
       // decimal-exact means: identical codebooks at any partitioning
       val means = assign(s, centroidDf(spark, books))
