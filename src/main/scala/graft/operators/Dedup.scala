@@ -61,13 +61,12 @@ object Dedup {
     */
   def sourceOverlap(df: DataFrame, textCol: String, sourceCol: String,
                     n: Int = 3): DataFrame = {
-    // spread-if-narrow keyed by the TEXT (there are only |sources| ~ 20
-    // source values — keying on the source would cap the spread at 20
-    // skewed tasks): the shingle build ran as the gate's two longest
-    // serial tasks on a one-split corpus; no-op on a many-split input
-    val sh = Spread.ifNarrow(df.select(col(sourceCol), col(textCol)),
-        col(textCol))
-      .withColumn("__ws", expr(Text.wordsExpr(textCol)))
+    // NOT spread (measured): the serial shingle build here feeds a
+    // DISTINCT that collapses to |sources| × shingles — the bench read
+    // the spread variant 0.4 s SLOWER (2.2 → 2.7 s min-of-3) because
+    // the added exchange outweighs the two ~1 s serial stages it
+    // parallelizes; the Spread scaladoc records the boundary
+    val sh = df.withColumn("__ws", expr(Text.wordsExpr(textCol)))
       .withColumn("__sh", expr(Text.shinglesExpr("__ws", n)))
       .select(col(sourceCol).as("__src"), explode(col("__sh")).as("sh"))
       .distinct()

@@ -153,22 +153,19 @@ object Graph {
     require(iters >= 0 && iters <= 8,
       s"iters=$iters: the declarative plan grows ~3^iters — materialize beyond 8")
     require(dNum > 0 && dNum < dDen, s"damping $dNum/$dDen not in (0,1)")
-    // The recurrence references e/outw/seeded in EVERY round of a
-    // declarative loop, so un-materialized each reference re-derived
-    // the caller's whole edge lineage (for the qg06 gate: an events
-    // scan + JSON parse + session window per reference per round) —
-    // one localCheckpoint each makes every later reference an
-    // in-memory scan. Results are bit-identical; the checkpoints are
-    // graph-sized, and callers consume the result before any
-    // checkpoint-block sweep (the kAnonymize consumption discipline).
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    // Deliberately NOT materialized (measured): at the shallow gate
+    // depth (iters = 3) Catalyst's exchange reuse already dedupes the
+    // repeated e/outw/seeded subtrees, and three upfront
+    // localCheckpoint jobs cost more than they save — the bench read
+    // the checkpointed variant 0.67 s SLOWER (2.26 → 2.93 s min-of-3).
+    // The deep/materialized drivers are where leaf materialization
+    // pays (pagerankFpMaterialized, measured −2.3 s on qg04).
+    val e = edges.select(col("src"), col("dst"), col("w"))
     val b1 = seeds.agg(count(lit(1)).cast("long").as("b"))
-    val outw = outWeights(e).localCheckpoint()
+    val outw = outWeights(e)
     val seeded = nodes
       .join(broadcast(seeds.select(col("id"), lit(1L).as("is_seed"))), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0L)).as("is_seed"))
-      .localCheckpoint()
-    val dangIds = danglingIds(seeded.select(col("id")), outw)
     var r: DataFrame = seeded.crossJoin(broadcast(b1))
       .select(col("id"),
         when(col("is_seed") === 1L, expr(s"${scale}L div b"))
@@ -181,7 +178,7 @@ object Graph {
         .select(col("dst").as("id"),
           contribExpr(dNum, dDen).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
-      val dang = rr.join(broadcast(dangIds), Seq("id"))
+      val dang = rr.join(outw, rr("id") === outw("src"), "left_anti")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       r = seeded.crossJoin(broadcast(b1)).crossJoin(broadcast(dang))
         .join(contrib, Seq("id"), "left")

@@ -514,11 +514,12 @@ object TextAnalysis {
 
   def lmScore(df: DataFrame, idCol: String, textCol: String,
               scale: Long = 1000000000L): DataFrame = {
-    // spread-if-narrow: the bigram explode is the dense chain and ran
-    // serially on a one-split corpus (Spread scaladoc)
-    val words = Spread.ifNarrow(df.select(col(idCol), col(textCol)),
-        col(idCol))
-      .select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
+    // NOT spread (measured): StageProf's isolated run favored a
+    // pre-explode spread, but the bench (min-of-3, suite context) read
+    // it 0.26 s SLOWER — the bigram aggregate's own exchange already
+    // parallelizes the downstream joins, so the extra shuffle only
+    // moves the serial explode earlier
+    val words = df.select(col(idCol), expr(Text.wordsExpr(textCol)).as("__ws"))
     // same slice-zip bigram shape as collocations (see that scaladoc for
     // why not element_at-in-lambda); greatest(...,0) guards 0-word docs
     val bi = words.select(col(idCol), explode(expr(
